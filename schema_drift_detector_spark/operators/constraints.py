@@ -1,0 +1,296 @@
+"""Declarative constraints → per-partition verdicts + violation rows.
+
+The north_star's "diff/detect" stage generalizing the reference's drift
+detection (detector_agent.py) to data constraints:
+
+  - uniqueness on doc_id        (salted two-phase aggregation for skew)
+  - referential integrity       (media_ref → asset catalog; broadcast or
+                                 shuffle-hash anti-join)
+  - distribution drift          (KS statistic + chi-square between epoch
+                                 histograms — computed IN Spark on
+                                 long-format histogram rows, so millions
+                                 of (partition, column) pairs evaluate in
+                                 one job; no driver-side loops)
+
+Violation rows carry the span-sequence evidence columns
+(doc_id, kind, text, media_ref, span_order) required by the
+BASELINE.json input_hint per-row invariant.
+
+Verdict severity vocabulary matches the reference's lattice
+(detector_agent.py:571-587): constraint failures are 'high' per
+partition; pass is 'info'.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _verdict(df: DataFrame, run_id: str, constraint: str) -> DataFrame:
+    """Shape per-partition aggregates into the VERDICT_SCHEMA columns."""
+    for c in ("epoch", "partition_id"):
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("int"))
+    return df.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("partition_id").cast("int").alias("partition_id"),
+        F.lit(constraint).alias("constraint"),
+        F.col("passed"),
+        F.when(F.col("passed"), F.lit("info")).otherwise(F.lit("high")).alias("severity"),
+        F.col("summary"),
+        F.col("metrics"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Uniqueness
+# --------------------------------------------------------------------------
+
+def duplicate_keys(
+    df: DataFrame,
+    key: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keys occurring more than once — salted two-phase aggregation.
+
+    Phase 1 groups by (key, salt) where salt = crc32(key-reversed) %
+    buckets... no: the salt must split IDENTICAL keys, so it derives
+    from physical position (spark_partition_id), not the key. A hot key
+    that would overwhelm one reducer is first counted per (key, salt)
+    across `salt_buckets` reducers (map-side combine shrinks this
+    further), then the partial counts — at most `salt_buckets` rows per
+    key — are summed in a cheap second aggregation.
+
+    north_rule: "uniqueness on doc_id via salted repartition +
+    hash-based dedup detection".
+    """
+    salted = df.select(
+        F.col(key),
+        F.pmod(F.spark_partition_id() + F.crc32(F.col(key).cast("string")), F.lit(salt_buckets)).alias(
+            "__salt"
+        ),
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    total = partial.groupBy(key).agg(F.sum("__c").alias("n_occurrences"))
+    return total.filter(F.col("n_occurrences") > 1)
+
+
+def check_uniqueness(
+    docs: DataFrame,
+    run_id: str,
+    key: str = "doc_id",
+    group_cols: Sequence[str] = ("epoch", "partition_id"),
+    salt_buckets: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (verdicts, violations). A partition fails iff it contains any
+    row whose key is globally duplicated. Violation rows carry the
+    first span's sequence evidence for each duplicated doc."""
+    group_cols = [c for c in group_cols if c in docs.columns]
+    dups = duplicate_keys(docs, key, salt_buckets)
+    # dup keys are a tiny fraction → broadcast back against the table
+    offenders = docs.join(F.broadcast(dups), on=key, how="inner")
+
+    violations = offenders.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("partition_id").cast("int").alias("partition_id"),
+        F.lit("uniqueness").alias("constraint"),
+        F.col(key).cast("string").alias("doc_id"),
+        F.element_at("spans", 1)["kind"].alias("kind"),
+        F.element_at("spans", 1)["text"].alias("text"),
+        F.element_at("spans", 1)["media_ref"].alias("media_ref"),
+        F.lit(0).alias("span_order"),
+    )
+
+    per_part = (
+        docs.join(F.broadcast(dups), on=key, how="left")
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("n_occurrences").isNotNull(), 1).otherwise(0)).alias("n_dup_rows"),
+            F.count_distinct(F.when(F.col("n_occurrences").isNotNull(), F.col(key))).alias(
+                "n_dup_keys"
+            ),
+        )
+        .select(
+            *group_cols,
+            (F.col("n_dup_rows") == 0).alias("passed"),
+            F.when(F.col("n_dup_rows") == 0, F.lit("uniqueness ok"))
+            .otherwise(
+                F.format_string(
+                    "%d duplicate rows across %d keys", F.col("n_dup_rows"), F.col("n_dup_keys")
+                )
+            )
+            .alias("summary"),
+            F.to_json(
+                F.struct(F.col("n_rows"), F.col("n_dup_rows"), F.col("n_dup_keys"))
+            ).alias("metrics"),
+        )
+    )
+    return _verdict(per_part, run_id, "uniqueness"), violations
+
+
+# --------------------------------------------------------------------------
+# Referential integrity
+# --------------------------------------------------------------------------
+
+def check_referential_integrity(
+    docs: DataFrame,
+    catalog: DataFrame,
+    run_id: str,
+    group_cols: Sequence[str] = ("epoch", "partition_id"),
+    broadcast_catalog: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """media_ref of every non-text span must exist in the asset catalog.
+
+    Join strategy (north_star): broadcast the catalog when it fits
+    (explicit F.broadcast — dimension tables are small relative to
+    10^12 docs); pass broadcast_catalog=False for a huge catalog and
+    AQE picks shuffle-hash vs sort-merge at runtime.
+
+    Null media_ref on a text span is NOT a violation (kind-conditional
+    nullability per FIXTURES F1).
+    """
+    group_cols = [c for c in group_cols if c in docs.columns]
+    spans = docs.select(
+        *group_cols,
+        F.col("doc_id"),
+        F.posexplode("spans").alias("span_order", "s"),
+    ).select(
+        *group_cols,
+        "doc_id",
+        "span_order",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    refs = spans.filter(F.col("media_ref").isNotNull())
+    cat = catalog.select("media_ref").distinct()
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+    dangling = refs.join(cat, on="media_ref", how="left_anti")
+
+    violations = dangling.select(
+        F.lit(run_id).alias("run_id"),
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("partition_id").cast("int").alias("partition_id"),
+        F.lit("referential_integrity").alias("constraint"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("kind"),
+        F.col("text"),
+        F.col("media_ref"),
+        F.col("span_order").cast("int").alias("span_order"),
+    )
+
+    # one pass over refs: count dangling per partition via a left join
+    # flag (cheaper than re-scanning docs)
+    flagged = refs.join(
+        cat.withColumn("__ok", F.lit(1)), on="media_ref", how="left"
+    )
+    per_part = (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0)).alias("n_dangling"),
+        )
+        .select(
+            *group_cols,
+            (F.col("n_dangling") == 0).alias("passed"),
+            F.when(F.col("n_dangling") == 0, F.lit("referential integrity ok"))
+            .otherwise(
+                F.format_string(
+                    "%d dangling media_refs of %d", F.col("n_dangling"), F.col("n_refs")
+                )
+            )
+            .alias("summary"),
+            F.to_json(F.struct(F.col("n_refs"), F.col("n_dangling"))).alias("metrics"),
+        )
+    )
+    return _verdict(per_part, run_id, "referential_integrity"), violations
+
+
+# --------------------------------------------------------------------------
+# Distribution drift (KS + chi-square on histogram sketches)
+# --------------------------------------------------------------------------
+
+def drift_statistics(
+    base_hist: DataFrame,
+    curr_hist: DataFrame,
+    keys: Sequence[str] = ("partition_id",),
+) -> DataFrame:
+    """KS statistic + chi-square between two long-format histograms.
+
+    Inputs: rows (keys..., bin, bin_count) with IDENTICAL bin edges
+    (numeric_histogram with baseline-epoch bounds). Entirely DataFrame
+    ops — a full-outer join on (keys, bin), window cumulative sums for
+    the empirical CDFs, one aggregation for the statistics — so the
+    check scales to arbitrarily many key groups in one job.
+
+    chi2 uses baseline proportions as expected counts for the current
+    totals; bins with zero expected mass contribute (obs²/ε-free) via
+    a 0.5 continuity floor on expected counts.
+    """
+    keys = list(keys)
+    b = base_hist.groupBy(*keys, "bin").agg(F.sum("bin_count").alias("b_cnt"))
+    c = curr_hist.groupBy(*keys, "bin").agg(F.sum("bin_count").alias("c_cnt"))
+    j = b.join(c, on=keys + ["bin"], how="full_outer").fillna(
+        0, subset=["b_cnt", "c_cnt"]
+    )
+    wt = Window.partitionBy(*keys)
+    worder = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    j = (
+        j.withColumn("b_tot", F.sum("b_cnt").over(wt))
+        .withColumn("c_tot", F.sum("c_cnt").over(wt))
+        .withColumn("b_cdf", F.sum("b_cnt").over(worder) / F.col("b_tot"))
+        .withColumn("c_cdf", F.sum("c_cnt").over(worder) / F.col("c_tot"))
+        .withColumn("b_exp", F.greatest(F.col("b_cnt") / F.col("b_tot") * F.col("c_tot"), F.lit(0.5)))
+    )
+    return j.groupBy(*keys).agg(
+        F.max(F.abs(F.col("b_cdf") - F.col("c_cdf"))).alias("ks_stat"),
+        F.sum(F.pow(F.col("c_cnt") - F.col("b_exp"), 2) / F.col("b_exp")).alias("chi2_stat"),
+        F.first("b_tot").alias("n_base"),
+        F.first("c_tot").alias("n_curr"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+def check_distribution_drift(
+    base_hist: DataFrame,
+    curr_hist: DataFrame,
+    run_id: str,
+    epoch: int,
+    keys: Sequence[str] = ("partition_id",),
+    ks_threshold: float = 0.1,
+    chi2_per_bin_threshold: float = 10.0,
+) -> DataFrame:
+    """→ per-key verdicts. Fails when KS > ks_threshold OR the mean
+    per-bin chi-square exceeds chi2_per_bin_threshold (threshold form
+    keeps the check p-value-free and monotone in drift magnitude;
+    thresholds live in the declarative constraint spec ≙ the
+    reference's policy nodes)."""
+    stats = drift_statistics(base_hist, curr_hist, keys)
+    per = stats.select(
+        *keys,
+        F.lit(epoch).alias("epoch"),
+        (
+            (F.col("ks_stat") <= ks_threshold)
+            & ((F.col("chi2_stat") / F.col("n_bins")) <= chi2_per_bin_threshold)
+        ).alias("passed"),
+        F.format_string(
+            "ks=%.4f chi2/bin=%.2f (n_base=%d n_curr=%d)",
+            F.col("ks_stat"),
+            F.col("chi2_stat") / F.col("n_bins"),
+            F.col("n_base").cast("long"),
+            F.col("n_curr").cast("long"),
+        ).alias("summary"),
+        F.to_json(
+            F.struct(
+                F.col("ks_stat"), F.col("chi2_stat"), F.col("n_bins"), F.col("n_base"), F.col("n_curr")
+            )
+        ).alias("metrics"),
+    )
+    return _verdict(per, run_id, "distribution_drift")

@@ -1,0 +1,193 @@
+"""Per-partition column profiling — the engine's "canonical snapshot".
+
+Reference analog: the crawler's snapshot construction (R8,
+csv_crawler_agent.py:270-291) produced name/type/nullable/ordinal per
+column. The north_star generalizes that to data-derived per-partition
+profiles: null ratio, min/max, distinct count via HyperLogLog sketches,
+type/categorical histograms (BASELINE.json north_star).
+
+Scale design:
+  - ONE wide groupBy((epoch, partition_id)).agg(...) computes every
+    column's statistics in a single shuffle with map-side partial
+    aggregation; results are then exploded to long format (one row per
+    column) driver-free. No per-column jobs, no collect().
+  - Distinct counts use Spark's Apache DataSketches HLL
+    (hll_sketch_agg): the serialized sketch is persisted in the profile
+    row, so later epochs/partitions merge via hll_union_agg WITHOUT
+    rescanning data — the reference's immutable-snapshot chain, but for
+    sketches.
+  - All expressions are built-in Catalyst functions (whole-stage
+    codegen); there is no Python in this pass at all.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# types hll_sketch_agg accepts natively (DataSketches); everything else
+# is cast to string first
+_HLL_NATIVE = (T.IntegerType, T.LongType, T.StringType, T.BinaryType)
+
+
+def _is_atomic(dt: T.DataType) -> bool:
+    return not isinstance(dt, (T.ArrayType, T.MapType, T.StructType))
+
+
+def profile_columns(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("epoch", "partition_id"),
+    snapshot_id: str | None = None,
+    entity: str | None = None,
+    hll_lgk: int = 12,
+) -> DataFrame:
+    """Profile every atomic column of ``df`` per group in one shuffle.
+
+    Returns long-format rows: group_cols..., column, ordinal, dtype,
+    nullable, n_rows, null_ratio, min_val, max_val, approx_distinct,
+    hll_sketch (mergeable binary), plus snapshot_id/entity when given.
+    """
+    group_cols = [c for c in group_cols if c in df.columns]
+    fields = [
+        (i, f)
+        for i, f in enumerate(df.schema.fields)
+        if f.name not in group_cols and _is_atomic(f.dataType)
+    ]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, f in fields:
+        c = F.col(f.name)
+        hc = c if isinstance(f.dataType, _HLL_NATIVE) else c.cast("string")
+        aggs += [
+            F.count(c).alias(f"__cnt_{i}"),
+            F.min(c).cast("string").alias(f"__min_{i}"),
+            F.max(c).cast("string").alias(f"__max_{i}"),
+            F.approx_count_distinct(c).alias(f"__dist_{i}"),
+            F.hll_sketch_agg(hc, F.lit(hll_lgk)).alias(f"__hll_{i}"),
+        ]
+    wide = df.groupBy(*group_cols).agg(*aggs)
+
+    per_col = [
+        F.struct(
+            F.lit(f.name).alias("column"),
+            F.lit(i).alias("ordinal"),
+            F.lit(f.dataType.simpleString()).alias("dtype"),
+            F.lit(f.nullable).alias("nullable"),
+            F.col("__n").alias("n_rows"),
+            F.when(F.col("__n") > 0, 1.0 - F.col(f"__cnt_{i}") / F.col("__n"))
+            .otherwise(F.lit(None))
+            .alias("null_ratio"),
+            F.col(f"__min_{i}").alias("min_val"),
+            F.col(f"__max_{i}").alias("max_val"),
+            F.col(f"__dist_{i}").alias("approx_distinct"),
+            F.col(f"__hll_{i}").alias("hll_sketch"),
+        )
+        for i, f in fields
+    ]
+    long = wide.select(
+        *group_cols, F.explode(F.array(*per_col)).alias("p")
+    ).select(*group_cols, "p.*")
+    if snapshot_id is not None:
+        long = long.withColumn("snapshot_id", F.lit(snapshot_id))
+    if entity is not None:
+        long = long.withColumn("entity", F.lit(entity))
+    return long
+
+
+def merge_hll(profiles: DataFrame, group_cols: Sequence[str] = ("column",)) -> DataFrame:
+    """Merge persisted per-partition sketches to coarser granularity
+    (e.g. table-level distinct counts) without touching the data again.
+    This is the scale path: 10^12 docs are scanned once; every rollup
+    after that is sketch algebra on metadata rows."""
+    return profiles.groupBy(*group_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch", True)).alias("distinct_merged"),
+    )
+
+
+def profile_spans(
+    docs: DataFrame,
+    group_cols: Sequence[str] = ("epoch", "partition_id"),
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Span-level profile of the interleaved payload (input_hint shape).
+
+    One explode + one shuffle: per group — span counts, per-kind
+    histogram (the reference FieldMeta 'type histogram' analog), text
+    null ratio among text spans, offset stats, distinct media refs.
+    Catalyst prunes unreferenced span struct fields from the scan.
+    """
+    group_cols = [c for c in group_cols if c in docs.columns]
+    s = docs.select(*group_cols, F.explode(spans_col).alias("s"))
+    return (
+        s.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when((F.col("s.kind") == "text") & F.col("s.text").isNull(), 1).otherwise(0)).alias(
+                "n_text_null"
+            ),
+            F.sum(F.when(F.col("s.kind") == "text", 1).otherwise(0)).alias("n_text"),
+            F.min("s.offset").alias("offset_min"),
+            F.max("s.offset").alias("offset_max"),
+            F.approx_count_distinct("s.media_ref").alias("approx_distinct_media_ref"),
+            F.hll_sketch_agg("s.media_ref").alias("media_ref_hll"),
+        )
+        .join(kind_histogram(docs, group_cols, spans_col), on=group_cols, how="left")
+        .withColumn(
+            "text_null_ratio",
+            F.when(F.col("n_text") > 0, F.col("n_text_null") / F.col("n_text")),
+        )
+    )
+
+
+def kind_histogram(
+    docs: DataFrame,
+    group_cols: Sequence[str] = ("epoch", "partition_id"),
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Categorical histogram of span kinds per group as map<kind,count>."""
+    group_cols = [c for c in group_cols if c in docs.columns]
+    return (
+        docs.select(*group_cols, F.explode(f"{spans_col}.kind").alias("kind"))
+        .groupBy(*group_cols, "kind")
+        .count()
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("kind"), F.col("count"))))
+            ).alias("kind_histogram")
+        )
+    )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value: str | F.Column,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    group_cols: Sequence[str] = ("epoch", "partition_id"),
+) -> DataFrame:
+    """Equi-width histogram with FIXED bin edges per group.
+
+    Edges must come from the baseline epoch (SURVEY §7.4) so that
+    epoch-to-epoch chi-square/KS comparisons are well defined. Values
+    outside [lo, hi) clamp into the edge bins. Output: group_cols...,
+    bin (int), bin_count (long) — long format merges by simple addition,
+    which is what distribution-drift checks consume.
+    """
+    group_cols = list(group_cols)
+    c = F.col(value) if isinstance(value, str) else value
+    width = (hi - lo) / nbins
+    bin_ = F.least(
+        F.greatest(F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )

@@ -1,0 +1,106 @@
+"""Constraint tests against the synthesizer's injected violations
+(FIXTURES.md F1): duplicates only in partitions {2,5}, dangling refs
+only in partition 3, distribution drift only in partitions {1,4}."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from schema_drift_detector_spark.operators.constraints import (
+    check_distribution_drift,
+    check_referential_integrity,
+    check_uniqueness,
+    drift_statistics,
+    duplicate_keys,
+)
+from schema_drift_detector_spark.operators.profile import numeric_histogram
+from schema_drift_detector_spark.sources.synth import (
+    SynthConfig,
+    synth_asset_catalog,
+    synth_documents,
+)
+
+CFG = SynthConfig(n_docs=6_400, n_partitions=8, n_assets=4_000)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return synth_documents(spark, CFG, epoch=0).cache()
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    return synth_asset_catalog(spark, CFG).cache()
+
+
+def test_uniqueness_localized(spark, docs):
+    verdicts, violations = check_uniqueness(docs, run_id="r1")
+    v = {r.partition_id: r for r in verdicts.collect()}
+    assert len(v) == 8
+    failing = {p for p, r in v.items() if not r.passed}
+    assert failing == set(CFG.dup_partitions)
+    for p in failing:
+        assert v[p].severity == "high"
+        assert "duplicate rows" in v[p].summary
+    for p in set(range(8)) - failing:
+        assert v[p].severity == "info" and v[p].summary == "uniqueness ok"
+
+    viol = violations.collect()
+    assert len(viol) > 0
+    assert {r.partition_id for r in viol} <= set(CFG.dup_partitions)
+    assert all(r.constraint == "uniqueness" for r in viol)
+    # every violating doc_id really is duplicated
+    dup_ids = {r["doc_id"] for r in duplicate_keys(docs).collect()}
+    assert {r.doc_id for r in viol} <= dup_ids
+
+
+def test_referential_integrity_localized(spark, docs, catalog):
+    verdicts, violations = check_referential_integrity(docs, catalog, run_id="r1")
+    v = {r.partition_id: r for r in verdicts.collect()}
+    failing = {p for p, r in v.items() if not r.passed}
+    assert failing == {CFG.dangling_partition}
+    viol = violations.collect()
+    assert len(viol) > 0
+    assert {r.partition_id for r in viol} == {CFG.dangling_partition}
+    # violation rows carry span-sequence evidence per input_hint
+    for r in viol[:20]:
+        assert r.media_ref.startswith("asset-")
+        assert int(r.media_ref.split("-")[1]) >= CFG.n_assets
+        assert r.kind in {"image", "audio", "table"}
+        assert r.span_order >= 0
+
+
+def test_ri_plan_uses_broadcast(spark, docs, catalog):
+    _, violations = check_referential_integrity(docs, catalog, run_id="r1")
+    plan = violations._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_distribution_drift_localized(spark, docs):
+    e2 = synth_documents(spark, CFG, epoch=2)
+    base = numeric_histogram(
+        docs.select("partition_id", F.explode("spans.offset").alias("off")),
+        "off", 0.0, 60.0, 16, ["partition_id"],
+    )
+    curr = numeric_histogram(
+        e2.select("partition_id", F.explode("spans.offset").alias("off")),
+        "off", 0.0, 60.0, 16, ["partition_id"],
+    )
+    verdicts = check_distribution_drift(base, curr, run_id="r1", epoch=2)
+    v = {r.partition_id: r for r in verdicts.collect()}
+    failing = {p for p, r in v.items() if not r.passed}
+    assert set(CFG.drift_partitions) <= failing
+    # non-drifted partitions must pass (same generator, same seed)
+    assert failing <= set(CFG.drift_partitions)
+
+
+def test_drift_statistics_identity(spark, docs):
+    base = numeric_histogram(
+        docs.select("partition_id", F.explode("spans.offset").alias("off")),
+        "off", 0.0, 60.0, 16, ["partition_id"],
+    )
+    stats = drift_statistics(base, base).collect()
+    for r in stats:
+        assert r.ks_stat == 0.0
+        assert r.chi2_stat < 1e-9
