@@ -1,0 +1,220 @@
+"""run_validation — the engine's end-to-end driver program.
+
+Replaces the reference's LLM-sequenced crew (crew.py:168-176,
+config/tasks.yaml) with a deterministic pipeline:
+
+    identify → profile → persist snapshot → detect (schema diff +
+    constraints) → heal → notify → decide
+
+and adds the north_rule requirements the reference lacks: partition-
+granular checkpoint/resume and per-partition verdicts.
+
+Scale shape of one run over a 10^12-doc table:
+  - ONE scan of the batch's partitions feeds the profile aggregation
+    (single shuffle) and constraint checks; partition pruning comes from
+    the `partition_id` filter pushed to the source.
+  - Snapshot/diff/policy work on metadata-scale tables.
+  - The manifest commit per batch bounds re-work after failure to one
+    batch of partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import constraints as C
+from ..operators.diff import diff_fields, drift_report
+from ..operators.profile import numeric_histogram, profile_columns, profile_spans
+from ..operators.snapshot import fields_from_schema
+from . import manifest as M
+from . import policy, store
+
+DEFAULT_SPEC: dict[str, Any] = {
+    "uniqueness": {"key": "doc_id", "salt_buckets": 16},
+    "referential_integrity": {"broadcast_catalog": True},
+    "distribution_drift": {
+        "column": "offset",
+        "lo": 0.0,
+        "hi": 60.0,
+        "nbins": 16,
+        "ks_threshold": 0.1,
+        "chi2_per_bin_threshold": 10.0,
+    },
+    "policy": {"auto_heal": True, "notify_on_breaking": True, "channels": ["email"]},
+}
+
+
+def _offsets_view(docs: DataFrame) -> DataFrame:
+    return docs.select("partition_id", F.explode("spans.offset").alias("off"))
+
+
+def baseline_histogram(docs: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    d = spec["distribution_drift"]
+    return numeric_histogram(
+        _offsets_view(docs), "off", d["lo"], d["hi"], d["nbins"], ["partition_id"]
+    )
+
+
+def run_validation(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    entity: str = "documents",
+    epoch: int = 0,
+    baseline_hist: DataFrame | None = None,
+    partition_batches: int = 1,
+    spec: dict[str, Any] | None = None,
+    fail_after_batches: int | None = None,  # test hook: simulate interruption
+) -> dict[str, Any]:
+    """Validate one epoch of the documents table. Returns the decision
+    envelope plus run bookkeeping. Re-invoking with the same run_id
+    resumes at partition granularity."""
+    run_id = run_id or str(uuid.uuid4())
+    spec = spec or DEFAULT_SPEC
+
+    # ---- schema snapshot + drift detection (metadata-scale) ------------
+    fields = fields_from_schema(spark, docs.schema)
+    snapshot_id = store.get_or_create_snapshot(
+        spark, f"{out_dir}/store", entity, epoch, fields, run_id
+    )
+    prev_id = store.previous_snapshot(spark, f"{out_dir}/store", entity, snapshot_id)
+    if prev_id:
+        before = store.fields_of(spark, f"{out_dir}/store", prev_id)
+    else:
+        before = spark.createDataFrame([], fields.schema)  # first snapshot → all adds
+    changes_df = diff_fields(before, fields)
+    report_row = drift_report(changes_df).collect()[0]
+    schema_report = {
+        "request_id": run_id,
+        "drift_detected": report_row.drift_detected,
+        "drift_report": {
+            "changes": [c.asDict(recursive=True) for c in report_row.changes],
+            "summary": report_row.summary,
+            "severity": report_row.severity,
+        },
+        "detected_by": "schema_drift_detector_spark",
+    }
+
+    # ---- partition plan with resume ------------------------------------
+    universe = docs.select("partition_id").distinct()
+    pending = M.pending_partitions(spark, universe, out_dir, run_id)
+    batches = [
+        pending[i :: partition_batches] for i in range(partition_batches)
+    ] if partition_batches > 1 else [pending]
+    batches = [sorted(b) for b in batches if b]
+
+    executed = 0
+    for batch in batches:
+        if fail_after_batches is not None and executed >= fail_after_batches:
+            break
+        started = time.time()
+        subset = docs.filter(F.col("partition_id").isin([int(p) for p in batch]))
+
+        profiles = profile_columns(subset, snapshot_id=snapshot_id, entity=entity)
+        span_prof = profile_spans(subset)
+        uq_v, uq_viol = C.check_uniqueness(subset, run_id, **{
+            k: v for k, v in spec["uniqueness"].items()
+        })
+        ri_v, ri_viol = C.check_referential_integrity(
+            subset, catalog, run_id, **spec["referential_integrity"]
+        )
+        verdicts = uq_v.unionByName(ri_v)
+        violations = uq_viol.unionByName(ri_viol)
+        if baseline_hist is not None:
+            d = spec["distribution_drift"]
+            curr_hist = numeric_histogram(
+                _offsets_view(subset), "off", d["lo"], d["hi"], d["nbins"], ["partition_id"]
+            )
+            dd_v = C.check_distribution_drift(
+                baseline_hist,
+                curr_hist,
+                run_id,
+                epoch,
+                ks_threshold=d["ks_threshold"],
+                chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
+            ).filter(F.col("partition_id").isin([int(p) for p in batch]))
+            verdicts = verdicts.unionByName(dd_v)
+
+        # writes first, manifest commit last (write-ahead ordering)
+        profiles.write.mode("append").parquet(f"{out_dir}/profiles")
+        span_prof.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            f"{out_dir}/span_profiles"
+        )
+        verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")
+        violations.write.mode("append").parquet(f"{out_dir}/violations")
+
+        counts = {r.partition_id: r.n for r in
+                  subset.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        M.commit_partitions(
+            spark,
+            out_dir,
+            run_id,
+            [
+                {
+                    "partition_id": p,
+                    "docs_validated": counts.get(p, 0),
+                    "started_at": started,
+                    "metrics": {"batch": executed},
+                    "lineage": {
+                        "snapshot_id": snapshot_id,
+                        "previous_snapshot_id": prev_id,
+                        "entity": entity,
+                        "epoch": epoch,
+                    },
+                }
+                for p in batch
+            ],
+        )
+        executed += 1
+
+    # ---- policy: heal → notify → decide (driver-side, tiny) ------------
+    pol = spec.get("policy", {})
+    heal = policy.healing_plan(
+        schema_report["drift_detected"],
+        schema_report["drift_report"]["changes"],
+        request_id=run_id,
+        table_name=entity,
+    )
+    notif = policy.notification(
+        schema_report["drift_detected"],
+        pol.get("notify_on_breaking", False),
+        schema_report["drift_report"]["severity"],
+        schema_report["drift_report"]["summary"],
+        pol.get("channels"),
+        request_id=run_id,
+    )
+    envelope = policy.decision_envelope(
+        run_id,
+        schema_report,
+        heal,
+        pol.get("auto_heal", False),
+        snapshot_ids={"snapshot_id": snapshot_id, "previous_snapshot_id": prev_id},
+    )
+    envelope["notification"] = notif
+    envelope["run"] = {
+        "run_id": run_id,
+        "entity": entity,
+        "epoch": epoch,
+        "partitions_pending_before": pending,
+        "batches_executed": executed,
+        "out_dir": out_dir,
+    }
+    return envelope
+
+
+def read_verdicts(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
+    v = spark.read.parquet(f"{out_dir}/verdicts")
+    return v.filter(F.col("run_id") == run_id) if run_id else v
+
+
+def read_violations(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
+    v = spark.read.parquet(f"{out_dir}/violations")
+    return v.filter(F.col("run_id") == run_id) if run_id else v

@@ -1,0 +1,138 @@
+"""End-to-end pipeline: epochs e0→e1→e2, per-partition verdicts,
+violations, manifest resume idempotence, policy decisions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from schema_drift_detector_spark.plans import manifest as M
+from schema_drift_detector_spark.plans.run import (
+    baseline_histogram,
+    read_verdicts,
+    read_violations,
+    run_validation,
+)
+from schema_drift_detector_spark.sources.synth import (
+    SynthConfig,
+    synth_asset_catalog,
+    synth_documents,
+)
+
+CFG = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
+
+
+@pytest.fixture(scope="module")
+def docs0(spark):
+    return synth_documents(spark, CFG, epoch=0).cache()
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    return synth_asset_catalog(spark, CFG).cache()
+
+
+def test_full_run_epoch0(spark, docs0, catalog, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run_e0"))
+    env = run_validation(spark, docs0, catalog, out, run_id="r0", epoch=0)
+    # first snapshot → all adds → info → drift detected but not breaking
+    assert env["details"]["drift"]["drift_report"]["severity"] == "info"
+    assert env["decision"] in ("auto_heal", "manual_review")  # adds → sql actions, auto_heal policy
+    assert env["decision"] == "auto_heal"
+    v = read_verdicts(spark, out, "r0")
+    by = {(r.constraint, r.partition_id): r for r in v.collect()}
+    assert not by[("uniqueness", 2)].passed
+    assert not by[("uniqueness", 5)].passed
+    assert by[("uniqueness", 0)].passed
+    assert not by[("referential_integrity", 3)].passed
+    viol = read_violations(spark, out, "r0")
+    assert viol.filter("constraint = 'uniqueness'").count() > 0
+    # manifest covers all 8 partitions
+    assert M.pending_partitions(spark, docs0.select("partition_id"), out, "r0") == []
+
+
+def test_epoch_sequence_drift_decisions(spark, docs0, catalog, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run_seq"))
+    e1 = synth_documents(spark, CFG, epoch=1)
+    e2 = synth_documents(spark, CFG, epoch=2)
+    base_hist = baseline_histogram(docs0, __import__(
+        "schema_drift_detector_spark.plans.run", fromlist=["DEFAULT_SPEC"]).DEFAULT_SPEC)
+
+    env0 = run_validation(spark, docs0, catalog, out, run_id="s0", epoch=0)
+    env1 = run_validation(spark, e1, catalog, out, run_id="s1", epoch=1)
+    # e0→e1: add country (low) / info → auto_heal (sql action, no manual)
+    assert env1["details"]["drift"]["drift_report"]["summary"] == "add country (low)"
+    assert env1["details"]["severity"] == "info"
+    assert env1["decision"] == "auto_heal"
+
+    env2 = run_validation(
+        spark, e2, catalog, out, run_id="s2", epoch=2, baseline_hist=base_hist
+    )
+    # e1→e2: remove country → overall critical → pause
+    rep = env2["details"]["drift"]["drift_report"]
+    assert rep["severity"] == "critical"
+    assert any(c["op"] == "remove" and c["field"] == "country" for c in rep["changes"])
+    assert env2["decision"] == "pause"
+    # distribution drift fails exactly the injected partitions
+    dd = {
+        r.partition_id: r
+        for r in read_verdicts(spark, out, "s2")
+        .filter("constraint = 'distribution_drift'")
+        .collect()
+    }
+    failing = {p for p, r in dd.items() if not r.passed}
+    assert failing == set(CFG.drift_partitions)
+    # notification fired on breaking drift (R22 message shape)
+    assert env2["notification"]["sent"] is True
+    assert env2["notification"]["message"].startswith("Schema Drift Detected! Severity: critical.")
+
+
+def test_resume_idempotent(spark, docs0, catalog, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run_resume"))
+    # interrupted run: 4 batches of 2 partitions, killed after 2 batches
+    env_a = run_validation(
+        spark, docs0, catalog, out, run_id="rr", epoch=0,
+        partition_batches=4, fail_after_batches=2,
+    )
+    pending_mid = M.pending_partitions(spark, docs0.select("partition_id"), out, "rr")
+    assert 0 < len(pending_mid) < 8
+    # resume completes only the missing partitions
+    env_b = run_validation(
+        spark, docs0, catalog, out, run_id="rr", epoch=0, partition_batches=4
+    )
+    assert sorted(env_b["run"]["partitions_pending_before"]) == pending_mid
+    assert M.pending_partitions(spark, docs0.select("partition_id"), out, "rr") == []
+    # verdicts: exactly one row per (constraint, partition); same results
+    # as an uninterrupted run
+    out2 = str(tmp_path_factory.mktemp("run_plain"))
+    run_validation(spark, docs0, catalog, out2, run_id="pp", epoch=0)
+    a = {
+        (r.constraint, r.partition_id): (r.passed, r.summary)
+        for r in read_verdicts(spark, out, "rr").collect()
+    }
+    b = {
+        (r.constraint, r.partition_id): (r.passed, r.summary)
+        for r in read_verdicts(spark, out2, "pp").collect()
+    }
+    assert len(a) == 16  # 2 constraints × 8 partitions, no duplicates
+    assert a == b
+    # resume reused the interrupted run's snapshot (no duplicate chain)
+    from schema_drift_detector_spark.plans.store import read_snapshots
+
+    snaps = read_snapshots(spark, f"{out}/store").filter("source_path = 'rr'").count()
+    assert snaps == 1
+
+
+def test_uniqueness_verdict_unaffected_by_repartition(spark, docs0, catalog, tmp_path_factory):
+    """Span-sequence + verdict stability under physical repartitioning
+    (input_hint invariant: results depend on data, not layout)."""
+    out = str(tmp_path_factory.mktemp("run_shuffled"))
+    shuffled = docs0.repartition(13, "doc_id")
+    env = run_validation(spark, shuffled, catalog, out, run_id="sh", epoch=0)
+    v = {
+        (r.constraint, r.partition_id): r.passed
+        for r in read_verdicts(spark, out, "sh").collect()
+    }
+    assert not v[("uniqueness", 2)] and not v[("uniqueness", 5)]
+    assert not v[("referential_integrity", 3)]
+    assert v[("uniqueness", 0)] and v[("referential_integrity", 0)]
