@@ -1,0 +1,143 @@
+"""Text-analysis column expressions for large-scale corpus pipelines.
+
+All pure Catalyst expressions (whole-stage codegen, no Python UDFs):
+token counting, character shingles, punctuation/stopword ratios,
+quality scoring, language-ID by stopword voting, document
+fingerprints. Each has a 1:1 ANSI-SQL translation used by the DuckDB
+oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the voting heuristic
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (simple split — BPE-ish regex variant
+    below)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """A BPE-ish tokenizer: splits words from digits and punctuation
+    (regex classes), the usual pre-tokenization step of byte-pair
+    encoders."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda t: t != ""
+    )
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams — the MinHash/Jaccard unit."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: F.substring(c, i, n),
+        )
+    )
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """Distinct stopwords present (array_intersect semantics — matches
+    DuckDB list_intersect)."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over per-language stopword votes; deterministic
+    tie-break by language code order; 'und' (undetermined) when no
+    stopword hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(STOPWORDS)  # deterministic
+    best = F.greatest(*[scores[l] for l in langs])
+    out = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties → apply in reverse
+        out = F.when(scores[l] == best, F.lit(l)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length band + mean word length band +
+    low punctuation density + stopword presence. Heuristic ranker for
+    corpus filtering; monotone pieces, fully codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("double")
+    n_toks = token_count(c).cast("double")
+    mean_wl = n_chars / F.greatest(n_toks, F.lit(1.0))
+    punct_ratio = punct_count(c).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    sw_ratio = stopword_hits(c).cast("double") / F.lit(10.0)
+    len_band = F.when((n_chars >= 100) & (n_chars <= 10000), 1.0).otherwise(0.5)
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.5)
+    return F.round(
+        F.lit(0.35) * len_band
+        + F.lit(0.25) * wl_band
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.2) * F.least(sw_ratio, F.lit(1.0)),
+        6,
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Exact-dedup content fingerprint."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def fingerprint_normalized(text: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 of the sorted distinct token
+    multiset — catches token-permuted duplicates."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.array_join(F.array_sort(F.split(F.lower(c), " ")), " "))
+
+
+def rolling_hashes(text: Column | str, n: int = 8, mod: int = 1_000_003) -> Column:
+    """Polynomial rolling hash of every n-gram (Rabin–Karp), as an
+    array<int> — the winnowing fingerprint unit. Built from
+    transform/aggregate over code points; no Python."""
+    sh = char_shingles(text, n)
+    return F.transform(
+        sh,
+        lambda s: F.aggregate(
+            F.transform(F.split(s, ""), lambda ch: F.ascii(ch)),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 131 + x) % mod,
+        ).cast("int"),
+    )
+
+
+def winnowing_fingerprint(text: Column | str, n: int = 8, window: int = 4) -> Column:
+    """Winnowing (Schleimer et al. 2003): min hash in each sliding
+    window of the rolling-hash sequence → compact doc fingerprint set."""
+    h = rolling_hashes(text, n)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(h, i, window)))
+    )

@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers (north-star "similarity search" requirement):
+
+  brute-force top-k   exact baseline: broadcast the (small) query set
+                      against the corpus, cosine via JVM zip_with/
+                      aggregate, per-query top-k via window. One pass
+                      over the corpus, no shuffle of the corpus itself.
+
+  IVF top-k           scale path: coarse-quantize the corpus to
+                      n_centroids cells (deterministic centroid sample +
+                      argmax-cosine assignment — one corpus pass);
+                      queries probe only nprobe cells, so the inner
+                      scan is |corpus| * nprobe / n_centroids. The cell
+                      assignment is persisted ("index") and reused
+                      across query batches.
+
+Top-k ties break deterministically on (score desc, corpus id asc).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import dot, normalize
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    return df.select(F.col(id_col).alias(out_id), normalize(vec_col).alias(f"{out_id}_nv"))
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: corpus ⨯ broadcast(queries) → window rank.
+    Output: query_id, rank, vec_id, cos_sim (rounded 6dp)."""
+    c = _normalized(corpus, id_col, vec_col, "vec_id")
+    q = _normalized(queries, query_id_col or id_col, query_vec_col or vec_col, "query_id")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(dot(F.col("vec_id_nv"), F.col("query_id_nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Evenly-strided deterministic centroid pick (k-means-free coarse
+    quantizer: reproducible across runs/parallelism, good enough for
+    cell routing; swap in k-means centroids without touching callers).
+    Output: centroid_id, centroid_nv."""
+    w = Window.orderBy(F.col(id_col).asc())
+    ranked = corpus.select(F.col(id_col), normalize(vec_col).alias("nv")).withColumn(
+        "__rn", F.row_number().over(w) - 1
+    )
+    total = ranked.count()
+    stride = max(1, total // n_centroids)
+    return (
+        ranked.filter((F.col("__rn") % stride == 0) & (F.col("__rn") / stride < n_centroids))
+        .select(
+            (F.col("__rn") / stride).cast("int").alias("centroid_id"),
+            F.col("nv").alias("centroid_nv"),
+        )
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: argmax-cosine cell per corpus vector — one
+    corpus pass against broadcast centroids.
+    Output: vec_id, centroid_id, nv."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), normalize(vec_col).alias("nv"))
+    scored = c.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", dot(F.col("nv"), F.col("centroid_nv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select("vec_id", "centroid_id", "nv")
+    )
+
+
+def topk_ivf(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells per query; exact cosine within.
+    Output: query_id, rank, vec_id, cos_sim."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), normalize(query_vec_col).alias("qnv")
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", dot(F.col("qnv"), F.col("centroid_nv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qnv", "centroid_id")
+    )
+    scored = probes.join(index, "centroid_id").select(
+        "query_id",
+        "vec_id",
+        F.round(dot(F.col("qnv"), F.col("nv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )

@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+  exact            md5 hash-groupBy (one shuffle; salting unnecessary —
+                   hash keys are uniform by construction)
+  n-gram Jaccard   shingle explode → self-join on shingle → pair counts.
+                   Exact but O(pairs-sharing-a-shingle); gate it behind
+                   candidate filters at scale.
+  MinHash + LSH    k minhashes per doc via xxhash64(seed, shingle)
+                   (one explode + one groupBy); banding → bucket join →
+                   candidates; signature-overlap estimate verifies.
+                   THE scale path for 10^12 docs: cost is linear in
+                   corpus size + bucket collisions, never all-pairs.
+  SimHash          64-bit sign-of-weighted-sum over token hashes;
+                   chunk-16 LSH buckets for hamming-distance candidates.
+  Embedding cosine near-dup pairs over array<float> embeddings —
+                   brute-force (small) or random-hyperplane LSH (scale).
+
+Everything below is built-in Catalyst expressions; the only
+quadratic-ish work happens inside LSH buckets, which is the algorithm's
+point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine, dot, normalize
+from ..functions.text import char_shingles, fingerprint_md5, tokens
+
+
+# --------------------------------------------------------------------------
+# Exact
+# --------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Content-hash groups with >1 member. Returns
+    (fingerprint, n_docs, keep_id) — keep_id = min id, the canonical
+    survivor for a downstream dedup filter."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(content_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Keep one row per content fingerprint (min id wins) — the
+    map-side-combinable form of exact dedup."""
+    fp = fingerprint_md5(content_col).alias("__fp")
+    w = df.select(df["*"], fp)
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, on=["__fp", id_col], how="inner").drop("__fp")
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard (exact pairwise, for candidate verification / small sets)
+# --------------------------------------------------------------------------
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(char_shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over distinct character n-grams for every pair
+    sharing ≥1 shingle. Output: doc_a, doc_b (a<b), common, jaccard."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            (F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, k: int = 64
+) -> DataFrame:
+    """k-permutation MinHash: one explode + ONE groupBy computes all k
+    mins (map-side combine keeps the shuffle tiny — k longs per doc).
+    Output: (doc, sig: array<long>[k])."""
+    sh = shingle_table(df, id_col, text_col, n)
+    mins = sh.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__m{i}") for i in range(k)]
+    )
+    return mins.select("doc", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature, hash each band, bucket-join. Two docs are
+    candidates iff any band hashes identically. Output: doc_a, doc_b."""
+    sig = signatures.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.xxhash64(
+                    band,
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                band * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    signature-overlap Jaccard estimate ≥ threshold.
+    Output: doc_a, doc_b, est_jaccard."""
+    sigs = minhash_signatures(df, id_col, text_col, n, k).cache()
+    cands = lsh_candidate_pairs(sigs, bands)
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.size("sig_a")
+    )
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataFrame:
+    """SimHash: per token xxhash64; per bit, sum(+1/-1); sign → bit.
+    One explode + one groupBy (nbits sums, map-side combined).
+    Output: (doc, bits: array<int>[nbits]) MSB-first."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(nbits)
+        ]
+    )
+    return sums.select(
+        "doc",
+        F.array(
+            *[F.when(F.col(f"__b{b}") > 0, 1).otherwise(0) for b in range(nbits - 1, -1, -1)]
+        ).alias("bits"),
+    )
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.size(F.filter(F.zip_with(ca, cb, lambda x, y: x != y), lambda d: d))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Chunk-LSH over simhash bits: split into ``chunks`` segments; by
+    pigeonhole, any pair within max_hamming < chunks shares one exact
+    segment → bucket-join then verify true hamming distance.
+    Output: doc_a, doc_b, hamming_distance."""
+    sh = simhash_bits(df, id_col, text_col).cache()
+    seg = sh.select(
+        "doc",
+        "bits",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(chunks - 1)),
+                lambda i: F.xxhash64(
+                    i,
+                    F.array_join(
+                        F.slice(
+                            F.col("bits"),
+                            i * (F.size("bits") / chunks).cast("int") + 1,
+                            (F.size("bits") / chunks).cast("int"),
+                        ),
+                        "",
+                    ),
+                ),
+            )
+        ).alias("seg", "bucket"),
+    )
+    a, b = seg.alias("a"), seg.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming(F.col("a.bits"), F.col("b.bits")).alias("hamming_distance"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming_distance") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine-similar pairs. n_planes=0 → exact all-pairs (test scale);
+    n_planes>0 → random-hyperplane LSH: docs whose sign-bit signatures
+    match exactly become candidates, then exact cosine verifies.
+    Planes are deterministic (seeded numpy) literals broadcast into the
+    plan. Output: doc_a, doc_b, cos_sim."""
+    v = df.select(F.col(id_col).alias("doc"), normalize(vec_col).alias("nv"))
+    if n_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
+        sig = v.withColumn(
+            "bucket",
+            F.xxhash64(
+                F.concat_ws(
+                    "",
+                    *[
+                        F.when(
+                            dot(F.col("nv"), F.array(*[F.lit(float(x)) for x in p])) > 0,
+                            F.lit("1"),
+                        ).otherwise(F.lit("0"))
+                        for p in planes
+                    ],
+                )
+            ),
+        )
+        a, b = sig.alias("a"), sig.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc"))
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        cond = F.col("a.doc") < F.col("b.doc")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(dot(F.col("a.nv"), F.col("b.nv")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,139 @@
+"""Dedup + similarity-search operators on the driver-provided testdata
+(planted near-duplicates in documents; 64-dim embeddings)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from schema_drift_detector_spark.operators.ann import (
+    assign_cells,
+    deterministic_centroids,
+    topk_bruteforce,
+    topk_ivf,
+)
+from schema_drift_detector_spark.operators.dedup import (
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates_props(spark, events):
+    dups = exact_duplicates(events, "event_id", "props")
+    rows = dups.collect()
+    # verify each reported group really has identical props
+    if rows:
+        fp = rows[0].fingerprint
+        group = events.select(F.md5("props").alias("f"), "props").filter(F.col("f") == fp)
+        assert group.select("props").distinct().count() == 1
+    # cross-check count against a direct groupBy
+    direct = events.groupBy("props").count().filter("count > 1").count()
+    assert dups.count() == direct
+
+
+def test_ngram_jaccard_finds_planted_neardups(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.8 <= r.jaccard <= 1.0
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.7).collect()
+    }
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", n=5, k=128, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert len(est) > 0
+    # every strongly-similar exact pair is found by LSH, estimate within 0.2
+    found = 0
+    for pair, j in exact.items():
+        if j >= 0.9:
+            assert pair in est, f"LSH missed strong pair {pair} (j={j})"
+            assert abs(est[pair] - j) < 0.2
+            found += 1
+    assert found > 0
+
+
+def test_simhash_near_duplicates(spark, docs):
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).collect()
+    assert len(pairs) > 0
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.9).collect()
+    }
+    simpairs = {(r.doc_a, r.doc_b) for r in pairs}
+    # near-identical texts must collide in simhash space
+    assert len(exact & simpairs) > 0
+
+
+def test_embedding_near_duplicates_lsh_vs_exact(spark, emb):
+    exact = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in embedding_near_duplicates(emb, "vec_id", "embedding", 0.95).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in embedding_near_duplicates(
+            emb, "vec_id", "embedding", 0.95, n_planes=8
+        ).collect()
+    }
+    # LSH returns a subset of exact, with identical scores where found
+    assert set(lsh) <= set(exact)
+    for p, s in lsh.items():
+        assert s == exact[p]
+
+
+def test_topk_bruteforce_self_hit(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    top = topk_bruteforce(emb, queries, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].vec_id == qid  # self is nearest
+        assert abs(rows[0].cos_sim - 1.0) < 1e-6
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter("vec_id < 8")
+    exact = topk_bruteforce(emb, queries, k=5)
+    cents = deterministic_centroids(emb, 8).cache()
+    index = assign_cells(emb, cents).cache()
+    # index covers the whole corpus, each vector exactly one cell
+    assert index.count() == emb.count()
+    approx = topk_ivf(index, cents, queries, k=5, nprobe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
