@@ -1,38 +1,679 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an engine operator from SURVEY.md §2
+on the driver-provided parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL. Entries without an oracle are genuinely
+non-SQL-expressible (xxhash64-based LSH, synthetic interleaved-span
+validation) and get the driver's rows-only check.
+
+Column aliases match 1:1 between Spark and SQL (the driver hashes
+values after sorting columns by name).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Schema-diff family (reference R15–R18) on field lists derived from events
+# --------------------------------------------------------------------------
+
+def _event_fields(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
+    """Derive two deterministic 'schema snapshots' from the events table:
+    before = even event_ids sans 'error'; after = odd sans 'signup'.
+    ordinal = min(event_id) under the filter → ordinal drift on common
+    types; add 'error' / remove 'signup'."""
+    ev = _t(spark, sf_dir, "events")
+    if side == "before":
+        ev = ev.filter((F.col("event_id") % 2 == 0) & (F.col("event_type") != "error"))
+    else:
+        ev = ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_type") != "signup"))
+    return ev.groupBy(F.col("event_type").alias("name")).agg(
+        F.min("event_id").cast("int").alias("ordinal")
+    ).select("name", F.lit("string").alias("dtype"), F.lit(True).alias("nullable"), "ordinal")
+
+
+def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.diff import diff_fields
+
+    changes = diff_fields(
+        _event_fields(spark, sf_dir, "before"), _event_fields(spark, sf_dir, "after")
+    )
+    return changes.select(
+        "op",
+        "field",
+        "severity",
+        "notes",
+        F.col("before")["ordinal"].alias("before_ordinal"),
+        F.col("after")["ordinal"].alias("after_ordinal"),
+    )
+
+
+SQL_EVENT_FIELDS = """
+before_f AS (
+  SELECT event_type AS name, 'string' AS dtype, TRUE AS nullable,
+         CAST(min(event_id) AS INT) AS ordinal
+  FROM events WHERE event_id % 2 = 0 AND event_type <> 'error' GROUP BY event_type
+),
+after_f AS (
+  SELECT event_type AS name, 'string' AS dtype, TRUE AS nullable,
+         CAST(min(event_id) AS INT) AS ordinal
+  FROM events WHERE event_id % 2 = 1 AND event_type <> 'signup' GROUP BY event_type
+),
+diffed AS (
+  SELECT
+    CASE WHEN a.name IS NULL THEN 'remove'
+         WHEN b.name IS NULL THEN 'add'
+         WHEN lower(coalesce(b.dtype,'')) <> lower(coalesce(a.dtype,'')) THEN 'change'
+         WHEN coalesce(b.nullable, FALSE) <> coalesce(a.nullable, FALSE) THEN 'change'
+         WHEN coalesce(b.ordinal, 0) <> coalesce(a.ordinal, 0) THEN 'change'
+         ELSE NULL END AS op,
+    coalesce(b.name, a.name) AS field,
+    CASE WHEN a.name IS NULL THEN 'critical'
+         WHEN b.name IS NULL THEN 'low'
+         WHEN lower(coalesce(b.dtype,'')) <> lower(coalesce(a.dtype,'')) THEN 'high'
+         WHEN coalesce(b.nullable, FALSE) <> coalesce(a.nullable, FALSE)
+           THEN CASE WHEN coalesce(b.nullable, FALSE) AND NOT coalesce(a.nullable, FALSE)
+                     THEN 'high' ELSE 'medium' END
+         WHEN coalesce(b.ordinal, 0) <> coalesce(a.ordinal, 0) THEN 'low'
+         ELSE NULL END AS severity,
+    CASE WHEN a.name IS NULL THEN 'field removed'
+         WHEN b.name IS NULL THEN 'field added'
+         WHEN lower(coalesce(b.dtype,'')) <> lower(coalesce(a.dtype,'')) THEN 'type changed'
+         WHEN coalesce(b.nullable, FALSE) <> coalesce(a.nullable, FALSE) THEN 'nullable changed'
+         WHEN coalesce(b.ordinal, 0) <> coalesce(a.ordinal, 0) THEN 'ordinal changed'
+         ELSE NULL END AS notes,
+    b.ordinal AS before_ordinal,
+    a.ordinal AS after_ordinal,
+    CASE WHEN b.name IS NULL THEN 1 ELSE 0 END AS grp,
+    coalesce(b.ordinal, a.ordinal, 0) AS ord
+  FROM before_f b FULL OUTER JOIN after_f a ON lower(b.name) = lower(a.name)
+)
+"""
+
+ORACLE_SCHEMA_DIFF = f"""
+WITH {SQL_EVENT_FIELDS}
+SELECT op, field, severity, notes, before_ordinal, after_ordinal
+FROM diffed WHERE op IS NOT NULL
+"""
+
+
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.diff import diff_fields, drift_report
+
+    changes = diff_fields(
+        _event_fields(spark, sf_dir, "before"), _event_fields(spark, sf_dir, "after")
+    )
+    rep = drift_report(changes)
+    return rep.select(
+        "drift_detected",
+        F.size("changes").alias("n_changes"),
+        "severity",
+        "summary",
+    )
+
+
+ORACLE_DRIFT_REPORT = f"""
+WITH {SQL_EVENT_FIELDS}
+SELECT
+  count(*) FILTER (WHERE op IS NOT NULL) > 0 AS drift_detected,
+  CAST(count(*) FILTER (WHERE op IS NOT NULL) AS INT) AS n_changes,
+  CASE WHEN count(*) FILTER (WHERE op IS NOT NULL) = 0 THEN 'info'
+       WHEN max(CASE WHEN op = 'remove' THEN 2
+                     WHEN severity = 'high' THEN 1 ELSE 0 END) = 2 THEN 'critical'
+       WHEN max(CASE WHEN op = 'remove' THEN 2
+                     WHEN severity = 'high' THEN 1 ELSE 0 END) = 1 THEN 'warning'
+       ELSE 'info' END AS severity,
+  CASE WHEN count(*) FILTER (WHERE op IS NOT NULL) = 0 THEN 'no schema drift detected'
+       ELSE string_agg(format('{{}} {{}} ({{}})', op, field, severity), ' ; '
+                       ORDER BY grp, ord, lower(field))
+  END AS summary
+FROM diffed WHERE op IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Window / join / aggregation core (R11, R13, profiler)
+# --------------------------------------------------------------------------
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_order_date"),
+        )
+    )
+
+
+ORACLE_LATEST_ORDER = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS latest_order_date
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+"""
+
+
+def q_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", F.lag("o_orderkey").over(w).alias("prev_orderkey")
+    )
+
+
+ORACLE_ORDER_CHAIN = """
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+FROM orders
+"""
+
+
+def q_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+ORACLE_CUST_NO_OPEN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+def q_nations_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+ORACLE_NATION_STATS = """
+SELECT n_name, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        (1.0 - F.count("value") / F.count(F.lit(1))).alias("null_ratio"),
+    )
+
+
+ORACLE_PROFILE_EVENTS = """
+SELECT event_type, count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
+       1.0 - count(value) / count(*) AS null_ratio
+FROM events GROUP BY event_type
+"""
+
+
+def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.profile import numeric_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return numeric_histogram(orders, "o_totalprice", 0.0, 600000.0, 12, group_cols=[])
+
+
+ORACLE_HISTOGRAM = """
+SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11) AS INT) AS bin,
+       count(*) AS bin_count
+FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+"""
+
+
+def q_distribution_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.constraints import drift_statistics
+    from schema_drift_detector_spark.operators.profile import numeric_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    base = numeric_histogram(
+        ev.filter(F.col("event_id") % 2 == 0), "value", 0.0, 100.0, 10, ["event_type"]
+    )
+    curr = numeric_histogram(
+        ev.filter(F.col("event_id") % 2 == 1), "value", 0.0, 100.0, 10, ["event_type"]
+    )
+    stats = drift_statistics(base, curr, ["event_type"])
+    return stats.select(
+        "event_type",
+        F.round("ks_stat", 6).alias("ks_stat"),
+        F.round("chi2_stat", 3).alias("chi2_stat"),
+        F.col("n_base").cast("long").alias("n_base"),
+        F.col("n_curr").cast("long").alias("n_curr"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+    )
+
+
+ORACLE_DRIFT_EVENTS = """
+WITH b AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bin,
+         count(*) AS b_cnt
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT event_type, CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bin,
+         count(*) AS c_cnt
+  FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(b.event_type, c.event_type) AS event_type,
+         coalesce(b.bin, c.bin) AS bin,
+         coalesce(b_cnt, 0) AS b_cnt, coalesce(c_cnt, 0) AS c_cnt
+  FROM b FULL OUTER JOIN c ON b.event_type = c.event_type AND b.bin = c.bin
+), w AS (
+  SELECT event_type, bin, b_cnt, c_cnt,
+         sum(b_cnt) OVER (PARTITION BY event_type) AS b_tot,
+         sum(c_cnt) OVER (PARTITION BY event_type) AS c_tot,
+         sum(b_cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS b_run,
+         sum(c_cnt) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS c_run
+  FROM j
+)
+SELECT event_type,
+       round(max(abs(b_run * 1.0 / b_tot - c_run * 1.0 / c_tot)), 6) AS ks_stat,
+       round(sum(pow(c_cnt - greatest(b_cnt * 1.0 / b_tot * c_tot, 0.5), 2)
+                 / greatest(b_cnt * 1.0 / b_tot * c_tot, 0.5)), 3) AS chi2_stat,
+       CAST(max(b_tot) AS BIGINT) AS n_base,
+       CAST(max(c_tot) AS BIGINT) AS n_curr,
+       count(*) AS n_bins
+FROM w GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup / text-analysis family over documents + events
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "events"), "event_id", "props")
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(props) AS fingerprint, count(*) AS n_docs, min(event_id) AS keep_id
+FROM events GROUP BY props HAVING count(*) > 1
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
+    return pairs.select("doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_JACCARD = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+"""
+
+
+def q_jaccard_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard restricted to a deterministic 1/5 sample — the
+    all-pairs form is the verification path, not the scale path (that is
+    minhash_lsh_pairs), so the benchmarked variant bounds the self-join."""
+    from schema_drift_detector_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
+    return pairs.select("doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_JACCARD_SAMPLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
+  WHERE doc_id % 5 = 0
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common,
+       round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+"""
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens_total"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS n_tokens_total,
+       round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 4) AS avg_tokens,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
+
+
+# mirrors functions/text.py STOPWORDS + tie-break (sorted lang order)
+ORACLE_LANG_ID = """
+WITH scored AS (
+  SELECT doc_id, lang,
+    len(list_intersect(string_split(lower(text), ' '),
+        ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+    len(list_intersect(string_split(lower(text), ' '),
+        ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+    len(list_intersect(string_split(lower(text), ' '),
+        ['el','la','de','que','y','en','un','es','se','no'])) AS s_es,
+    len(list_intersect(string_split(lower(text), ' '),
+        ['le','la','et','les','des','est','un','une','du','que'])) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM scored
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+ORACLE_QUALITY = """
+WITH m AS (
+  SELECT doc_id,
+         len(text) * 1.0 AS n_chars,
+         len(string_split(text, ' ')) * 1.0 AS n_toks,
+         (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 AS n_punct,
+         len(list_intersect(string_split(lower(text), ' '),
+             ['the','and','of','to','a','in','is','it','that','for'])) * 1.0 AS sw
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    0.35 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.5 END)
+    + 0.25 * (CASE WHEN n_chars / greatest(n_toks, 1.0) >= 3.0
+                    AND n_chars / greatest(n_toks, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END)
+    + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0))
+    + 0.2 * least(sw / 10.0, 1.0), 6) AS quality
+FROM m
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.functions.text import (
+        fingerprint_md5,
+        fingerprint_normalized,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_exact"),
+        fingerprint_normalized("text").alias("fp_normalized"),
+    )
+
+
+ORACLE_FINGERPRINTS = """
+SELECT doc_id, md5(text) AS fp_exact,
+       md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS fp_normalized
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.ann import topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return topk_bruteforce(emb, queries, k=5)
+
+
+ORACLE_ANN_TOPK = """
+SELECT q.vec_id AS query_id,
+       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(
+                                     CAST(c.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                   c.vec_id ASC) AS rank,
+       c.vec_id AS vec_id,
+       round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+QUALIFY rank <= 5
+"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.ann import assign_cells, deterministic_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, 8)
+    return assign_cells(emb, cents).select("vec_id", "centroid_id")
+
+
+ORACLE_IVF_ASSIGN = """
+WITH ranked AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY vec_id ASC) - 1 AS rn
+  FROM embeddings
+), params AS (
+  SELECT greatest(1, CAST(floor(count(*) / 8) AS BIGINT)) AS stride FROM embeddings
+), cents AS (
+  SELECT CAST(floor(rn * 1.0 / stride) AS INT) AS centroid_id, embedding AS cvec
+  FROM ranked, params
+  WHERE rn % stride = 0 AND rn * 1.0 / stride < 8
+)
+SELECT e.vec_id, c.centroid_id
+FROM embeddings e CROSS JOIN cents c
+QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                                    c.centroid_id ASC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible ops → rows-only checks
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.functions.text import winnowing_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(winnowing_fingerprint("text", n=8, window=4)).alias("n_fingerprints")
+    )
+
+
+def q_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-document constraint verdicts on the synthetic table
+    (BASELINE.json input_hint shape) — uniqueness + referential
+    integrity per partition."""
+    from schema_drift_detector_spark.operators.constraints import (
+        check_referential_integrity,
+        check_uniqueness,
+    )
+    from schema_drift_detector_spark.sources.synth import (
+        SynthConfig,
+        synth_asset_catalog,
+        synth_documents,
+    )
+
+    cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
+    docs = synth_documents(spark, cfg, epoch=0)
+    catalog = synth_asset_catalog(spark, cfg)
+    uq_v, _ = check_uniqueness(docs, run_id="entry")
+    ri_v, _ = check_referential_integrity(docs, catalog, run_id="entry")
+    return uq_v.unionByName(ri_v).select(
+        "partition_id", "constraint", "passed", "severity", "summary"
+    )
+
+
+def q_span_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_drift_detector_spark.operators.profile import profile_spans
+    from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
+
+    cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
+    docs = synth_documents(spark, cfg, epoch=0)
+    prof = profile_spans(docs)
+    return prof.select(
+        "partition_id",
+        "n_spans",
+        F.round("text_null_ratio", 6).alias("text_null_ratio"),
+        "offset_min",
+        "offset_max",
+    )
+
+
+# --------------------------------------------------------------------------
+# Contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core operator (schema diff + drift
+    report) end-to-end on sf0.001."""
+    return q_drift_report(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "schema_diff": q_schema_diff,
+        "drift_report": q_drift_report,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "order_chain": q_order_chain,
+        "customers_without_open_orders": q_customers_without_open_orders,
+        "nations_order_stats": q_nations_order_stats,
+        "profile_events": q_profile_events,
+        "totalprice_histogram": q_totalprice_histogram,
+        "distribution_drift_events": q_distribution_drift_events,
+        "exact_dedup_props": q_exact_dedup_props,
+        "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_pairs_sample": q_jaccard_pairs_sample,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "fingerprints": q_fingerprints,
+        "ann_topk": q_ann_topk,
+        "ivf_assign": q_ivf_assign,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "winnowing": q_winnowing,
+        "span_validation": q_span_validation,
+        "span_kind_histogram": q_span_kind_histogram,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "schema_diff": ORACLE_SCHEMA_DIFF,
+        "drift_report": ORACLE_DRIFT_REPORT,
+        "latest_order_per_customer": ORACLE_LATEST_ORDER,
+        "order_chain": ORACLE_ORDER_CHAIN,
+        "customers_without_open_orders": ORACLE_CUST_NO_OPEN,
+        "nations_order_stats": ORACLE_NATION_STATS,
+        "profile_events": ORACLE_PROFILE_EVENTS,
+        "totalprice_histogram": ORACLE_HISTOGRAM,
+        "distribution_drift_events": ORACLE_DRIFT_EVENTS,
+        "exact_dedup_props": ORACLE_EXACT_DEDUP,
+        "jaccard_pairs": ORACLE_JACCARD,
+        "jaccard_pairs_sample": ORACLE_JACCARD_SAMPLE,
+        "token_stats_by_lang": ORACLE_TOKEN_STATS,
+        "lang_id": ORACLE_LANG_ID,
+        "quality_scores": ORACLE_QUALITY,
+        "fingerprints": ORACLE_FINGERPRINTS,
+        "ann_topk": ORACLE_ANN_TOPK,
+        "ivf_assign": ORACLE_IVF_ASSIGN,
+        # minhash_lsh_pairs / simhash_pairs / winnowing: xxhash64-based,
+        # not DuckDB-expressible → rows-only
+        # span_validation / span_kind_histogram: synthetic interleaved
+        # input generated in Spark → rows-only
+    }

@@ -1,0 +1,139 @@
+"""Benchmark harness (driver contract).
+
+Headline metric (BASELINE.json): validated documents/sec for the
+profile + constraint pass over the interleaved documents table.
+Also times representative __spark_entry__ queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <validate-pass seconds>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "docs_per_sec": ..., "n_docs": ..., "cores": ...}
+
+The synthetic documents table (FIXTURES.md F1, ~500k docs ≙ sf0.1
+guidance) is generated once into .bench_cache/ and re-read from parquet
+so the timed pass measures scan+profile+constraints, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from schema_drift_detector_spark.operators.constraints import (
+    check_referential_integrity,
+    check_uniqueness,
+)
+from schema_drift_detector_spark.operators.profile import profile_columns, profile_spans
+from schema_drift_detector_spark.session import get_spark
+from schema_drift_detector_spark.sources.synth import (
+    SynthConfig,
+    synth_asset_catalog,
+    synth_documents,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+BENCH_QUERIES = [
+    "schema_diff",
+    "drift_report",
+    "latest_order_per_customer",
+    "order_chain",
+    "nations_order_stats",
+    "profile_events",
+    "distribution_drift_events",
+    "exact_dedup_props",
+    "jaccard_pairs_sample",
+    "token_stats_by_lang",
+    "lang_id",
+    "quality_scores",
+    "fingerprints",
+    "ann_topk",
+    "ivf_assign",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+]
+
+
+def bench_cfg() -> SynthConfig:
+    return SynthConfig(n_docs=N_DOCS, n_partitions=64, n_assets=200_000)
+
+
+def ensure_bench_data(spark) -> tuple[str, str]:
+    docs_path = f"{CACHE}/documents_e0_{N_DOCS}"
+    cat_path = f"{CACHE}/asset_catalog_{N_DOCS}"
+    cfg = bench_cfg()
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
+        synth_documents(spark, cfg, epoch=0, parallelism=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(docs_path)
+    if not os.path.exists(os.path.join(cat_path, "_SUCCESS")):
+        synth_asset_catalog(spark, cfg).write.mode("overwrite").parquet(cat_path)
+    return docs_path, cat_path
+
+
+def _force(df) -> None:
+    """Materialize a DataFrame fully without driver transfer."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def validate_pass(spark, docs_path: str, cat_path: str) -> float:
+    """The headline pass: scan → column profiles + span profiles +
+    uniqueness + referential integrity, all materialized."""
+    docs = spark.read.parquet(docs_path)
+    catalog = spark.read.parquet(cat_path)
+    t0 = time.time()
+    _force(profile_columns(docs, snapshot_id="bench", entity="documents"))
+    _force(profile_spans(docs))
+    uq_v, uq_viol = check_uniqueness(docs, "bench")
+    _force(uq_v)
+    _force(uq_viol)
+    ri_v, ri_viol = check_referential_integrity(docs, catalog, "bench")
+    _force(ri_v)
+    _force(ri_viol)
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs_path, cat_path = ensure_bench_data(spark)
+    # warm-up (JVM/codegen), excluded from the measurement
+    validate_pass(spark, docs_path, cat_path)
+    elapsed = validate_pass(spark, docs_path, cat_path)
+
+    import __spark_entry__ as E
+
+    qtimes: dict[str, float] = {}
+    qs = E.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "validated documents/sec (profile+constraint pass)",
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "n_docs": N_DOCS,
+        "docs_per_sec": round(N_DOCS / elapsed, 1),
+        "cores": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
