@@ -89,11 +89,13 @@ def _gen_docs(ids: np.ndarray, epoch: int, cfg: SynthConfig) -> pd.DataFrame:
     doc_num[dup_mask] -= cfg.n_partitions  # duplicate the previous doc in-partition
     hot_mask = part == cfg.hot_partition
     hot_bucket = (_mix(ids, seed + 7) % np.uint64(cfg.hot_prefix_range)).astype(np.int64)
-    doc_id = np.where(
-        hot_mask,
-        [f"hot-{b:04d}-doc-{d:012d}" for b, d in zip(hot_bucket, doc_num)],
-        [f"doc-{d:012d}" for d in doc_num],
+    # vectorized "doc-%012d" / "hot-%04d-doc-%012d" formatting
+    base_id = np.char.add("doc-", np.char.zfill(doc_num.astype("U12"), 12))
+    hot_id = np.char.add(
+        np.char.add("hot-", np.char.zfill(hot_bucket.astype("U4"), 4)),
+        np.char.add("-", base_id),
     )
+    doc_id = np.where(hot_mask, hot_id, base_id)
 
     # --- spans ----------------------------------------------------------
     n_spans = (1 + (_mix(ids, seed + 1) % np.uint64(cfg.max_spans))).astype(np.int64)
@@ -120,16 +122,10 @@ def _gen_docs(ids: np.ndarray, epoch: int, cfg: SynthConfig) -> pd.DataFrame:
     text_null = np.where(null_mask_drift, drift_null, base_null)
     nw = len(_WORDS)
     words = np.array(_WORDS)
-    text_vals = np.array(
-        [
-            f"{a} {b} {c}"
-            for a, b, c in zip(
-                words[(w % np.uint64(nw)).astype(np.int64)],
-                words[((w >> np.uint64(8)) % np.uint64(nw)).astype(np.int64)],
-                words[((w >> np.uint64(16)) % np.uint64(nw)).astype(np.int64)],
-            )
-        ]
-    )
+    w1 = words[(w % np.uint64(nw)).astype(np.int64)]
+    w2 = words[((w >> np.uint64(8)) % np.uint64(nw)).astype(np.int64)]
+    w3 = words[((w >> np.uint64(16)) % np.uint64(nw)).astype(np.int64)]
+    text_vals = np.char.add(np.char.add(np.char.add(np.char.add(w1, " "), w2), " "), w3)
     text = np.where(is_text & ~text_null, text_vals, None)
 
     # media_ref: non-text spans reference the asset catalog; partition
@@ -141,7 +137,9 @@ def _gen_docs(ids: np.ndarray, epoch: int, cfg: SynthConfig) -> pd.DataFrame:
         & ((m % np.uint64(cfg.dangling_every)) == np.uint64(1))
     )
     asset_ix = np.where(dangling, cfg.n_assets + (asset_ix % 1000), asset_ix)
-    media_ref = np.where(~is_text, [f"asset-{a:08d}" for a in asset_ix], None)
+    media_ref = np.where(
+        ~is_text, np.char.add("asset-", np.char.zfill(asset_ix.astype("U8"), 8)), None
+    )
 
     # offset: strictly increasing within a doc; +40% step drift in e2
     step = 1 + (_mix(gid * np.int64(63) + span_j, seed + 5) % np.uint64(10)).astype(np.int64)

@@ -1,0 +1,98 @@
+"""Structured-Streaming extension: continuous epoch validation.
+
+The reference is strictly request-triggered batch (api.py:30-55), so
+this is an extension, not parity (SURVEY §2B "Streaming"): micro-batch
+epochs replace the request trigger.
+
+Two building blocks:
+
+  windowed_event_counts   watermarked sliding-window aggregation over an
+                          event-time column — the standard late-data-
+                          tolerant profile stream.
+
+  stream_validate         readStream → foreachBatch(run the SAME batch
+                          operators per micro-batch). Each micro-batch
+                          is an epoch: profile + constraints + drift vs
+                          a static baseline histogram; verdicts append
+                          to the sink dir. Checkpointing comes from
+                          Spark's streaming checkpoint, composing with
+                          the engine's own manifest.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked (sliding) window counts + value stats per group.
+    Works on a streaming OR batch DataFrame (same plan)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = F.window(F.col(ts_col), window, slide or window)
+    return src.groupBy(win.alias("win"), F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def stream_validate(
+    docs_stream: DataFrame,
+    catalog: DataFrame,
+    out_dir: str,
+    baseline_hist: DataFrame | None = None,
+    spec: dict[str, Any] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """readStream → foreachBatch validate. Returns the started query.
+
+    Each micro-batch runs the batch constraint operators with
+    run_id = f"stream-{batch_id}" and appends verdicts/violations —
+    identical semantics to the batch engine, so tests can diff the two.
+    """
+    from ..operators import constraints as C
+    from ..operators.profile import numeric_histogram
+
+    spec = spec or {}
+    d = spec.get(
+        "distribution_drift",
+        {"lo": 0.0, "hi": 60.0, "nbins": 16, "ks_threshold": 0.1, "chi2_per_bin_threshold": 10.0},
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        run_id = f"stream-{batch_id}"
+        uq_v, uq_viol = C.check_uniqueness(batch_df, run_id)
+        ri_v, ri_viol = C.check_referential_integrity(batch_df, catalog, run_id)
+        verdicts = uq_v.unionByName(ri_v)
+        if baseline_hist is not None:
+            curr = numeric_histogram(
+                batch_df.select("partition_id", F.explode("spans.offset").alias("off")),
+                "off", d["lo"], d["hi"], d["nbins"], ["partition_id"],
+            )
+            verdicts = verdicts.unionByName(
+                C.check_distribution_drift(
+                    baseline_hist, curr, run_id, epoch=batch_id,
+                    ks_threshold=d["ks_threshold"],
+                    chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
+                )
+            )
+        verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")
+        uq_viol.unionByName(ri_viol).write.mode("append").parquet(f"{out_dir}/violations")
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir or f"{out_dir}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

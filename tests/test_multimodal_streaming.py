@@ -1,0 +1,121 @@
+"""Multimodal binary processing (Arrow plumbing real, codecs stubbed)
+and the Structured-Streaming extension."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from schema_drift_detector_spark.operators.multimodal import (
+    MAGIC,
+    decode_media,
+    extract_byte_features,
+    sample_frames,
+    synth_media,
+)
+from schema_drift_detector_spark.sources.synth import SynthConfig, synth_asset_catalog, synth_documents
+from schema_drift_detector_spark.streaming.epochs import stream_validate, windowed_event_counts
+
+CFG = SynthConfig(n_docs=1_600, n_partitions=8, n_assets=2_000)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, CFG, n=200).cache()
+
+
+def test_media_blobs_deterministic(spark, media):
+    rows = {r.media_ref: r for r in media.collect()}
+    assert len(rows) == 200
+    r = rows["asset-00000007"]
+    assert bytes(r.content[:4]) == MAGIC
+    again = {x.media_ref: x for x in synth_media(spark, CFG, n=200).collect()}
+    assert bytes(again["asset-00000007"].content) == bytes(r.content)
+
+
+def test_byte_features(spark, media):
+    feats = {r.media_ref: r for r in extract_byte_features(media).collect()}
+    assert len(feats) == 200
+    r = feats["asset-00000003"]
+    assert r.size_bytes > 10
+    assert len(r.byte_histogram) == 16
+    assert sum(r.byte_histogram) == r.size_bytes
+    assert 0.0 < r.entropy <= 4.0  # 16 bins → max 4 bits
+
+
+def test_decode_roundtrip(spark, media):
+    dec = {r.media_ref: r for r in decode_media(media).collect()}
+    meta = {r.media_ref: r for r in media.collect()}
+    for ref, d in list(dec.items())[:20]:
+        assert d.decoder == "sdxm"
+        assert d.width == meta[ref].width
+        assert d.height == meta[ref].height
+        assert d.n_frames == meta[ref].n_frames
+        assert 0 <= d.mean_byte <= 255
+
+
+def test_decode_strict_raises_on_foreign_blob(spark):
+    foreign = spark.createDataFrame(
+        [("x-1", bytearray(b"JPEGnotreally"))], "media_ref string, content binary"
+    )
+    with pytest.raises(Exception) as ei:
+        decode_media(foreign, strict=True).collect()
+    assert "NotImplementedError" in str(ei.value) or "stubbed" in str(ei.value)
+
+
+def test_frame_sampling(spark, media):
+    frames = sample_frames(media, every_n=2)
+    rows = frames.collect()
+    assert len(rows) > 0
+    meta = {r.media_ref: r for r in media.collect()}
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r.frame_index)
+    for ref, idxs in by_ref.items():
+        assert sorted(idxs) == list(range(0, meta[ref].n_frames, 2))
+    # images (1 frame) contribute exactly frame 0
+    img = [r for r in meta.values() if r.kind == "image"][0]
+    assert by_ref[img.media_ref] == [0]
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    agg = windowed_event_counts(ev, window="1 day", watermark="2 days")
+    rows = agg.collect()
+    assert len(rows) > 0
+    total = sum(r.n_events for r in rows)
+    assert total == ev.count()
+
+
+def test_stream_validate_matches_batch(spark, tmp_path_factory):
+    """foreachBatch over a file stream produces the same per-partition
+    verdicts as the batch engine on the same data."""
+    base = str(tmp_path_factory.mktemp("stream"))
+    docs = synth_documents(spark, CFG, epoch=0)
+    docs.write.mode("overwrite").parquet(f"{base}/in")
+    catalog = synth_asset_catalog(spark, CFG).cache()
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{base}/in").schema
+    ).parquet(f"{base}/in")
+    q = stream_validate(stream, catalog, f"{base}/out")
+    q.awaitTermination(120)
+
+    sv = {
+        (r.constraint, r.partition_id): r.passed
+        for r in spark.read.parquet(f"{base}/out/verdicts").collect()
+    }
+    from schema_drift_detector_spark.operators.constraints import (
+        check_referential_integrity,
+        check_uniqueness,
+    )
+
+    uq_v, _ = check_uniqueness(docs, "batch")
+    ri_v, _ = check_referential_integrity(docs, catalog, "batch")
+    bv = {
+        (r.constraint, r.partition_id): r.passed
+        for r in uq_v.unionByName(ri_v).collect()
+    }
+    assert sv == bv
+    assert not sv[("uniqueness", 2)] and not sv[("referential_integrity", 3)]
