@@ -566,11 +566,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from schema_drift_detector_spark.functions.text import winnowing_fingerprint
+    from schema_drift_detector_spark.functions.text import winnowing_fingerprint_arrow
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.size(winnowing_fingerprint("text", n=8, window=4)).alias("n_fingerprints")
+        "doc_id",
+        F.size(winnowing_fingerprint_arrow("text", n=8, window=4)).alias("n_fingerprints"),
     )
 
 

