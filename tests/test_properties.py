@@ -1,0 +1,147 @@
+"""Property-based tests (SURVEY §5.2): diff identity/symmetry
+properties, severity monotonicity, histogram-merge associativity, and
+the vectorized-only lint (input_hint: no per-row Python UDFs)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from schema_drift_detector_spark.functions.inference import infer_type_from_name
+from schema_drift_detector_spark.model import FIELD_SCHEMA
+from schema_drift_detector_spark.operators.diff import diff_fields, drift_report
+
+names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=1,
+    max_size=8,
+)
+field_rows = st.lists(
+    st.tuples(names, st.sampled_from(["string", "int", "float", "date"]),
+              st.booleans(), st.integers(0, 20)),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda r: r[0].lower(),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(field_rows)
+def test_diff_self_is_empty(spark, rows):
+    df = spark.createDataFrame(rows, FIELD_SCHEMA)
+    assert diff_fields(df, df).count() == 0
+    rep = drift_report(diff_fields(df, df)).collect()[0]
+    assert rep.drift_detected is False and rep.severity == "info"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(field_rows, field_rows)
+def test_diff_add_remove_mirror(spark, a_rows, b_rows):
+    """Every 'add' in diff(a,b) is a 'remove' in diff(b,a) and vice
+    versa (set semantics of the full outer join)."""
+    a = spark.createDataFrame(a_rows, FIELD_SCHEMA)
+    b = spark.createDataFrame(b_rows, FIELD_SCHEMA)
+    fwd = {(r.op, r.field.lower()) for r in diff_fields(a, b).collect()}
+    rev = {(r.op, r.field.lower()) for r in diff_fields(b, a).collect()}
+    assert {f for op, f in fwd if op == "add"} == {f for op, f in rev if op == "remove"}
+    assert {f for op, f in fwd if op == "remove"} == {f for op, f in rev if op == "add"}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(field_rows)
+def test_diff_order_insensitive(spark, rows):
+    """Field-list order must not change the diff (reference treats
+    lists as sets keyed by lower(name))."""
+    a = spark.createDataFrame(rows, FIELD_SCHEMA)
+    b = spark.createDataFrame(list(reversed(rows)), FIELD_SCHEMA)
+    assert diff_fields(a, b).count() == 0
+
+
+def test_severity_monotone_in_change_kind(spark):
+    """remove ≥ type ≥ nullable-tighten ≥ ordinal in the lattice."""
+    rank = {"low": 1, "medium": 2, "high": 3, "critical": 4}
+    base = [("f", "int", True, 0)]
+    cases = {
+        "remove": [],
+        "type": [("f", "string", True, 0)],
+        "tighten": [("f", "int", False, 0)],
+        "ordinal": [("f", "int", True, 5)],
+    }
+    sev = {}
+    for kind, after_rows in cases.items():
+        a = spark.createDataFrame(base, FIELD_SCHEMA)
+        b = spark.createDataFrame(after_rows, FIELD_SCHEMA)
+        sev[kind] = rank[diff_fields(a, b).collect()[0].severity]
+    assert sev["remove"] >= sev["type"] >= sev["tighten"] >= sev["ordinal"]
+
+
+def test_histogram_merge_associative(spark):
+    """Long-format histograms merge by addition: hist(A∪B) == hist(A) +
+    hist(B) regardless of split — the property drift checks depend on."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.profile import numeric_histogram
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = {
+        r.bin: r.bin_count
+        for r in numeric_histogram(ev, "value", 0.0, 100.0, 10, []).collect()
+    }
+    h1 = numeric_histogram(ev.filter("event_id % 2 = 0"), "value", 0.0, 100.0, 10, [])
+    h2 = numeric_histogram(ev.filter("event_id % 2 = 1"), "value", 0.0, 100.0, 10, [])
+    merged = {
+        r.bin: r.s
+        for r in h1.unionByName(h2).groupBy("bin").agg(F.sum("bin_count").alias("s")).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_union_matches_repartitioned(spark):
+    """Sketch merge is layout-independent: per-partition sketches union
+    to the same estimate whatever the partitioning."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = (
+        ev.repartition(3).groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.hll_sketch_agg("user_id").alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("d"))
+        .collect()[0].d
+    )
+    b = (
+        ev.repartition(11).groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.hll_sketch_agg("user_id").alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("d"))
+        .collect()[0].d
+    )
+    assert a == b
+
+
+def test_inference_pure_python_vs_expr(spark):
+    """Column-expression inference must agree with the Python mirror."""
+    from schema_drift_detector_spark.functions.inference import infer_type_expr
+
+    samples = [
+        "name", "date_of_birth", "ts", "user_id", "id", "amount", "num_x",
+        "AGE", "zzz", "mm", "xx_id", "joined_at", "balance", "q",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["name"])
+    got = {r.name: r.t for r in df.select("name", infer_type_expr("name").alias("t")).collect()}
+    for s in samples:
+        assert got[s] == infer_type_from_name(s), s
+
+
+def test_no_per_row_python_udfs_in_engine():
+    """input_hint discipline: vectorized only. The engine must not use
+    F.udf / @udf row-at-a-time UDFs anywhere."""
+    root = Path(__file__).resolve().parents[1] / "schema_drift_detector_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if re.search(r"\bF\.udf\(|^\s*@udf\b|functions\.udf\(", src, re.M):
+            offenders.append(str(p))
+    assert offenders == []
