@@ -1,0 +1,95 @@
+"""Physical-plan assertions: the optimizations the 100-TB posture
+depends on must actually appear in the executed plan — filter pushdown,
+nested-column pruning, broadcast strategies, map-side partial
+aggregation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from schema_drift_detector_spark.operators.profile import numeric_histogram, profile_columns
+from schema_drift_detector_spark.sources.synth import SynthConfig, synth_asset_catalog, synth_documents
+
+CFG = SynthConfig(n_docs=800, n_partitions=8, n_assets=1_000)
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs")
+    synth_documents(spark, CFG, epoch=0).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partition_filter_pushed_to_parquet(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    sub = docs.filter(F.col("partition_id").isin([1, 4]))
+    plan = _plan(sub)
+    assert "PushedFilters" in plan and "partition_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_excludes_spans(spark, docs_path):
+    """profile_columns only touches atomic columns — the scan must not
+    read the (heavy) spans column."""
+    docs = spark.read.parquet(docs_path)
+    plan = _plan(profile_columns(docs))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "spans" not in read_schema
+    assert "doc_id" in read_schema
+
+
+def test_nested_pruning_kind_only(spark, docs_path):
+    """A kind-only span query must prune text/media_ref from the scan
+    (Catalyst nested-schema pruning)."""
+    docs = spark.read.parquet(docs_path)
+    q = docs.select(F.explode("spans.kind").alias("k")).groupBy("k").count()
+    read_schema = _plan(q).split("ReadSchema:")[1].splitlines()[0]
+    assert "kind" in read_schema
+    assert "media_ref" not in read_schema
+
+
+def test_histogram_has_partial_aggregation(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    hist = numeric_histogram(
+        docs.select("partition_id", F.explode("spans.offset").alias("off")),
+        "off", 0.0, 60.0, 16, ["partition_id"],
+    )
+    plan = _plan(hist)
+    # partial + final pair → two HashAggregates around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_ann_broadcasts_queries(spark):
+    from schema_drift_detector_spark.operators.ann import topk_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    top = topk_bruteforce(emb, emb.filter("vec_id < 3"), k=3)
+    assert "Broadcast" in _plan(top)
+
+
+def test_catalog_broadcast_in_ri(spark, docs_path):
+    from schema_drift_detector_spark.operators.constraints import check_referential_integrity
+
+    docs = spark.read.parquet(docs_path)
+    catalog = synth_asset_catalog(spark, CFG)
+    _, viol = check_referential_integrity(docs, catalog, "r")
+    assert "BroadcastHashJoin" in _plan(viol)
+
+
+def test_diff_is_pure_jvm_single_join(spark):
+    """The diff is one full-outer join with JVM-only expressions — no
+    Python evaluation nodes anywhere in the plan."""
+    from schema_drift_detector_spark.operators.diff import diff_fields
+    from schema_drift_detector_spark.operators.snapshot import fields_from_headers
+
+    a = fields_from_headers(spark, ["x", "y"])
+    b = fields_from_headers(spark, ["x", "z"])
+    plan = _plan(diff_fields(a, b))
+    assert "FullOuter" in plan
+    assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
+    assert plan.count("Join") == 1
