@@ -319,6 +319,80 @@ FROM w GROUP BY event_type
 """
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style wide aggregation — the canonical partial+final
+    hash-agg shape every profile pass reuses. Double sums rounded to
+    absorb summation-order ULP differences vs the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user — the
+    window/lag pattern used for event-stream lineage."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ts is TIMESTAMP_NTZ; session tz is UTC so the epoch is well-defined
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_seq", F.sum("new_sess").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return with_sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 # --------------------------------------------------------------------------
 # Dedup / text-analysis family over documents + events
 # --------------------------------------------------------------------------
@@ -633,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_chain": q_order_chain,
         "customers_without_open_orders": q_customers_without_open_orders,
         "nations_order_stats": q_nations_order_stats,
+        "pricing_summary": q_pricing_summary,
+        "sessionize_events": q_sessionize_events,
         "profile_events": q_profile_events,
         "totalprice_histogram": q_totalprice_histogram,
         "distribution_drift_events": q_distribution_drift_events,
@@ -661,6 +737,8 @@ def oracle_sql() -> dict[str, str]:
         "order_chain": ORACLE_ORDER_CHAIN,
         "customers_without_open_orders": ORACLE_CUST_NO_OPEN,
         "nations_order_stats": ORACLE_NATION_STATS,
+        "pricing_summary": ORACLE_PRICING,
+        "sessionize_events": ORACLE_SESSIONIZE,
         "profile_events": ORACLE_PROFILE_EVENTS,
         "totalprice_histogram": ORACLE_HISTOGRAM,
         "distribution_drift_events": ORACLE_DRIFT_EVENTS,

@@ -165,6 +165,43 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
     return media.select("media_ref", "content").mapInPandas(dec, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """'Resize' = deterministic spatial downsample of the synthetic
+    payload (every factor-th byte per axis); real plumbing (header
+    rewrite, Arrow batches), codec-free by design. A real image resize
+    would slot into the same signature behind the PIL import gate."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for ref, content in zip(b["media_ref"], b["content"]):
+                blob = bytes(content or b"")
+                if blob[:4] != MAGIC:
+                    rows.append((ref, None, None, None))
+                    continue
+                w = int.from_bytes(blob[4:6], "big")
+                h = int.from_bytes(blob[6:8], "big")
+                fr = int.from_bytes(blob[8:10], "big")
+                nw, nh = max(1, w // factor), max(1, h // factor)
+                body = np.frombuffer(blob[10:], dtype=np.uint8)
+                out = body[:: factor * factor]  # proportional byte decimation
+                head = MAGIC + nw.to_bytes(2, "big") + nh.to_bytes(2, "big") + fr.to_bytes(2, "big")
+                rows.append((ref, nw, nh, head + out.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "content"])
+
+    return media.select("media_ref", "content").mapInPandas(rs, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),
