@@ -62,10 +62,11 @@ def hardware_probe() -> dict[int, float]:
     measures what parallel speedup the host can deliver at all."""
     out = {}
     for procs in LEVELS:
-        t0 = time.time()
         with mp.Pool(procs) as p:
-            p.map(_burn, [2_000_000] * procs * 4)
-        out[procs] = procs * 4 * 2_000_000 / (time.time() - t0) / 1e6
+            p.map(_burn, [200_000] * procs)  # warm the pool, excluded
+            t0 = time.time()
+            p.map(_burn, [20_000_000] * procs * 2)
+            out[procs] = procs * 2 * 20_000_000 / (time.time() - t0) / 1e6
     return out
 
 
