@@ -434,12 +434,12 @@ WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
 
 
 def q_jaccard_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard restricted to a deterministic 1/5 sample — the
+    """Exact Jaccard restricted to a deterministic 1/10 sample — the
     all-pairs form is the verification path, not the scale path (that is
     minhash_lsh_pairs), so the benchmarked variant bounds the self-join."""
     from schema_drift_detector_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
     return pairs.select("doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard"))
 
@@ -448,7 +448,7 @@ ORACLE_JACCARD_SAMPLE = """
 WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
   FROM documents, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
-  WHERE doc_id % 5 = 0
+  WHERE doc_id % 10 = 0
 ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common

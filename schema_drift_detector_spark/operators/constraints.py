@@ -90,8 +90,10 @@ def check_uniqueness(
     row whose key is globally duplicated. Violation rows carry the
     first span's sequence evidence for each duplicated doc."""
     group_cols = [c for c in group_cols if c in docs.columns]
-    dups = duplicate_keys(docs, key, salt_buckets)
-    # dup keys are a tiny fraction → broadcast back against the table
+    # dup keys are a tiny fraction of the table → cache the aggregate so
+    # the verdict and violation actions don't re-shuffle all keys twice,
+    # and broadcast it back against the table
+    dups = duplicate_keys(docs, key, salt_buckets).cache()
     offenders = docs.join(F.broadcast(dups), on=key, how="inner")
 
     violations = offenders.select(

@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator: running per-partition profile
+accumulation across micro-batches via applyInPandasWithState.
+
+This is the "custom stateful operator" tier of the streaming surface
+(SURVEY §2B): state = running (docs, spans, text nulls, offset max) per
+partition_id; every micro-batch folds its Arrow batches into the state
+and emits the updated running profile row, so downstream drift checks
+can compare a partition's lifetime profile against the baseline without
+re-reading history.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_docs LONG, n_spans LONG, n_text_null LONG, offset_max LONG"
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("n_spans", T.LongType(), False),
+        T.StructField("text_null_ratio", T.DoubleType(), True),
+        T.StructField("offset_max", T.LongType(), True),
+    ]
+)
+
+
+def _fold(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n_docs, n_spans, n_text_null, offset_max = (
+        state.get if state.exists else (0, 0, 0, 0)
+    )
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        for spans in pdf["spans"]:
+            if spans is None:
+                continue
+            for s in spans:
+                n_spans += 1
+                kind = s["kind"] if isinstance(s, dict) else s.kind
+                text = s["text"] if isinstance(s, dict) else s.text
+                off = s["offset"] if isinstance(s, dict) else s.offset
+                if kind == "text" and text is None:
+                    n_text_null += 1
+                if off is not None and off > offset_max:
+                    offset_max = int(off)
+    state.update((n_docs, n_spans, n_text_null, offset_max))
+    yield pd.DataFrame(
+        {
+            "partition_id": [int(key[0])],
+            "n_docs": [n_docs],
+            "n_spans": [n_spans],
+            "text_null_ratio": [n_text_null / n_spans if n_spans else None],
+            "offset_max": [offset_max],
+        }
+    )
+
+
+def running_partition_profiles(docs_stream: DataFrame) -> DataFrame:
+    """Streaming DataFrame of running per-partition profiles. Apply to
+    a readStream of the documents table; each micro-batch emits one
+    updated row per touched partition."""
+    return (
+        docs_stream.select("partition_id", "spans")
+        .groupBy("partition_id")
+        .applyInPandasWithState(
+            _fold,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -119,3 +119,59 @@ def test_stream_validate_matches_batch(spark, tmp_path_factory):
     }
     assert sv == bv
     assert not sv[("uniqueness", 2)] and not sv[("referential_integrity", 3)]
+
+
+def test_stateful_running_profiles(spark, tmp_path_factory):
+    """applyInPandasWithState accumulates across micro-batches: two
+    input files processed one per batch must end at the same totals as
+    a single batch over everything."""
+    from schema_drift_detector_spark.streaming.stateful import running_partition_profiles
+
+    base = str(tmp_path_factory.mktemp("stateful"))
+    cfg = SynthConfig(n_docs=800, n_partitions=4, n_assets=1_000)
+    docs = synth_documents(spark, cfg, epoch=0).cache()
+    docs.filter("doc_id < 'doc-000000000400'").coalesce(1).write.parquet(f"{base}/in/a")
+    docs.filter("doc_id >= 'doc-000000000400'").coalesce(1).write.parquet(f"{base}/in/b")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in/*")
+    )
+    q = (
+        running_partition_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("running_prof")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted row per partition = lifetime totals
+    rows = spark.sql(
+        "SELECT * FROM running_prof"
+    ).collect()
+    last = {}
+    for r in rows:  # memory sink appends in batch order
+        last[r.partition_id] = r
+    import pyspark.sql.functions as F
+
+    expected = {
+        r.partition_id: r
+        for r in docs.select("partition_id", "doc_id", F.explode_outer("spans").alias("s"))
+        .groupBy("partition_id")
+        .agg(
+            F.count("s").alias("ns"),
+            F.max("s.offset").alias("om"),
+        )
+        .collect()
+    }
+    n_docs_per_part = {
+        r.partition_id: r.c
+        for r in docs.groupBy("partition_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for p, r in last.items():
+        assert r.n_docs == n_docs_per_part[p]
+        assert r.n_spans == expected[p].ns
+        assert r.offset_max == expected[p].om
