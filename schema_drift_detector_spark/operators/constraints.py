@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -258,6 +260,50 @@ def drift_statistics(
         F.first("c_tot").alias("n_curr"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+def check_quantile_drift(
+    base_td: DataFrame,
+    curr_td: DataFrame,
+    run_id: str,
+    epoch: int,
+    keys: Sequence[str] = ("partition_id",),
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """Distribution drift on t-digest sketches (profile.tdigest_profiles
+    output): per key group, KS distance between the baseline and current
+    digests. The join carries only sketch rows (metadata-scale); the KS
+    evaluation is an Arrow-batched pandas UDF over the ~2KB blobs."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions import sketch
+
+    @pandas_udf("double")
+    def ks(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sketch.ks_statistic(bytes(x), bytes(y)) if x is not None and y is not None else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    keys = list(keys)
+    b = base_td.select(*keys, F.col("tdigest").alias("td_base"), F.col("n").alias("n_base"))
+    c = curr_td.select(*keys, F.col("tdigest").alias("td_curr"), F.col("n").alias("n_curr"))
+    j = b.join(c, on=keys, how="inner").withColumn("ks_stat", ks("td_base", "td_curr"))
+    per = j.select(
+        *keys,
+        F.lit(epoch).alias("epoch"),
+        (F.col("ks_stat") <= ks_threshold).alias("passed"),
+        F.format_string(
+            "tdigest ks=%.4f (n_base=%d n_curr=%d)",
+            F.col("ks_stat"),
+            F.col("n_base"),
+            F.col("n_curr"),
+        ).alias("summary"),
+        F.to_json(F.struct(F.col("ks_stat"), F.col("n_base"), F.col("n_curr"))).alias("metrics"),
+    )
+    return _verdict(per, run_id, "quantile_drift")
 
 
 def check_distribution_drift(

@@ -163,6 +163,53 @@ def kind_histogram(
     )
 
 
+def tdigest_profiles(
+    df: DataFrame,
+    value: str,
+    group_cols: Sequence[str] = ("epoch", "partition_id"),
+    delta: int = 128,
+) -> DataFrame:
+    """Per-group t-digest quantile sketches (binary, mergeable) via
+    grouped applyInPandas — the custom-UDAF tier of the profiler
+    (SURVEY §4.2). Output: group_cols..., tdigest (binary), n (long)."""
+    import pandas as pd
+
+    from ..functions import sketch
+
+    group_cols = [c for c in group_cols if c in df.columns]
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [T.StructField("tdigest", T.BinaryType()), T.StructField("n", T.LongType())]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value].to_numpy(dtype="float64", na_value=float("nan"))
+        blob = sketch.build(vals, delta)
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["tdigest"] = [bytearray(blob)]
+        row["n"] = [int((~pd.isna(pdf[value])).sum())]
+        return pd.DataFrame(row)
+
+    return df.select(*group_cols, value).groupBy(*group_cols).applyInPandas(
+        build, schema=out_schema
+    )
+
+
+def merge_tdigests_tree(profiles: DataFrame, delta: int = 128, depth: int = 2) -> bytes:
+    """Merge per-partition sketches to one table-level digest with
+    RDD treeAggregate (north_rule: 'merged with treeAggregate') —
+    log-depth combining so no single reducer sees every sketch."""
+    from ..functions import sketch
+
+    blobs = profiles.select("tdigest").rdd.map(lambda r: bytes(r[0]))
+    return blobs.treeAggregate(
+        sketch.serialize(__import__("numpy").empty(0), __import__("numpy").empty(0)),
+        lambda acc, b: sketch.merge([acc, b], delta),
+        lambda a, b: sketch.merge([a, b], delta),
+        depth=depth,
+    )
+
+
 def numeric_histogram(
     df: DataFrame,
     value: str | F.Column,
