@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from ..operators import constraints as C
 from ..operators.diff import diff_fields, drift_report
-from ..operators.profile import numeric_histogram, profile_columns, profile_spans
+from ..operators.profile import (
+    numeric_histogram,
+    profile_columns,
+    profile_spans,
+    tdigest_profiles,
+)
 from ..operators.snapshot import fields_from_schema
 from . import manifest as M
 from . import policy, store
@@ -46,6 +51,7 @@ DEFAULT_SPEC: dict[str, Any] = {
         "ks_threshold": 0.1,
         "chi2_per_bin_threshold": 10.0,
     },
+    "quantile_drift": {"ks_threshold": 0.1},
     "policy": {"auto_heal": True, "notify_on_breaking": True, "channels": ["email"]},
 }
 
@@ -61,6 +67,10 @@ def baseline_histogram(docs: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+def baseline_tdigest(docs: DataFrame) -> DataFrame:
+    return tdigest_profiles(_offsets_view(docs), "off", ["partition_id"])
+
+
 def run_validation(
     spark: SparkSession,
     docs: DataFrame,
@@ -70,6 +80,7 @@ def run_validation(
     entity: str = "documents",
     epoch: int = 0,
     baseline_hist: DataFrame | None = None,
+    baseline_td: DataFrame | None = None,
     partition_batches: int = 1,
     spec: dict[str, Any] | None = None,
     fail_after_batches: int | None = None,  # test hook: simulate interruption
@@ -142,6 +153,15 @@ def run_validation(
                 chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
             ).filter(F.col("partition_id").isin([int(p) for p in batch]))
             verdicts = verdicts.unionByName(dd_v)
+        if baseline_td is not None:
+            qd_v = C.check_quantile_drift(
+                baseline_td,
+                tdigest_profiles(_offsets_view(subset), "off", ["partition_id"]),
+                run_id,
+                epoch,
+                ks_threshold=spec.get("quantile_drift", {}).get("ks_threshold", 0.1),
+            )
+            verdicts = verdicts.unionByName(qd_v)
 
         # writes first, manifest commit last (write-ahead ordering)
         profiles.write.mode("append").parquet(f"{out_dir}/profiles")

@@ -136,3 +136,22 @@ def test_uniqueness_verdict_unaffected_by_repartition(spark, docs0, catalog, tmp
     assert not v[("uniqueness", 2)] and not v[("uniqueness", 5)]
     assert not v[("referential_integrity", 3)]
     assert v[("uniqueness", 0)] and v[("referential_integrity", 0)]
+
+
+def test_quantile_drift_in_pipeline(spark, docs0, catalog, tmp_path_factory):
+    from schema_drift_detector_spark.plans.run import baseline_tdigest
+
+    out = str(tmp_path_factory.mktemp("run_td"))
+    e2 = synth_documents(spark, CFG, epoch=2)
+    env = run_validation(
+        spark, e2, catalog, out, run_id="td2", epoch=2,
+        baseline_td=baseline_tdigest(docs0),
+    )
+    qd = {
+        r.partition_id: r
+        for r in read_verdicts(spark, out, "td2")
+        .filter("constraint = 'quantile_drift'")
+        .collect()
+    }
+    failing = {p for p, r in qd.items() if not r.passed}
+    assert failing == set(CFG.drift_partitions)
