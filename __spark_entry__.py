@@ -354,6 +354,66 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join → per-order revenue → deterministic
+    top-20 (rounded revenue desc, orderkey asc)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_REVENUE = """
+SELECT o_orderkey, o_custkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderkey, o_custkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order counts with (region, nation) subtotals
+    and a grand total."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+ORACLE_NATION_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n_orders, round(max(o_totalprice), 2) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) per user — the
     window/lag pattern used for event-stream lineage."""
@@ -708,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_open_orders": q_customers_without_open_orders,
         "nations_order_stats": q_nations_order_stats,
         "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "nation_rollup": q_nation_rollup,
         "sessionize_events": q_sessionize_events,
         "profile_events": q_profile_events,
         "totalprice_histogram": q_totalprice_histogram,
@@ -738,6 +800,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_open_orders": ORACLE_CUST_NO_OPEN,
         "nations_order_stats": ORACLE_NATION_STATS,
         "pricing_summary": ORACLE_PRICING,
+        "top_revenue_orders": ORACLE_TOP_REVENUE,
+        "nation_rollup": ORACLE_NATION_ROLLUP,
         "sessionize_events": ORACLE_SESSIONIZE,
         "profile_events": ORACLE_PROFILE_EVENTS,
         "totalprice_histogram": ORACLE_HISTOGRAM,
