@@ -80,6 +80,56 @@ def deterministic_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means trainer, Lloyd iterations in DataFrame ops:
+    assign (broadcast centroids, max_by cosine) → per-dimension mean
+    (posexplode + groupBy(cell, dim)) → renormalize. Centroids are
+    collected to the driver between iterations (k×dim floats —
+    metadata-scale) to break iterative lineage; the corpus itself never
+    leaves the executors. Deterministic: stride init + lowest-cell-wins
+    tie-break."""
+    sess = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("vec_id"), normalize(vec_col).alias("nv")).cache()
+    cents = deterministic_centroids(corpus, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("sim", dot(F.col("nv"), F.col("centroid_nv")))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("centroid_id"), F.col("nv")),
+                    F.struct(F.col("sim"), -F.col("centroid_id")),
+                ).alias("best")
+            )
+            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.nv").alias("nv"))
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("nv").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("m")))),
+                    lambda s: s["m"],
+                ).alias("mean_vec")
+            )
+        )
+        rows = means.collect()  # k rows — breaks lineage between iterations
+        cents = sess.createDataFrame(
+            [(int(r.centroid_id), list(r.mean_vec)) for r in rows],
+            "centroid_id int, mean_vec array<double>",
+        ).select("centroid_id", normalize("mean_vec").alias("centroid_nv"))
+    return cents
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,

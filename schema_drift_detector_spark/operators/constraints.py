@@ -262,6 +262,66 @@ def drift_statistics(
     )
 
 
+def categorical_drift_statistics(
+    base: DataFrame,
+    curr: DataFrame,
+    keys: Sequence[str] = ("partition_id",),
+    category: str = "category",
+    count: str = "cnt",
+) -> DataFrame:
+    """Chi-square between two categorical count tables (e.g. the span
+    kind_histogram exploded to long form). KS is meaningless for
+    unordered categories, so only chi2 is emitted. Same full-outer-join
+    + aggregate shape as drift_statistics — one job for all key groups."""
+    keys = list(keys)
+    b = base.groupBy(*keys, category).agg(F.sum(count).alias("b_cnt"))
+    c = curr.groupBy(*keys, category).agg(F.sum(count).alias("c_cnt"))
+    j = b.join(c, on=keys + [category], how="full_outer").fillna(0, subset=["b_cnt", "c_cnt"])
+    wt = Window.partitionBy(*keys)
+    j = (
+        j.withColumn("b_tot", F.sum("b_cnt").over(wt))
+        .withColumn("c_tot", F.sum("c_cnt").over(wt))
+        .withColumn(
+            "b_exp", F.greatest(F.col("b_cnt") / F.col("b_tot") * F.col("c_tot"), F.lit(0.5))
+        )
+    )
+    return j.groupBy(*keys).agg(
+        F.sum(F.pow(F.col("c_cnt") - F.col("b_exp"), 2) / F.col("b_exp")).alias("chi2_stat"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.first("b_tot").alias("n_base"),
+        F.first("c_tot").alias("n_curr"),
+    )
+
+
+def check_categorical_drift(
+    base: DataFrame,
+    curr: DataFrame,
+    run_id: str,
+    epoch: int,
+    keys: Sequence[str] = ("partition_id",),
+    category: str = "category",
+    count: str = "cnt",
+    chi2_per_category_threshold: float = 10.0,
+) -> DataFrame:
+    stats = categorical_drift_statistics(base, curr, keys, category, count)
+    per = stats.select(
+        *keys,
+        F.lit(epoch).alias("epoch"),
+        ((F.col("chi2_stat") / F.col("n_categories")) <= chi2_per_category_threshold).alias(
+            "passed"
+        ),
+        F.format_string(
+            "categorical chi2/cat=%.2f over %d categories",
+            F.col("chi2_stat") / F.col("n_categories"),
+            F.col("n_categories"),
+        ).alias("summary"),
+        F.to_json(
+            F.struct(F.col("chi2_stat"), F.col("n_categories"), F.col("n_base"), F.col("n_curr"))
+        ).alias("metrics"),
+    )
+    return _verdict(per, run_id, "categorical_drift")
+
+
 def check_quantile_drift(
     base_td: DataFrame,
     curr_td: DataFrame,

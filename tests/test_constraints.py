@@ -104,3 +104,34 @@ def test_drift_statistics_identity(spark, docs):
     for r in stats:
         assert r.ks_stat == 0.0
         assert r.chi2_stat < 1e-9
+
+
+def test_categorical_drift_on_span_kinds(spark, docs):
+    """Chi-square over the span-kind histograms: e0 vs e0 passes
+    everywhere; a synthetic kind-shift fails only where injected."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.constraints import check_categorical_drift
+
+    kinds = docs.select("partition_id", F.explode("spans.kind").alias("category")).groupBy(
+        "partition_id", "category"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    v = {
+        r.partition_id: r
+        for r in check_categorical_drift(kinds, kinds, "r", 0).collect()
+    }
+    assert all(r.passed for r in v.values())
+    # shift: in partitions {1,4} relabel all 'image' spans as 'audio'
+    shifted = docs.select("partition_id", F.explode("spans.kind").alias("category"))
+    shifted = shifted.withColumn(
+        "category",
+        F.when(
+            F.col("partition_id").isin(1, 4) & (F.col("category") == "image"), "audio"
+        ).otherwise(F.col("category")),
+    ).groupBy("partition_id", "category").agg(F.count(F.lit(1)).alias("cnt"))
+    v2 = {
+        r.partition_id: r
+        for r in check_categorical_drift(kinds, shifted, "r", 1).collect()
+    }
+    failing = {p for p, r in v2.items() if not r.passed}
+    assert failing == {1, 4}

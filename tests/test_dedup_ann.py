@@ -137,3 +137,27 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_kmeans_ivf_beats_stride_centroids(spark, emb):
+    """Trained centroids should give IVF recall at least as good as the
+    stride-picked ones at the same nprobe."""
+    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+
+    queries = emb.filter("vec_id < 8")
+    exact = {(r.query_id, r.vec_id) for r in topk_bruteforce(emb, queries, k=5).collect()}
+
+    def recall(cents):
+        index = assign_cells(emb, cents)
+        got = {
+            (r.query_id, r.vec_id)
+            for r in topk_ivf(index, cents, queries, k=5, nprobe=2).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    stride = deterministic_centroids(emb, 8)
+    trained = kmeans_centroids(emb, 8, iters=3)
+    assert trained.count() <= 8  # empty cells may collapse
+    r_stride, r_trained = recall(stride), recall(trained)
+    assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
+    assert r_trained >= 0.5
