@@ -626,6 +626,54 @@ FROM documents
 """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data prep pipeline: exact dedup (md5 survivor)
+    → quality gate → per-(source, lang) corpus stats. One query
+    composing the dedup, text-quality and aggregation operators."""
+    from schema_drift_detector_spark.functions.text import quality_score, token_count
+    from schema_drift_detector_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    deduped = drop_exact_duplicates(docs, "doc_id", "text")
+    kept = deduped.withColumn("q", quality_score("text")).filter(F.col("q") >= 0.5)
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("n_tokens"),
+        F.round(F.min("q"), 6).alias("min_quality"),
+        F.round(F.max("q"), 6).alias("max_quality"),
+    )
+
+
+ORACLE_CORPUS_PREP = """
+WITH dedup AS (
+  SELECT * FROM documents
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+), m AS (
+  SELECT source, lang, text,
+         len(text) * 1.0 AS n_chars,
+         len(string_split(text, ' ')) * 1.0 AS n_toks,
+         (len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 AS n_punct,
+         len(list_intersect(string_split(lower(text), ' '),
+             ['the','and','of','to','a','in','is','it','that','for'])) * 1.0 AS sw
+  FROM dedup
+), scored AS (
+  SELECT source, lang, n_toks,
+    round(
+      0.35 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0 ELSE 0.5 END)
+      + 0.25 * (CASE WHEN n_chars / greatest(n_toks, 1.0) >= 3.0
+                      AND n_chars / greatest(n_toks, 1.0) <= 10.0 THEN 1.0 ELSE 0.5 END)
+      + 0.2 * (1.0 - least(n_punct / greatest(n_chars, 1.0) * 10, 1.0))
+      + 0.2 * least(sw / 10.0, 1.0), 6) AS q
+  FROM m
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       round(min(q), 6) AS min_quality, round(max(q), 6) AS max_quality
+FROM scored WHERE q >= 0.5
+GROUP BY source, lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -781,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprints": q_fingerprints,
+        "corpus_prep": q_corpus_prep,
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -813,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ORACLE_LANG_ID,
         "quality_scores": ORACLE_QUALITY,
         "fingerprints": ORACLE_FINGERPRINTS,
+        "corpus_prep": ORACLE_CORPUS_PREP,
         "ann_topk": ORACLE_ANN_TOPK,
         "ivf_assign": ORACLE_IVF_ASSIGN,
         # minhash_lsh_pairs / simhash_pairs / winnowing: xxhash64-based,
