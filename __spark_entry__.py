@@ -781,6 +781,22 @@ def q_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantile-drift verdicts between synthetic epochs 0 and 2
+    (sketch build via applyInPandas, KS on merged digests) — rows-only:
+    the sketch algebra is not SQL-expressible."""
+    from schema_drift_detector_spark.operators.constraints import check_quantile_drift
+    from schema_drift_detector_spark.plans.run import baseline_tdigest
+    from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
+
+    cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
+    e0 = synth_documents(spark, cfg, epoch=0)
+    e2 = synth_documents(spark, cfg, epoch=2)
+    return check_quantile_drift(
+        baseline_tdigest(e0), baseline_tdigest(e2), "entry", 2
+    ).select("partition_id", "constraint", "passed", "severity", "summary")
+
+
 def q_span_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.profile import profile_spans
     from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
@@ -836,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
+        "quantile_drift_spans": q_quantile_drift_spans,
         "span_kind_histogram": q_span_kind_histogram,
     }
 

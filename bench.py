@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_scores",
     "fingerprints",
+    "corpus_prep",
     "ann_topk",
     "ivf_assign",
     "minhash_lsh_pairs",

@@ -93,3 +93,26 @@ def test_diff_is_pure_jvm_single_join(spark):
     assert "FullOuter" in plan
     assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
     assert plan.count("Join") == 1
+
+
+def test_ri_shuffle_join_fallback(spark, docs_path):
+    """broadcast_catalog=False must produce a non-broadcast join (the
+    huge-catalog path) and identical verdicts."""
+    from schema_drift_detector_spark.operators.constraints import check_referential_integrity
+
+    docs = spark.read.parquet(docs_path)
+    catalog = synth_asset_catalog(spark, CFG)
+    v_b, _ = check_referential_integrity(docs, catalog, "r", broadcast_catalog=True)
+    # broadcast_catalog=False lets Spark pick; with auto-broadcast off
+    # (simulating a catalog too big to fit) the plan must fall back to a
+    # shuffle join and still produce identical verdicts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v_s, viol_s = check_referential_integrity(docs, catalog, "r", broadcast_catalog=False)
+        plan = _plan(viol_s)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        a = {(r.partition_id): r.passed for r in v_b.collect()}
+        b = {(r.partition_id): r.passed for r in v_s.collect()}
+        assert a == b
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
