@@ -20,8 +20,6 @@ Top-k ties break deterministically on (score desc, corpus id asc).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine, dot, normalize
+from ..functions.similarity import dot, normalize
 from ..functions.text import char_shingles, fingerprint_md5, tokens
 
 

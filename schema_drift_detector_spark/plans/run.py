@@ -20,10 +20,9 @@ Scale shape of one run over a 10^12-doc table:
 
 from __future__ import annotations
 
-import json
 import time
 import uuid
-from typing import Any, Sequence
+from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
