@@ -122,20 +122,34 @@ def profile_spans(
     """
     group_cols = [c for c in group_cols if c in docs.columns]
     s = docs.select(*group_cols, F.explode(spans_col).alias("s"))
+    # two-level aggregation: per-(group, kind) partials roll up to the
+    # group row — ONE explode, two shuffles, no join; the kind histogram
+    # falls out of the rollup for free
+    per_kind = s.groupBy(*group_cols, F.col("s.kind").alias("kind")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.when(F.col("s.text").isNull(), 1).otherwise(0)).alias("__n_text_null"),
+        F.min("s.offset").alias("__omin"),
+        F.max("s.offset").alias("__omax"),
+        F.hll_sketch_agg("s.media_ref").alias("__hll"),
+    )
     return (
-        s.groupBy(*group_cols)
+        per_kind.groupBy(*group_cols)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when((F.col("s.kind") == "text") & F.col("s.text").isNull(), 1).otherwise(0)).alias(
+            F.sum("__n").alias("n_spans"),
+            F.sum(F.when(F.col("kind") == "text", F.col("__n_text_null")).otherwise(0)).alias(
                 "n_text_null"
             ),
-            F.sum(F.when(F.col("s.kind") == "text", 1).otherwise(0)).alias("n_text"),
-            F.min("s.offset").alias("offset_min"),
-            F.max("s.offset").alias("offset_max"),
-            F.approx_count_distinct("s.media_ref").alias("approx_distinct_media_ref"),
-            F.hll_sketch_agg("s.media_ref").alias("media_ref_hll"),
+            F.sum(F.when(F.col("kind") == "text", F.col("__n")).otherwise(0)).alias("n_text"),
+            F.min("__omin").alias("offset_min"),
+            F.max("__omax").alias("offset_max"),
+            F.hll_sketch_estimate(F.hll_union_agg("__hll", True)).alias(
+                "approx_distinct_media_ref"
+            ),
+            F.hll_union_agg("__hll", True).alias("media_ref_hll"),
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("kind"), F.col("__n"))))
+            ).alias("kind_histogram"),
         )
-        .join(kind_histogram(docs, group_cols, spans_col), on=group_cols, how="left")
         .withColumn(
             "text_null_ratio",
             F.when(F.col("n_text") > 0, F.col("n_text_null") / F.col("n_text")),
