@@ -797,6 +797,20 @@ def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("partition_id", "constraint", "passed", "severity", "summary")
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-partition HLL sketches of doc_id,
+    merged to table level WITHOUT rescanning data (hll_union_agg) —
+    rows-only (sketch estimates are engine-specific)."""
+    from schema_drift_detector_spark.operators.profile import merge_hll, profile_columns
+    from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
+
+    cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
+    prof = profile_columns(synth_documents(spark, cfg, epoch=0))
+    return merge_hll(prof, ["column"]).select(
+        "column", "n_rows", F.col("distinct_merged").cast("long").alias("distinct_merged")
+    )
+
+
 def q_span_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.profile import profile_spans
     from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
@@ -853,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
         "quantile_drift_spans": q_quantile_drift_spans,
+        "hll_rollup": q_hll_rollup,
         "span_kind_histogram": q_span_kind_histogram,
     }
 
