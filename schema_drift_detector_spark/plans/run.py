@@ -162,13 +162,20 @@ def run_validation(
             )
             verdicts = verdicts.unionByName(qd_v)
 
-        # writes first, manifest commit last (write-ahead ordering)
-        profiles.write.mode("append").parquet(f"{out_dir}/profiles")
-        span_prof.withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
-            f"{out_dir}/span_profiles"
-        )
-        verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")
-        violations.write.mode("append").parquet(f"{out_dir}/violations")
+        # writes first, manifest commit last (write-ahead ordering); the
+        # four outputs are independent → submit as concurrent Spark jobs
+        # (the scheduler interleaves their stages across the cluster, so
+        # per-job fixed costs and scans overlap instead of serializing)
+        from concurrent.futures import ThreadPoolExecutor
+
+        targets = [
+            (profiles, f"{out_dir}/profiles"),
+            (span_prof.withColumn("run_id", F.lit(run_id)), f"{out_dir}/span_profiles"),
+            (verdicts, f"{out_dir}/verdicts"),
+            (violations, f"{out_dir}/violations"),
+        ]
+        with ThreadPoolExecutor(max_workers=len(targets)) as pool:
+            list(pool.map(lambda t: t[0].write.mode("append").parquet(t[1]), targets))
 
         counts = {r.partition_id: r.n for r in
                   subset.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n")).collect()}
