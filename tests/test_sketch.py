@@ -72,3 +72,28 @@ def test_quantile_drift_localized(spark):
     v = {r.partition_id: r for r in check_quantile_drift(base, curr, "r", 2).collect()}
     failing = {p for p, r in v.items() if not r.passed}
     assert failing == set(CFG.drift_partitions)
+
+
+def test_sketch_edge_cases():
+    import numpy as np
+
+    # empty
+    e = sketch.build(np.array([]))
+    assert sketch.total_weight(e) == 0.0
+    assert sketch.ks_statistic(e, e) == 0.0
+    # constant values
+    c = sketch.build(np.full(10_000, 7.0))
+    assert sketch.quantile(c, 0.01) == 7.0 == sketch.quantile(c, 0.99)
+    # single value
+    s = sketch.build(np.array([3.5]))
+    assert sketch.quantile(s, 0.5) == 3.5
+    # NaNs dropped
+    n = sketch.build(np.array([1.0, float("nan"), 2.0]))
+    assert sketch.total_weight(n) == 2.0
+    # merge with empty is identity on weight
+    m = sketch.merge([e, c])
+    assert sketch.total_weight(m) == 10_000
+    # tiny delta still ends bounded
+    t = sketch.build(np.random.default_rng(1).normal(0, 1, 5_000), delta=8)
+    means, _ = sketch.deserialize(t)
+    assert len(means) <= 16  # delta-capped (compression overshoot ≤ 2x)
