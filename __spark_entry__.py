@@ -449,8 +449,8 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), s AS (
   SELECT user_id, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM g
 )
 SELECT user_id, session_seq, count(*) AS n_events,
@@ -545,7 +545,7 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS n_tokens_total,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total,
        round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 4) AS avg_tokens,
        max(n_chars) AS max_chars
 FROM documents GROUP BY lang
@@ -716,21 +716,22 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_IVF_ASSIGN = """
-WITH ranked AS (
-  SELECT vec_id, embedding,
-         row_number() OVER (ORDER BY vec_id ASC) - 1 AS rn
+WITH picked AS (
+  SELECT vec_id, embedding
   FROM embeddings
-), params AS (
-  SELECT greatest(1, CAST(floor(count(*) / 8) AS BIGINT)) AS stride FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT 8
 ), cents AS (
-  SELECT CAST(floor(rn * 1.0 / stride) AS INT) AS centroid_id, embedding AS cvec
-  FROM ranked, params
-  WHERE rn % stride = 0 AND rn * 1.0 / stride < 8
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+           AS centroid_id,
+         embedding AS cvec
+  FROM picked
 )
 SELECT e.vec_id, c.centroid_id
 FROM embeddings e CROSS JOIN cents c
 QUALIFY row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                           CAST(c.cvec AS DOUBLE[])) DESC,
                                     c.centroid_id ASC) = 1
 """
 

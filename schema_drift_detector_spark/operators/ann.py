@@ -59,22 +59,35 @@ def topk_bruteforce(
 def deterministic_centroids(
     corpus: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Evenly-strided deterministic centroid pick (k-means-free coarse
+    """Deterministic pseudo-random centroid pick (k-means-free coarse
     quantizer: reproducible across runs/parallelism, good enough for
     cell routing; swap in k-means centroids without touching callers).
+
+    Selection rule: the n_centroids corpus rows with the smallest
+    (md5(cast(id as string)), id) — a uniform deterministic sample.
+    orderBy+limit plans as TakeOrderedAndProject: each scan task keeps
+    its local top-k and the driver merges k·tasks rows, so there is no
+    global sort / single-task window over the corpus and no extra
+    count() pass (both were scale-killers at 10^9+ vectors). The
+    row_number that assigns centroid_id runs over the already-reduced
+    k-row set only. md5-on-string is chosen over xxhash64 because the
+    DuckDB oracle can reproduce it bit-for-bit.
+
     Output: centroid_id, centroid_nv."""
-    w = Window.orderBy(F.col(id_col).asc())
-    ranked = corpus.select(F.col(id_col), normalize(vec_col).alias("nv")).withColumn(
-        "__rn", F.row_number().over(w) - 1
-    )
-    total = ranked.count()
-    stride = max(1, total // n_centroids)
-    return (
-        ranked.filter((F.col("__rn") % stride == 0) & (F.col("__rn") / stride < n_centroids))
-        .select(
-            (F.col("__rn") / stride).cast("int").alias("centroid_id"),
-            F.col("nv").alias("centroid_nv"),
+    hash_key = F.md5(F.col(id_col).cast("string"))
+    picked = (
+        corpus.select(
+            hash_key.alias("__hk"),
+            F.col(id_col).alias("__id"),
+            normalize(vec_col).alias("nv"),
         )
+        .orderBy(F.col("__hk").asc(), F.col("__id").asc())
+        .limit(n_centroids)
+    )
+    w = Window.orderBy(F.col("__hk").asc(), F.col("__id").asc())  # over k rows only
+    return picked.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"),
+        F.col("nv").alias("centroid_nv"),
     )
 
 

@@ -95,6 +95,22 @@ def test_diff_is_pure_jvm_single_join(spark):
     assert plan.count("Join") == 1
 
 
+def test_centroid_pick_avoids_global_sort(spark):
+    """deterministic_centroids must plan as TakeOrderedAndProject (per-task
+    local top-k, driver merge) — NOT a global sort / single-partition window
+    over the corpus, which was the round-1 scale-killer at 10^9 vectors."""
+    from schema_drift_detector_spark.operators.ann import deterministic_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(deterministic_centroids(emb, 8))
+    assert "TakeOrderedAndProject" in plan
+    # the only rangepartitioning/sort allowed is over the already-limited k
+    # rows (after TakeOrderedAndProject); the corpus scan itself must feed
+    # the top-k directly with no Exchange below it
+    scan_side = plan.split("TakeOrderedAndProject")[-1]
+    assert "Exchange" not in scan_side
+
+
 def test_ri_shuffle_join_fallback(spark, docs_path):
     """broadcast_catalog=False must produce a non-broadcast join (the
     huge-catalog path) and identical verdicts."""

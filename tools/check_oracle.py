@@ -72,12 +72,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         try:
             res = con.sql(oracles[name])
             ocols = [d[0] for d in res.description]
+            otypes = [str(t).upper() for t in res.types]
             orows = res.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failures.append(name)
             continue
         problems = []
+        # The driver hashes DuckDB results via Arrow, where HUGEINT (int128)
+        # and DECIMAL render differently from int64 — str() here masks that.
+        # Enforce the invariant: oracle SQL must CAST sums to BIGINT/DOUBLE.
+        bad_types = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+        ]
+        if bad_types:
+            problems.append(f"un-cast oracle types (driver-hash hazard): {bad_types}")
         if len(rows) != len(orows):
             problems.append(f"rowcount spark={len(rows)} duck={len(orows)}")
         if sorted(cols) != sorted(ocols):
