@@ -736,6 +736,103 @@ QUALIFY row_number() OVER (PARTITION BY e.vec_id
 """
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search path (index build → probe nprobe cells → exact
+    cosine within) — the operator users actually run. The oracle is an
+    exact DuckDB replay of the probe rule, so approximation error is
+    part of the contract, not hidden by it."""
+    from schema_drift_detector_spark.operators.ann import (
+        assign_cells,
+        deterministic_centroids,
+        topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = deterministic_centroids(emb, 8)
+    index = assign_cells(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return topk_ivf(index, cents, queries, k=5, nprobe=2)
+
+
+ORACLE_ANN_TOPK_IVF = """
+WITH picked AS (
+  SELECT vec_id, embedding
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT 8
+), cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+           AS centroid_id,
+         embedding AS cvec
+  FROM picked
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id
+  FROM embeddings e CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.cvec AS DOUBLE[])) DESC,
+                     c.centroid_id ASC) = 1
+), probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.cvec AS DOUBLE[])) DESC,
+                     c.centroid_id ASC) <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(p.qvec AS DOUBLE[])), 6) AS cos_sim
+  FROM probes p JOIN assign a USING (centroid_id)
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, vec_id ASC) AS rank,
+       vec_id, cos_sim
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH embedding near-dup (the scale path: only
+    signature-equal docs are candidates). Oracle replicates the plane
+    signatures bit-for-bit via shared seeded-numpy literals."""
+    from schema_drift_detector_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=8, seed=42, dim=64
+    )
+
+
+def _oracle_embedding_near_dups() -> str:
+    """Same planes as embedding_near_duplicates(seed=42, n_planes=8,
+    dim=64); sign(dot(normalized, p)) == sign(dot(raw, p)), so DuckDB
+    computes signatures on the raw embedding."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((8, 64))
+    sig_terms = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(f'{x!r}' for x in p.tolist())}]) > 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {sig_terms} AS s
+  FROM embeddings
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible ops → rows-only checks
 # --------------------------------------------------------------------------
@@ -869,6 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "winnowing": q_winnowing,
@@ -904,6 +1003,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": ORACLE_CORPUS_PREP,
         "ann_topk": ORACLE_ANN_TOPK,
         "ivf_assign": ORACLE_IVF_ASSIGN,
+        "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
+        "embedding_near_dups": _oracle_embedding_near_dups(),
         # minhash_lsh_pairs / simhash_pairs / winnowing: xxhash64-based,
         # not DuckDB-expressible → rows-only
         # span_validation / span_kind_histogram: synthetic interleaved

@@ -282,15 +282,22 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 0,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine-similar pairs. n_planes=0 → exact all-pairs (test scale);
     n_planes>0 → random-hyperplane LSH: docs whose sign-bit signatures
     match exactly become candidates, then exact cosine verifies.
     Planes are deterministic (seeded numpy) literals broadcast into the
-    plan. Output: doc_a, doc_b, cos_sim."""
+    plan. dim (vector dimensionality) is taken from the schema when the
+    column is a fixed-width vector, else from the `dim` parameter — no
+    driver-side data action. Output: doc_a, doc_b, cos_sim."""
     v = df.select(F.col(id_col).alias("doc"), normalize(vec_col).alias("nv"))
     if n_planes > 0:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            raise ValueError(
+                "n_planes > 0 requires dim= (vector dimensionality); "
+                "not probed from data to avoid a driver-side action"
+            )
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_planes, dim))
         sig = v.withColumn(

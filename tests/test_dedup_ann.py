@@ -102,13 +102,20 @@ def test_embedding_near_duplicates_lsh_vs_exact(spark, emb):
     lsh = {
         (r.doc_a, r.doc_b): r.cos_sim
         for r in embedding_near_duplicates(
-            emb, "vec_id", "embedding", 0.95, n_planes=8
+            emb, "vec_id", "embedding", 0.95, n_planes=8, dim=64
         ).collect()
     }
     # LSH returns a subset of exact, with identical scores where found
     assert set(lsh) <= set(exact)
     for p, s in lsh.items():
         assert s == exact[p]
+
+
+def test_embedding_lsh_requires_dim(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        embedding_near_duplicates(emb, "vec_id", "embedding", 0.95, n_planes=8)
 
 
 def test_topk_bruteforce_self_hit(spark, emb):
