@@ -861,6 +861,32 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_VAL_DIR = "/root/repo/.entry_artifacts/span_validation"
+
+
+def _span_val_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Synthesize the interleaved documents + asset catalog, persisted to
+    parquet so the DuckDB oracles recompute from the same bytes.
+    Deterministic content → the overwrite is idempotent across queries."""
+    from schema_drift_detector_spark.sources.synth import (
+        SynthConfig,
+        synth_asset_catalog,
+        synth_documents,
+    )
+
+    cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
+    synth_documents(spark, cfg, epoch=0).write.mode("overwrite").parquet(
+        f"{_SPAN_VAL_DIR}/docs"
+    )
+    synth_asset_catalog(spark, cfg).write.mode("overwrite").parquet(
+        f"{_SPAN_VAL_DIR}/catalog"
+    )
+    return (
+        spark.read.parquet(f"{_SPAN_VAL_DIR}/docs"),
+        spark.read.parquet(f"{_SPAN_VAL_DIR}/catalog"),
+    )
+
+
 def q_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved-document constraint verdicts on the synthetic table
     (BASELINE.json input_hint shape) — uniqueness + referential
@@ -869,20 +895,57 @@ def q_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_referential_integrity,
         check_uniqueness,
     )
-    from schema_drift_detector_spark.sources.synth import (
-        SynthConfig,
-        synth_asset_catalog,
-        synth_documents,
-    )
 
-    cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
-    docs = synth_documents(spark, cfg, epoch=0)
-    catalog = synth_asset_catalog(spark, cfg)
+    docs, catalog = _span_val_tables(spark)
     uq_v, _ = check_uniqueness(docs, run_id="entry")
     ri_v, _ = check_referential_integrity(docs, catalog, run_id="entry")
     return uq_v.unionByName(ri_v).select(
         "partition_id", "constraint", "passed", "severity", "summary"
     )
+
+
+ORACLE_SPAN_VALIDATION = f"""
+WITH docs AS (
+  SELECT * FROM read_parquet('{_SPAN_VAL_DIR}/docs/*.parquet')
+), cat AS (
+  SELECT DISTINCT media_ref FROM read_parquet('{_SPAN_VAL_DIR}/catalog/*.parquet')
+), dups AS (
+  SELECT doc_id FROM docs GROUP BY doc_id HAVING count(*) > 1
+), uq AS (
+  SELECT d.partition_id,
+         CAST(sum(CASE WHEN u.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_rows,
+         count(DISTINCT u.doc_id) AS n_dup_keys
+  FROM docs d LEFT JOIN dups u ON d.doc_id = u.doc_id
+  GROUP BY 1
+), refs AS (
+  SELECT partition_id, s.media_ref AS media_ref
+  FROM (SELECT partition_id, unnest(spans) AS s FROM docs)
+  WHERE s.media_ref IS NOT NULL
+), ri AS (
+  SELECT r.partition_id,
+         count(*) AS n_refs,
+         CAST(sum(CASE WHEN c.media_ref IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dangling
+  FROM refs r LEFT JOIN cat c ON r.media_ref = c.media_ref
+  GROUP BY 1
+)
+SELECT partition_id, 'uniqueness' AS "constraint",
+       n_dup_rows = 0 AS passed,
+       CASE WHEN n_dup_rows = 0 THEN 'info' ELSE 'high' END AS severity,
+       CASE WHEN n_dup_rows = 0 THEN 'uniqueness ok'
+            ELSE printf('%d duplicate rows across %d keys', n_dup_rows, n_dup_keys)
+       END AS summary
+FROM uq
+UNION ALL
+SELECT partition_id, 'referential_integrity' AS "constraint",
+       n_dangling = 0 AS passed,
+       CASE WHEN n_dangling = 0 THEN 'info' ELSE 'high' END AS severity,
+       CASE WHEN n_dangling = 0 THEN 'referential integrity ok'
+            ELSE printf('%d dangling media_refs of %d', n_dangling, n_refs)
+       END AS summary
+FROM ri
+"""
 
 
 def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,10 +980,8 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_span_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.profile import profile_spans
-    from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
 
-    cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
-    docs = synth_documents(spark, cfg, epoch=0)
+    docs, _ = _span_val_tables(spark)
     prof = profile_spans(docs)
     return prof.select(
         "partition_id",
@@ -929,6 +990,23 @@ def q_span_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset_min",
         "offset_max",
     )
+
+
+ORACLE_SPAN_KIND_HISTOGRAM = f"""
+WITH docs AS (
+  SELECT * FROM read_parquet('{_SPAN_VAL_DIR}/docs/*.parquet')
+), sp AS (
+  SELECT partition_id, unnest(spans) AS s FROM docs
+)
+SELECT partition_id,
+       count(*) AS n_spans,
+       round(sum(CASE WHEN s.kind = 'text' AND s.text IS NULL THEN 1 ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN s.kind = 'text' THEN 1 ELSE 0 END), 0), 6)
+         AS text_null_ratio,
+       min(s."offset") AS offset_min,
+       max(s."offset") AS offset_max
+FROM sp GROUP BY partition_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1005,8 +1083,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": ORACLE_IVF_ASSIGN,
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
+        "span_validation": ORACLE_SPAN_VALIDATION,
+        "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
         # minhash_lsh_pairs / simhash_pairs / winnowing: xxhash64-based,
         # not DuckDB-expressible → rows-only
-        # span_validation / span_kind_histogram: synthetic interleaved
-        # input generated in Spark → rows-only
+        # quantile_drift_spans / hll_rollup: sketch algebra is
+        # engine-specific → rows-only
     }
