@@ -87,15 +87,25 @@ def check_uniqueness(
     key: str = "doc_id",
     group_cols: Sequence[str] = ("epoch", "partition_id"),
     salt_buckets: int = 16,
+    dups: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (verdicts, violations). A partition fails iff it contains any
     row whose key is globally duplicated. Violation rows carry the
-    first span's sequence evidence for each duplicated doc."""
+    first span's sequence evidence for each duplicated doc.
+
+    "Globally" means over ``docs`` — when validating a subset (e.g. one
+    batch of partitions), pass ``dups`` precomputed over the FULL table
+    (duplicate_keys(full_docs)) so cross-subset duplicates are still
+    detected; otherwise the verdict scope silently shrinks to the
+    subset."""
     group_cols = [c for c in group_cols if c in docs.columns]
     # dup keys are a tiny fraction of the table → cache the aggregate so
     # the verdict and violation actions don't re-shuffle all keys twice,
     # and broadcast it back against the table
-    dups = duplicate_keys(docs, key, salt_buckets).cache()
+    if dups is None:
+        dups = duplicate_keys(docs, key, salt_buckets).cache()
+    else:
+        dups = dups.select(key, "n_occurrences")
     offenders = docs.join(F.broadcast(dups), on=key, how="inner")
 
     violations = offenders.select(
@@ -246,12 +256,17 @@ def drift_statistics(
     )
     wt = Window.partitionBy(*keys)
     worder = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # try_divide: a one-sided group (zero total) yields null stats instead
+    # of an ANSI divide-by-zero error; the verdict layer fails it closed
     j = (
         j.withColumn("b_tot", F.sum("b_cnt").over(wt))
         .withColumn("c_tot", F.sum("c_cnt").over(wt))
-        .withColumn("b_cdf", F.sum("b_cnt").over(worder) / F.col("b_tot"))
-        .withColumn("c_cdf", F.sum("c_cnt").over(worder) / F.col("c_tot"))
-        .withColumn("b_exp", F.greatest(F.col("b_cnt") / F.col("b_tot") * F.col("c_tot"), F.lit(0.5)))
+        .withColumn("b_cdf", F.try_divide(F.sum("b_cnt").over(worder), F.col("b_tot")))
+        .withColumn("c_cdf", F.try_divide(F.sum("c_cnt").over(worder), F.col("c_tot")))
+        .withColumn(
+            "b_exp",
+            F.greatest(F.try_divide(F.col("b_cnt"), F.col("b_tot")) * F.col("c_tot"), F.lit(0.5)),
+        )
     )
     return j.groupBy(*keys).agg(
         F.max(F.abs(F.col("b_cdf") - F.col("c_cdf"))).alias("ks_stat"),
@@ -278,11 +293,14 @@ def categorical_drift_statistics(
     c = curr.groupBy(*keys, category).agg(F.sum(count).alias("c_cnt"))
     j = b.join(c, on=keys + [category], how="full_outer").fillna(0, subset=["b_cnt", "c_cnt"])
     wt = Window.partitionBy(*keys)
+    # try_divide: see drift_statistics — null stats on one-sided groups,
+    # failed closed by the verdict layer
     j = (
         j.withColumn("b_tot", F.sum("b_cnt").over(wt))
         .withColumn("c_tot", F.sum("c_cnt").over(wt))
         .withColumn(
-            "b_exp", F.greatest(F.col("b_cnt") / F.col("b_tot") * F.col("c_tot"), F.lit(0.5))
+            "b_exp",
+            F.greatest(F.try_divide(F.col("b_cnt"), F.col("b_tot")) * F.col("c_tot"), F.lit(0.5)),
         )
     )
     return j.groupBy(*keys).agg(
@@ -304,16 +322,28 @@ def check_categorical_drift(
     chi2_per_category_threshold: float = 10.0,
 ) -> DataFrame:
     stats = categorical_drift_statistics(base, curr, keys, category, count)
+    # a key group present on only one side (new partition without a
+    # baseline, or a vanished one) has n_base=0 or n_curr=0 and null
+    # chi2 — that IS drift, so fail closed rather than emit a null verdict
+    both = (F.col("n_base") > 0) & (F.col("n_curr") > 0)
     per = stats.select(
         *keys,
         F.lit(epoch).alias("epoch"),
-        ((F.col("chi2_stat") / F.col("n_categories")) <= chi2_per_category_threshold).alias(
-            "passed"
-        ),
-        F.format_string(
-            "categorical chi2/cat=%.2f over %d categories",
-            F.col("chi2_stat") / F.col("n_categories"),
-            F.col("n_categories"),
+        F.when(
+            both, (F.col("chi2_stat") / F.col("n_categories")) <= chi2_per_category_threshold
+        ).otherwise(F.lit(False)).alias("passed"),
+        F.when(
+            both,
+            F.format_string(
+                "categorical chi2/cat=%.2f over %d categories",
+                F.col("chi2_stat") / F.col("n_categories"),
+                F.col("n_categories"),
+            ),
+        ).otherwise(
+            F.format_string(
+                "missing baseline or current data (n_base=%d n_curr=%d)",
+                F.col("n_base").cast("long"), F.col("n_curr").cast("long"),
+            )
         ).alias("summary"),
         F.to_json(
             F.struct(F.col("chi2_stat"), F.col("n_categories"), F.col("n_base"), F.col("n_curr"))
@@ -381,19 +411,33 @@ def check_distribution_drift(
     thresholds live in the declarative constraint spec ≙ the
     reference's policy nodes)."""
     stats = drift_statistics(base_hist, curr_hist, keys)
+    # fail closed on one-sided groups (null ks/chi2 from a zero total):
+    # a partition with no baseline — or no current data — is drift, not
+    # an unknowable; without this guard the verdict would be null and
+    # downstream sinks would record it as neither passed nor failed
+    both = (F.col("n_base") > 0) & (F.col("n_curr") > 0)
     per = stats.select(
         *keys,
         F.lit(epoch).alias("epoch"),
-        (
+        F.when(
+            both,
             (F.col("ks_stat") <= ks_threshold)
-            & ((F.col("chi2_stat") / F.col("n_bins")) <= chi2_per_bin_threshold)
-        ).alias("passed"),
-        F.format_string(
-            "ks=%.4f chi2/bin=%.2f (n_base=%d n_curr=%d)",
-            F.col("ks_stat"),
-            F.col("chi2_stat") / F.col("n_bins"),
-            F.col("n_base").cast("long"),
-            F.col("n_curr").cast("long"),
+            & ((F.col("chi2_stat") / F.col("n_bins")) <= chi2_per_bin_threshold),
+        ).otherwise(F.lit(False)).alias("passed"),
+        F.when(
+            both,
+            F.format_string(
+                "ks=%.4f chi2/bin=%.2f (n_base=%d n_curr=%d)",
+                F.col("ks_stat"),
+                F.col("chi2_stat") / F.col("n_bins"),
+                F.col("n_base").cast("long"),
+                F.col("n_curr").cast("long"),
+            ),
+        ).otherwise(
+            F.format_string(
+                "missing baseline or current data (n_base=%d n_curr=%d)",
+                F.col("n_base").cast("long"), F.col("n_curr").cast("long"),
+            )
         ).alias("summary"),
         F.to_json(
             F.struct(

@@ -51,6 +51,7 @@ DEFAULT_SPEC: dict[str, Any] = {
         "chi2_per_bin_threshold": 10.0,
     },
     "quantile_drift": {"ks_threshold": 0.1},
+    "categorical_drift": {"chi2_per_category_threshold": 10.0},
     "policy": {"auto_heal": True, "notify_on_breaking": True, "channels": ["email"]},
 }
 
@@ -70,6 +71,16 @@ def baseline_tdigest(docs: DataFrame) -> DataFrame:
     return tdigest_profiles(_offsets_view(docs), "off", ["partition_id"])
 
 
+def baseline_kind_counts(docs: DataFrame) -> DataFrame:
+    """Long-format span-kind counts (partition_id, category, cnt) — the
+    baseline side of the categorical-drift chi-square check."""
+    return (
+        docs.select("partition_id", F.explode("spans.kind").alias("category"))
+        .groupBy("partition_id", "category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def run_validation(
     spark: SparkSession,
     docs: DataFrame,
@@ -80,9 +91,11 @@ def run_validation(
     epoch: int = 0,
     baseline_hist: DataFrame | None = None,
     baseline_td: DataFrame | None = None,
+    baseline_kinds: DataFrame | None = None,
     partition_batches: int = 1,
     spec: dict[str, Any] | None = None,
     fail_after_batches: int | None = None,  # test hook: simulate interruption
+    crash_after_write: bool = False,  # test hook: die between writes and commit
 ) -> dict[str, Any]:
     """Validate one epoch of the documents table. Returns the decision
     envelope plus run bookkeeping. Re-invoking with the same run_id
@@ -121,18 +134,33 @@ def run_validation(
     ] if partition_batches > 1 else [pending]
     batches = [sorted(b) for b in batches if b]
 
+    # uniqueness scope is the FULL table, not the batch: duplicates of
+    # the same doc_id landing in partitions of different batches (or in
+    # batches of a previous, interrupted attempt) must still be caught —
+    # one key-only scan + salted aggregation for the whole run, reused
+    # by every batch via the cached (tiny) dup-key set
+    dups = None
+    if batches:
+        uq_spec = dict(spec["uniqueness"])
+        dups = C.duplicate_keys(
+            docs, uq_spec.get("key", "doc_id"), uq_spec.get("salt_buckets", 16)
+        ).cache()
+
     executed = 0
     for batch in batches:
         if fail_after_batches is not None and executed >= fail_after_batches:
             break
         started = time.time()
-        subset = docs.filter(F.col("partition_id").isin([int(p) for p in batch]))
+        batch_ids = [int(p) for p in batch]
+        subset = docs.filter(F.col("partition_id").isin(batch_ids))
 
-        profiles = profile_columns(subset, snapshot_id=snapshot_id, entity=entity)
+        # persisted: reused by the profile write AND the docs_validated
+        # manifest counts, so the batch is not rescanned for bookkeeping
+        profiles = profile_columns(subset, snapshot_id=snapshot_id, entity=entity).persist()
         span_prof = profile_spans(subset)
-        uq_v, uq_viol = C.check_uniqueness(subset, run_id, **{
-            k: v for k, v in spec["uniqueness"].items()
-        })
+        uq_v, uq_viol = C.check_uniqueness(
+            subset, run_id, dups=dups, **{k: v for k, v in spec["uniqueness"].items()}
+        )
         ri_v, ri_viol = C.check_referential_integrity(
             subset, catalog, run_id, **spec["referential_integrity"]
         )
@@ -150,7 +178,7 @@ def run_validation(
                 epoch,
                 ks_threshold=d["ks_threshold"],
                 chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
-            ).filter(F.col("partition_id").isin([int(p) for p in batch]))
+            ).filter(F.col("partition_id").isin(batch_ids))
             verdicts = verdicts.unionByName(dd_v)
         if baseline_td is not None:
             qd_v = C.check_quantile_drift(
@@ -161,24 +189,78 @@ def run_validation(
                 ks_threshold=spec.get("quantile_drift", {}).get("ks_threshold", 0.1),
             )
             verdicts = verdicts.unionByName(qd_v)
+        if baseline_kinds is not None:
+            cd_v = C.check_categorical_drift(
+                baseline_kinds,
+                baseline_kind_counts(subset),
+                run_id,
+                epoch,
+                chi2_per_category_threshold=spec.get("categorical_drift", {}).get(
+                    "chi2_per_category_threshold", 10.0
+                ),
+            ).filter(F.col("partition_id").isin(batch_ids))
+            verdicts = verdicts.unionByName(cd_v)
 
         # writes first, manifest commit last (write-ahead ordering); the
         # four outputs are independent → submit as concurrent Spark jobs
         # (the scheduler interleaves their stages across the cluster, so
-        # per-job fixed costs and scans overlap instead of serializing)
+        # per-job fixed costs and scans overlap instead of serializing).
+        # Each write is dynamic-partition-OVERWRITE keyed by the stable
+        # identity of the rows (run/snapshot + partition_id): a batch
+        # whose writes landed but whose manifest commit did not (crash in
+        # between) is simply re-written in place on resume — readers
+        # never see duplicated verdict/violation/profile rows.
         from concurrent.futures import ThreadPoolExecutor
 
         targets = [
-            (profiles, f"{out_dir}/profiles"),
-            (span_prof.withColumn("run_id", F.lit(run_id)), f"{out_dir}/span_profiles"),
-            (verdicts, f"{out_dir}/verdicts"),
-            (violations, f"{out_dir}/violations"),
+            (profiles, f"{out_dir}/profiles", ["snapshot_id", "partition_id"]),
+            (
+                span_prof.withColumn("run_id", F.lit(run_id)),
+                f"{out_dir}/span_profiles",
+                ["run_id", "partition_id"],
+            ),
+            (verdicts, f"{out_dir}/verdicts", ["run_id", "partition_id"]),
+            (violations, f"{out_dir}/violations", ["run_id", "partition_id"]),
         ]
-        with ThreadPoolExecutor(max_workers=len(targets)) as pool:
-            list(pool.map(lambda t: t[0].write.mode("append").parquet(t[1]), targets))
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            with ThreadPoolExecutor(max_workers=len(targets)) as pool:
+                list(
+                    pool.map(
+                        lambda t: t[0].write.mode("overwrite")
+                        .partitionBy(*t[2])
+                        .parquet(t[1]),
+                        targets,
+                    )
+                )
+        finally:
+            if prev_mode is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
-        counts = {r.partition_id: r.n for r in
-                  subset.groupBy("partition_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        if (
+            crash_after_write
+            and fail_after_batches is not None
+            and executed == fail_after_batches - 1
+        ):
+            # simulate a crash AFTER the batch outputs landed but BEFORE
+            # the manifest commit: the orphaned rows must be overwritten
+            # in place (not duplicated) when the run resumes
+            profiles.unpersist()
+            break
+
+        # docs_validated from the already-persisted profile rows (n_rows
+        # per (epoch, partition) group) — no extra scan of the batch data
+        counts = {
+            r.partition_id: r.n
+            for r in profiles.filter(F.col("column") == "doc_id")
+            .groupBy("partition_id")
+            .agg(F.sum("n_rows").alias("n"))
+            .collect()
+        }
+        profiles.unpersist()
         M.commit_partitions(
             spark,
             out_dir,
@@ -200,6 +282,8 @@ def run_validation(
             ],
         )
         executed += 1
+    if dups is not None:
+        dups.unpersist()
 
     # ---- policy: heal → notify → decide (driver-side, tiny) ------------
     pol = spec.get("policy", {})
@@ -236,11 +320,30 @@ def run_validation(
     return envelope
 
 
+def _read_partitioned(
+    spark: SparkSession, path: str, schema_cols: list[str], run_id: str | None
+) -> DataFrame:
+    """Read a (run_id, partition_id)-directory-partitioned output back in
+    canonical column order; the run_id filter prunes directories."""
+    v = spark.read.parquet(path)
+    if run_id:
+        v = v.filter(F.col("run_id") == run_id)
+    return v.select(
+        *[F.col(c).cast("int").alias(c) if c == "partition_id" else F.col(c) for c in schema_cols]
+    )
+
+
 def read_verdicts(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
-    v = spark.read.parquet(f"{out_dir}/verdicts")
-    return v.filter(F.col("run_id") == run_id) if run_id else v
+    from ..model import VERDICT_SCHEMA
+
+    return _read_partitioned(
+        spark, f"{out_dir}/verdicts", [f.name for f in VERDICT_SCHEMA.fields], run_id
+    )
 
 
 def read_violations(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
-    v = spark.read.parquet(f"{out_dir}/violations")
-    return v.filter(F.col("run_id") == run_id) if run_id else v
+    from ..model import VIOLATION_SCHEMA
+
+    return _read_partitioned(
+        spark, f"{out_dir}/violations", [f.name for f in VIOLATION_SCHEMA.fields], run_id
+    )

@@ -138,6 +138,92 @@ def test_uniqueness_verdict_unaffected_by_repartition(spark, docs0, catalog, tmp
     assert v[("uniqueness", 0)] and v[("referential_integrity", 0)]
 
 
+def test_cross_batch_duplicates_detected(spark, docs0, catalog, tmp_path_factory):
+    """Duplicates of the same doc_id split across partitions that land in
+    DIFFERENT batches must still fail uniqueness in both partitions —
+    the dup-key set is computed once over the full table, not per batch."""
+    out = str(tmp_path_factory.mktemp("run_xbatch"))
+    # clone one partition-0 doc into partition 7; with partition_batches=4
+    # the stride grouping puts 0 and 7 in different batches ([0,4] vs [3,7])
+    clone = docs0.filter(F.col("partition_id") == 0).limit(1).withColumn(
+        "partition_id", F.lit(7).cast("int")
+    )
+    docs_x = docs0.unionByName(clone)
+    run_validation(
+        spark, docs_x, catalog, out, run_id="xb", epoch=0, partition_batches=4
+    )
+    v = {
+        (r.constraint, r.partition_id): r.passed
+        for r in read_verdicts(spark, out, "xb").collect()
+    }
+    assert not v[("uniqueness", 0)]
+    assert not v[("uniqueness", 7)]
+
+
+def test_crash_between_write_and_commit_no_duplicates(
+    spark, docs0, catalog, tmp_path_factory
+):
+    """A crash after a batch's output writes but before its manifest
+    commit leaves orphaned parquet rows; the resume must overwrite them
+    in place so readers never see duplicated verdict/violation rows."""
+    out = str(tmp_path_factory.mktemp("run_orphan"))
+    run_validation(
+        spark, docs0, catalog, out, run_id="cw", epoch=0,
+        partition_batches=4, fail_after_batches=2, crash_after_write=True,
+    )
+    # batch 0 committed; batch 1's outputs are orphaned (no manifest row)
+    pending = M.pending_partitions(spark, docs0.select("partition_id"), out, "cw")
+    assert len(pending) == 6
+    run_validation(
+        spark, docs0, catalog, out, run_id="cw", epoch=0, partition_batches=4
+    )
+    rows = read_verdicts(spark, out, "cw").collect()
+    keys = [(r.constraint, r.partition_id) for r in rows]
+    assert len(keys) == len(set(keys)) == 16  # no duplicated verdicts
+    # violation rows match a clean (uninterrupted) run exactly — the
+    # orphaned batch's rows were overwritten, not appended twice
+    out_clean = str(tmp_path_factory.mktemp("run_orphan_clean"))
+    run_validation(spark, docs0, catalog, out_clean, run_id="cl", epoch=0)
+    per_part = lambda out_, rid: {  # noqa: E731
+        (r.constraint, r.partition_id): r["count"]
+        for r in read_violations(spark, out_, rid)
+        .groupBy("constraint", "partition_id").count().collect()
+    }
+    assert per_part(out, "cw") == per_part(out_clean, "cl")
+
+
+def test_categorical_drift_in_pipeline(spark, docs0, catalog, tmp_path_factory):
+    from schema_drift_detector_spark.plans.run import baseline_kind_counts
+
+    out = str(tmp_path_factory.mktemp("run_cat"))
+    run_validation(
+        spark, docs0, catalog, out, run_id="cd0", epoch=0,
+        baseline_kinds=baseline_kind_counts(docs0),
+    )
+    cd = {
+        r.partition_id: r
+        for r in read_verdicts(spark, out, "cd0")
+        .filter("constraint = 'categorical_drift'")
+        .collect()
+    }
+    # one verdict per partition; identical kind mix → all pass
+    assert set(cd) == set(range(8))
+    assert all(r.passed for r in cd.values())
+
+
+def test_categorical_drift_fails_closed_on_missing_baseline(spark, docs0):
+    """A partition absent from the baseline must fail (not null-verdict)."""
+    from schema_drift_detector_spark.operators.constraints import check_categorical_drift
+    from schema_drift_detector_spark.plans.run import baseline_kind_counts
+
+    kinds = baseline_kind_counts(docs0)
+    base = kinds.filter(F.col("partition_id") != 3)
+    v = {r.partition_id: r for r in check_categorical_drift(base, kinds, "fc", 0).collect()}
+    assert v[3].passed is False
+    assert "missing baseline" in v[3].summary
+    assert all(v[p].passed for p in range(8) if p != 3)
+
+
 def test_quantile_drift_in_pipeline(spark, docs0, catalog, tmp_path_factory):
     from schema_drift_detector_spark.plans.run import baseline_tdigest
 
