@@ -122,10 +122,19 @@ def fingerprint_normalized(text: Column | str) -> Column:
 
 
 def rolling_hashes(text: Column | str, n: int = 8, mod: int = 1_000_003) -> Column:
-    """Polynomial rolling hash of every n-gram (Rabin–Karp), as an
-    array<int> — the winnowing fingerprint unit. Built from
-    transform/aggregate over code points; no Python."""
-    sh = char_shingles(text, n)
+    """Polynomial rolling hash of every n-gram (Rabin–Karp) over unicode
+    CODE POINTS, as an array<int> — the winnowing fingerprint unit.
+    Built from transform/aggregate; no Python.
+
+    The n-gram sequence is NOT deduplicated: winnowing's sliding-window
+    minimum runs over the positional hash sequence, so repeated n-grams
+    must keep their positions (array_distinct here would change which
+    hash each window selects)."""
+    c = F.col(text) if isinstance(text, str) else text
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: F.substring(c, i, n),
+    )
     return F.transform(
         sh,
         lambda s: F.aggregate(
@@ -141,26 +150,42 @@ def winnowing_fingerprint(text: Column | str, n: int = 8, window: int = 4) -> Co
     window of the rolling-hash sequence → compact doc fingerprint set.
 
     Pure-expression form — O(len·n) expression-tree evaluation per row;
-    kept for reference/verification. Use winnowing_fingerprint_arrow in
-    hot paths (≈100× faster; Arrow-vectorized numpy)."""
-    h = rolling_hashes(text, n)
+    kept for reference/verification (value-identical to the Arrow form,
+    see test_winnowing_forms_value_parity). Use
+    winnowing_fingerprint_arrow in hot paths (≈100× faster;
+    Arrow-vectorized numpy)."""
+    c = F.col(text) if isinstance(text, str) else text
+    h = rolling_hashes(c, n)
     idx = F.sequence(F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(1)))
-    return F.array_distinct(
+    fp = F.array_distinct(
         F.transform(idx, lambda i: F.array_min(F.slice(h, i, window)))
     )
+    # empty text → empty fingerprint set (aligns with the Arrow form)
+    return F.when(F.length(c) > 0, fp).otherwise(F.array().cast("array<int>"))
 
 
 def winnowing_fingerprint_arrow(
     text: Column | str, n: int = 8, window: int = 4, mod: int = 1_000_003
 ) -> Column:
-    """Arrow-batched winnowing: per-row numpy — byte-level Rabin–Karp
+    """Arrow-batched winnowing: per-row numpy — code-point Rabin–Karp
     rolling hash via convolution, sliding-window min, distinct. The
     per-row Python is amortized by Arrow batches; the inner math is
-    all numpy. This is the 100-TB path."""
+    all numpy. This is the 100-TB path.
+
+    Value-identical to winnowing_fingerprint (tested): both hash unicode
+    code points (utf-32 here ≙ F.ascii per char there), and the
+    convolution weights are pre-reduced mod p so the dot product stays
+    ≤ n·p·max_codepoint ≪ 2^63 for any n (the raw 131^i weights would
+    overflow int64 from n=9)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
-    weights = (131 ** np.arange(n - 1, -1, -1, dtype=np.int64))
+    # (Σ x_i·131^(n-1-i)) mod p == (Σ x_i·(131^(n-1-i) mod p)) mod p
+    weights = np.empty(n, dtype=np.int64)
+    w = 1
+    for i in range(n - 1, -1, -1):
+        weights[i] = w
+        w = (w * 131) % mod
 
     @pandas_udf(ArrayType(IntegerType()))
     def _winnow(texts: pd.Series) -> pd.Series:
@@ -169,12 +194,18 @@ def winnowing_fingerprint_arrow(
             if t is None:
                 out.append(None)
                 continue
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             if len(b) == 0:
                 out.append([])
                 continue
             if len(b) < n:
-                h = np.array([int(b @ (131 ** np.arange(len(b) - 1, -1, -1, dtype=np.int64))) % mod])
+                # single short n-gram, same incremental-mod weights
+                ws = np.empty(len(b), dtype=np.int64)
+                w2 = 1
+                for i in range(len(b) - 1, -1, -1):
+                    ws[i] = w2
+                    w2 = (w2 * 131) % mod
+                h = np.array([int(b @ ws) % mod])
             else:
                 sw = np.lib.stride_tricks.sliding_window_view(b, n)
                 h = (sw @ weights) % mod

@@ -61,6 +61,51 @@ def fields_from_schema(
     return spark.createDataFrame(rows, FIELD_SCHEMA)
 
 
+DEFAULT_HEADER_MAX_BYTES = 32 * 1024  # csv_crawler_agent.py:8 DEFAULT_MAX_BYTES
+
+
+def read_csv_header_bounded(
+    spark: SparkSession,
+    path: str,
+    max_bytes: int = DEFAULT_HEADER_MAX_BYTES,
+) -> list[str]:
+    """Bounded header scan (R4 parity, csv_crawler_agent.py:129-141):
+    read at most ``max_bytes`` from the file and parse the first
+    non-empty CSV row. This is a metadata-only probe — the 10^12-doc
+    table is never touched; only the first 32 KiB of one file is.
+
+    Spark-first generalization of the reference's per-scheme backends
+    (R5/R6, local/s3/gs/http branches): the Hadoop FileSystem API
+    dispatches on the path scheme, so the same code serves file://,
+    s3a://, gs://, abfs://... wherever the cluster has connectors.
+    """
+    import csv
+    import io
+
+    local = path.split("://", 1)[0] if "://" in path else None
+    if local is None or local == "file":
+        p = path.split("://", 1)[1] if local else path
+        with open(p, "rb") as fh:
+            raw = fh.read(max_bytes)
+    else:
+        # remote scheme → Hadoop FS; one bounded JVM→Python byte transfer
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(jpath)
+        try:
+            bounded = jvm.org.apache.commons.io.input.BoundedInputStream(stream, max_bytes)
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
+        finally:
+            stream.close()
+    # first non-empty CSV row, cells stripped (csv_crawler_agent.py:41-49)
+    text = raw.decode("utf-8", errors="replace")
+    for row in csv.reader(io.StringIO(text)):
+        if row:
+            return [c.strip() for c in row]
+    return []
+
+
 def fields_from_headers(spark: SparkSession, headers: Sequence[str]) -> DataFrame:
     """Header names → snapshot fields, exactly the crawler's projection
     (csv_crawler_agent.py:270-291): nullable=True, ordinal=i,

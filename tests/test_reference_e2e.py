@@ -72,6 +72,74 @@ def test_csv_drift_scenario(spark, tmp_path_factory):
     assert decide(False, "info", healing_plan(False, []), True) == "continue"
 
 
+def test_golden_csv_files_end_to_end(spark, tmp_path_factory):
+    """The reference's ACTUAL example files through the bounded 32 KiB
+    header read (R4, csv_crawler_agent.py:129-141): snapshot fields and
+    the drift report must reproduce examples/*/csv_crawler_agent_output
+    .json and examples/drift/detector_agent_output.json field-for-field."""
+    import json
+
+    from schema_drift_detector_spark.operators.snapshot import read_csv_header_bounded
+
+    ex = "/root/reference/examples"
+    store_dir = f"{tmp_path_factory.mktemp('golden')}/store"
+
+    def golden_fields(scenario):
+        with open(f"{ex}/{scenario}/csv_crawler_agent_output.json") as f:
+            return json.load(f)["snapshot"]["schema"]["fields"]
+
+    reports = {}
+    for i, scenario in enumerate(("no_drfit", "drift")):
+        headers = read_csv_header_bounded(spark, f"{ex}/{scenario}/people-info.csv")
+        fields = fields_from_headers(spark, headers)
+        got = [r.asDict() for r in fields.orderBy("ordinal").collect()]
+        want = golden_fields(scenario)
+        assert [g["name"] for g in got] == [w["name"] for w in want]
+        assert [g["dtype"] for g in got] == [w["type"] for w in want]
+        assert [g["nullable"] for g in got] == [w["nullable"] for w in want]
+        assert [g["ordinal"] for g in got] == [w["ordinal"] for w in want]
+        sid = store.persist_snapshot(spark, store_dir, "people-info.csv", i, fields)
+        prev = store.previous_snapshot(spark, store_dir, "people-info.csv", sid)
+        if prev:
+            before = store.fields_of(spark, store_dir, prev)
+            reports[scenario] = drift_report(diff_fields(before, fields)).collect()[0]
+
+    # golden: examples/drift/detector_agent_output.json (drift_report node)
+    with open(f"{ex}/drift/detector_agent_output.json") as f:
+        want_rep = json.load(f)["drift_report"]
+    rep = reports["drift"]
+    assert rep.drift_detected is True
+    assert rep.summary == want_rep["summary"]
+    assert rep.severity == want_rep["severity"]
+    got_changes = [c.asDict(recursive=True) for c in rep.changes]
+    assert len(got_changes) == len(want_rep["changes"]) == 1
+    g, w = got_changes[0], want_rep["changes"][0]
+    assert g["op"] == w["op"] and g["field"] == w["field"]
+    assert g["severity"] == w["severity"] and g["notes"] == w["notes"]
+    assert g["before"] is None
+    assert g["after"]["name"] == w["after"]["name"]
+    assert g["after"]["dtype"] == w["after"]["type"]
+    assert g["after"]["nullable"] == w["after"]["nullable"]
+    assert g["after"]["ordinal"] == w["after"]["ordinal"]
+
+
+def test_bounded_header_read_truncates(spark, tmp_path_factory):
+    """max_bytes caps the read even when the header line is longer —
+    reference behavior: parse whatever fits in the first max_bytes."""
+    from schema_drift_detector_spark.operators.snapshot import read_csv_header_bounded
+
+    tmp = tmp_path_factory.mktemp("bounded")
+    p = f"{tmp}/wide.csv"
+    cols = [f"col_{i:04d}" for i in range(200)]
+    with open(p, "w") as f:
+        f.write(",".join(cols) + "\n" + ",".join(["x"] * 200) + "\n")
+    full = read_csv_header_bounded(spark, p)
+    assert full == cols
+    capped = read_csv_header_bounded(spark, p, max_bytes=64)
+    assert 0 < len(capped) < 200
+    assert capped == [c.strip() for c in ",".join(cols)[:64].split(",")]
+
+
 def test_salted_uniqueness_extreme_skew(spark):
     """40% of half a million rows share ONE key: the salted two-phase
     aggregation must stay correct (and not funnel the hot key through
@@ -91,23 +159,43 @@ def test_salted_uniqueness_extreme_skew(spark):
     assert dups == {"HOT-KEY": n // 5 * 2}
 
 
-def test_winnowing_expr_vs_arrow_shapes(spark):
-    """Both winnowing forms produce non-empty, deterministic
-    fingerprint sets; identical texts agree within each form."""
+def test_winnowing_forms_value_parity(spark):
+    """The expression form and the Arrow form are the SAME function:
+    identical fingerprint sets per row — including repeated n-grams
+    (no dedup before windowing), non-ASCII code points, short and
+    empty strings — and for n=12 where naive 131^i weights would
+    overflow int64."""
     from schema_drift_detector_spark.functions.text import (
         winnowing_fingerprint,
         winnowing_fingerprint_arrow,
     )
-    import pyspark.sql.functions as F
 
     df = spark.createDataFrame(
-        [("a", "the quick brown fox jumps over the lazy dog"),
-         ("b", "the quick brown fox jumps over the lazy dog"),
-         ("c", "completely different content here entirely")],
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "abababababababababab"),           # repeated n-grams
+            ("c", "straße größe münchen — çok güzel"),  # non-ASCII
+            ("d", "tiny"),                            # shorter than n
+            ("e", ""),                                # empty
+            ("f", "completely different content here entirely"),
+        ],
         ["id", "t"],
     )
-    for fn in (winnowing_fingerprint, winnowing_fingerprint_arrow):
-        rows = {r.id: set(r.fp) for r in df.select("id", fn("t").alias("fp")).collect()}
-        assert rows["a"] == rows["b"]
-        assert rows["a"] != rows["c"]
-        assert len(rows["a"]) > 0
+    for n, window in ((8, 4), (12, 5)):
+        expr = {
+            r.id: list(r.fp)
+            for r in df.select(
+                "id", winnowing_fingerprint("t", n=n, window=window).alias("fp")
+            ).collect()
+        }
+        arrow = {
+            r.id: list(r.fp)
+            for r in df.select(
+                "id", winnowing_fingerprint_arrow("t", n=n, window=window).alias("fp")
+            ).collect()
+        }
+        assert {k: sorted(v) for k, v in expr.items()} == {
+            k: sorted(v) for k, v in arrow.items()
+        }, f"divergence at n={n}"
+    assert expr["e"] == []
+    assert len(expr["a"]) > 0 and expr["a"] != expr["f"]
