@@ -838,17 +838,98 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # --------------------------------------------------------------------------
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH in the md5-affine hash mode: the DuckDB oracle
+    recomputes the identical 64-long signatures, band buckets, and
+    signature-overlap estimates — full hash-equality certification of
+    the LSH scale path (not just row counts)."""
     from schema_drift_detector_spark.operators.dedup import minhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6)
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
+    )
+
+
+def _oracle_minhash_lsh() -> str:
+    from schema_drift_detector_spark.operators.dedup import (
+        MERSENNE31,
+        minhash_permutation_params,
+    )
+
+    params = minhash_permutation_params(64)
+    mins = ",\n         ".join(
+        f"min(({a} * h31 + {b}) % {MERSENNE31}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_eq = "\n    OR ".join(
+        "(" + " AND ".join(f"a.m{4 * j + r} = b.m{4 * j + r}" for r in range(4)) + ")"
+        for j in range(16)
+    )
+    est = " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(64))
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MERSENNE31} AS h31
+  FROM sh
+), sig AS (
+  SELECT doc_id, {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({est}) / 64.0 AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({band_eq})
+  AND ({est}) / 64.0 >= 0.6
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk-LSH in md5 mode — oracle recomputes the identical
+    64 sign bits, chunk buckets, and hamming distances."""
     from schema_drift_detector_spark.operators.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8, hash_fn="md5")
+
+
+def _oracle_simhash() -> str:
+    def bit(b: int) -> str:
+        src, sh = ("h1", b) if b < 60 else ("h2", b - 60)
+        return (
+            f"(CASE WHEN sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN 1 ELSE 0 END) AS bit{b}"
+        )
+
+    bits = ",\n         ".join(bit(b) for b in range(64))
+    # Spark's bits array is MSB-first; chunk j covers bits 63-16j .. 48-16j
+    chunk_eq = "\n    OR ".join(
+        "("
+        + " AND ".join(f"a.bit{63 - (j * 16 + r)} = b.bit{63 - (j * 16 + r)}" for r in range(16))
+        + ")"
+        for j in range(4)
+    )
+    ham = " + ".join(
+        f"(CASE WHEN a.bit{b} <> b.bit{b} THEN 1 ELSE 0 END)" for b in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS h2
+  FROM tok
+), sig AS (
+  SELECT doc_id, {bits}
+  FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(({ham}) AS INT) AS hamming_distance
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE ({chunk_eq})
+  AND ({ham}) <= 8
+"""
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1085,8 +1166,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
         "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
-        # minhash_lsh_pairs / simhash_pairs / winnowing: xxhash64-based,
-        # not DuckDB-expressible → rows-only
+        "minhash_lsh_pairs": _oracle_minhash_lsh(),
+        "simhash_pairs": _oracle_simhash(),
+        # winnowing: rolling-hash array algebra → rows-only
         # quantile_drift_spans / hll_rollup: sketch algebra is
         # engine-specific → rows-only
     }

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "corpus_prep",
     "ann_topk",
     "ivf_assign",
+    "ann_topk_ivf",
+    "embedding_near_dups",
     "minhash_lsh_pairs",
     "simhash_pairs",
 ]

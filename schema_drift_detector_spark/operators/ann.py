@@ -3,9 +3,10 @@
 Two tiers (north-star "similarity search" requirement):
 
   brute-force top-k   exact baseline: broadcast the (small) query set
-                      against the corpus, cosine via JVM zip_with/
-                      aggregate, per-query top-k via window. One pass
-                      over the corpus, no shuffle of the corpus itself.
+                      against the corpus, cosine via one Arrow-batched
+                      numpy matmul per partition batch, per-query top-k
+                      via window. One pass over the corpus, no shuffle
+                      of the corpus itself.
 
   IVF top-k           scale path: coarse-quantize the corpus to
                       n_centroids cells (deterministic centroid sample +
@@ -15,6 +16,11 @@ Two tiers (north-star "similarity search" requirement):
                       assignment is persisted ("index") and reused
                       across query batches.
 
+Scoring uses functions.similarity.cosine_arrow (vectorized numpy over
+Arrow batches): Catalyst's higher-order array expressions are not
+whole-stage-codegen'd and floor at ~100µs per 64-dim dot; the Arrow
+path is the 100-TB-posture hot loop.
+
 Top-k ties break deterministically on (score desc, corpus id asc).
 """
 
@@ -23,11 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.similarity import dot, normalize
-
-
-def _normalized(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
-    return df.select(F.col(id_col).alias(out_id), normalize(vec_col).alias(f"{out_id}_nv"))
+from ..functions.similarity import cosine_arrow
 
 
 def topk_bruteforce(
@@ -41,12 +43,15 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k: corpus ⨯ broadcast(queries) → window rank.
     Output: query_id, rank, vec_id, cos_sim (rounded 6dp)."""
-    c = _normalized(corpus, id_col, vec_col, "vec_id")
-    q = _normalized(queries, query_id_col or id_col, query_vec_col or vec_col, "query_id")
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    q = queries.select(
+        F.col(query_id_col or id_col).alias("query_id"),
+        F.col(query_vec_col or vec_col).alias("qvec"),
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(dot(F.col("vec_id_nv"), F.col("query_id_nv")), 6).alias("cos_sim"),
+        F.round(cosine_arrow(F.col("vec"), F.col("qvec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (
@@ -73,13 +78,13 @@ def deterministic_centroids(
     k-row set only. md5-on-string is chosen over xxhash64 because the
     DuckDB oracle can reproduce it bit-for-bit.
 
-    Output: centroid_id, centroid_nv."""
+    Output: centroid_id, centroid_vec (raw — cosine is scale-invariant)."""
     hash_key = F.md5(F.col(id_col).cast("string"))
     picked = (
         corpus.select(
             hash_key.alias("__hk"),
             F.col(id_col).alias("__id"),
-            normalize(vec_col).alias("nv"),
+            F.col(vec_col).alias("vec"),
         )
         .orderBy(F.col("__hk").asc(), F.col("__id").asc())
         .limit(n_centroids)
@@ -87,7 +92,7 @@ def deterministic_centroids(
     w = Window.orderBy(F.col("__hk").asc(), F.col("__id").asc())  # over k rows only
     return picked.select(
         (F.row_number().over(w) - 1).alias("centroid_id"),
-        F.col("nv").alias("centroid_nv"),
+        F.col("vec").alias("centroid_vec"),
     )
 
 
@@ -103,26 +108,26 @@ def kmeans_centroids(
     (posexplode + groupBy(cell, dim)) → renormalize. Centroids are
     collected to the driver between iterations (k×dim floats —
     metadata-scale) to break iterative lineage; the corpus itself never
-    leaves the executors. Deterministic: stride init + lowest-cell-wins
-    tie-break."""
+    leaves the executors. Deterministic: md5-sample init +
+    lowest-cell-wins tie-break."""
     sess = corpus.sparkSession
-    v = corpus.select(F.col(id_col).alias("vec_id"), normalize(vec_col).alias("nv")).cache()
+    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).cache()
     cents = deterministic_centroids(corpus, k, id_col, vec_col)
     for _ in range(iters):
         assigned = (
             v.crossJoin(F.broadcast(cents))
-            .withColumn("sim", dot(F.col("nv"), F.col("centroid_nv")))
+            .withColumn("sim", cosine_arrow(F.col("vec"), F.col("centroid_vec")))
             .groupBy("vec_id")
             .agg(
                 F.max_by(
-                    F.struct(F.col("centroid_id"), F.col("nv")),
+                    F.struct(F.col("centroid_id"), F.col("vec")),
                     F.struct(F.col("sim"), -F.col("centroid_id")),
                 ).alias("best")
             )
-            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.nv").alias("nv"))
+            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.vec").alias("vec"))
         )
         means = (
-            assigned.select("centroid_id", F.posexplode("nv").alias("dim", "val"))
+            assigned.select("centroid_id", F.posexplode("vec").alias("dim", "val"))
             .groupBy("centroid_id", "dim")
             .agg(F.avg("val").alias("m"))
             .groupBy("centroid_id")
@@ -136,8 +141,8 @@ def kmeans_centroids(
         rows = means.collect()  # k rows — breaks lineage between iterations
         cents = sess.createDataFrame(
             [(int(r.centroid_id), list(r.mean_vec)) for r in rows],
-            "centroid_id int, mean_vec array<double>",
-        ).select("centroid_id", normalize("mean_vec").alias("centroid_nv"))
+            "centroid_id int, centroid_vec array<double>",
+        )
     return cents
 
 
@@ -148,17 +153,22 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF index build: argmax-cosine cell per corpus vector — one
-    corpus pass against broadcast centroids.
-    Output: vec_id, centroid_id, nv."""
-    c = corpus.select(F.col(id_col).alias("vec_id"), normalize(vec_col).alias("nv"))
+    corpus pass against broadcast centroids; the argmax is a max_by
+    aggregation (map-side combinable), not a window.
+    Output: vec_id, centroid_id, vec."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     scored = c.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", dot(F.col("nv"), F.col("centroid_nv"))
+        "sim", cosine_arrow(F.col("vec"), F.col("centroid_vec"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .select("vec_id", "centroid_id", "nv")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("centroid_id"), F.col("vec")),
+                F.struct(F.col("sim"), -F.col("centroid_id")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.centroid_id").alias("centroid_id"), F.col("best.vec").alias("vec"))
     )
 
 
@@ -174,21 +184,21 @@ def topk_ivf(
     """Probe the nprobe nearest cells per query; exact cosine within.
     Output: query_id, rank, vec_id, cos_sim."""
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), normalize(query_vec_col).alias("qnv")
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
     qc = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", dot(F.col("qnv"), F.col("centroid_nv"))
+        "sim", cosine_arrow(F.col("qvec"), F.col("centroid_vec"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id").asc())
     probes = (
         qc.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qnv", "centroid_id")
+        .select("query_id", "qvec", "centroid_id")
     )
     scored = probes.join(index, "centroid_id").select(
         "query_id",
         "vec_id",
-        F.round(dot(F.col("qnv"), F.col("nv")), 6).alias("cos_sim"),
+        F.round(cosine_arrow(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     return (

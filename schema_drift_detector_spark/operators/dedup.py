@@ -25,11 +25,12 @@ point.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import dot, normalize
+from ..functions.similarity import cosine_arrow
 from ..functions.text import char_shingles, fingerprint_md5, tokens
 
 
@@ -105,16 +106,63 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def minhash_permutation_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants (a_i, b_i) over
+    GF(2^31-1) — SHARED by the Spark implementation (hash_fn='md5') and
+    the DuckDB oracle builder in __spark_entry__.py, so the two compute
+    bit-identical signatures by construction."""
+    params = []
+    a, b = 1, 0
+    for _ in range(k):
+        a = (a * 1_103_515_245 + 12_345) % MERSENNE31 or 1
+        b = (b * 69_069 + 1_234_567) % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def _md5_h31(col: Column) -> Column:
+    """60-bit int from the md5 hex prefix, folded into GF(2^31-1).
+    Portable across engines: DuckDB computes the identical value as
+    CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 2147483647."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(MERSENNE31)
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, k: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    k: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash: one explode + ONE groupBy computes all k
     mins (map-side combine keeps the shuffle tiny — k longs per doc).
+
+    hash_fn='xxhash64': k independent seeded hashes per shingle (JVM
+    xxhash64 — not reproducible outside Spark).
+    hash_fn='md5': ONE md5 per shingle + k affine permutations over
+    GF(2^31-1) — bit-reproducible in ANSI SQL (the oracle path), and
+    arithmetically cheaper than k full string hashes.
+
     Output: (doc, sig: array<long>[k])."""
     sh = shingle_table(df, id_col, text_col, n)
-    mins = sh.groupBy("doc").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__m{i}") for i in range(k)]
-    )
+    if hash_fn == "md5":
+        h31 = _md5_h31(F.col("shingle"))
+        mins = sh.groupBy("doc").agg(
+            *[
+                F.min(F.pmod(F.lit(a) * h31 + F.lit(b), F.lit(MERSENNE31))).alias(f"__m{i}")
+                for i, (a, b) in enumerate(minhash_permutation_params(k))
+            ]
+        )
+    else:
+        mins = sh.groupBy("doc").agg(
+            *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"__m{i}") for i in range(k)]
+        )
     return mins.select("doc", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
 
 
@@ -164,11 +212,12 @@ def minhash_near_duplicates(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     signature-overlap Jaccard estimate ≥ threshold.
     Output: doc_a, doc_b, est_jaccard."""
-    sigs = minhash_signatures(df, id_col, text_col, n, k).cache()
+    sigs = minhash_signatures(df, id_col, text_col, n, k, hash_fn=hash_fn).cache()
     cands = lsh_candidate_pairs(sigs, bands)
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -192,18 +241,33 @@ def minhash_near_duplicates(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_bits(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataFrame:
-    """SimHash: per token xxhash64; per bit, sum(+1/-1); sign → bit.
+def simhash_bits(
+    df: DataFrame, id_col: str, text_col: str, nbits: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """SimHash: per token hash; per bit, sum(+1/-1); sign → bit.
     One explode + one groupBy (nbits sums, map-side combined).
+
+    hash_fn='md5' draws the 64 bits from two 60-bit ints parsed off the
+    md5 hex (15+15 chars) — reproducible in ANSI SQL for the oracle;
+    'xxhash64' is the JVM-only default.
+
     Output: (doc, bits: array<int>[nbits]) MSB-first."""
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
+    if hash_fn == "md5":
+        assert nbits <= 120
+        m = F.md5("t")
+        tok = tok.withColumn(
+            "h1", F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        ).withColumn("h2", F.conv(F.substring(m, 16, 15), 16, 10).cast("long"))
+        bit = lambda b: (  # noqa: E731
+            F.shiftright(F.col("h1"), b) if b < 60 else F.shiftright(F.col("h2"), b - 60)
+        ).bitwiseAND(F.lit(1))
+    else:
+        tok = tok.withColumn("h", F.xxhash64("t"))
+        bit = lambda b: F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))  # noqa: E731
     sums = tok.groupBy("doc").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__b{b}")
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"__b{b}")
             for b in range(nbits)
         ]
     )
@@ -227,12 +291,13 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Chunk-LSH over simhash bits: split into ``chunks`` segments; by
     pigeonhole, any pair within max_hamming < chunks shares one exact
     segment → bucket-join then verify true hamming distance.
     Output: doc_a, doc_b, hamming_distance."""
-    sh = simhash_bits(df, id_col, text_col).cache()
+    sh = simhash_bits(df, id_col, text_col, hash_fn=hash_fn).cache()
     seg = sh.select(
         "doc",
         "bits",
@@ -291,30 +356,28 @@ def embedding_near_duplicates(
     plan. dim (vector dimensionality) is taken from the schema when the
     column is a fixed-width vector, else from the `dim` parameter — no
     driver-side data action. Output: doc_a, doc_b, cos_sim."""
-    v = df.select(F.col(id_col).alias("doc"), normalize(vec_col).alias("nv"))
+    v = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
     if n_planes > 0:
         if dim is None:
             raise ValueError(
                 "n_planes > 0 requires dim= (vector dimensionality); "
                 "not probed from data to avoid a driver-side action"
             )
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_planes, dim))
-        sig = v.withColumn(
-            "bucket",
-            F.xxhash64(
-                F.concat_ws(
-                    "",
-                    *[
-                        F.when(
-                            dot(F.col("nv"), F.array(*[F.lit(float(x)) for x in p])) > 0,
-                            F.lit("1"),
-                        ).otherwise(F.lit("0"))
-                        for p in planes
-                    ],
-                )
-            ),
-        )
+        from pyspark.sql.functions import pandas_udf
+
+        planes_t = np.random.default_rng(seed).standard_normal((n_planes, dim)).T
+
+        # Arrow-vectorized signature: one numpy matmul per batch. The
+        # expression form (n_planes × dim literal dots per row) falls out
+        # of whole-stage codegen into interpreted eval — measured ~10×
+        # slower than this at 2k×64 dims, and worse as dims grow.
+        # sign(raw·p) == sign(normalized·p), so the raw vector is hashed.
+        @pandas_udf("long")
+        def _bucket(vs: pd.Series) -> pd.Series:
+            m = np.vstack(vs.to_numpy()) @ planes_t > 0  # rows × n_planes
+            return pd.Series((m * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64))
+
+        sig = v.withColumn("bucket", _bucket("vec"))
         a, b = sig.alias("a"), sig.alias("b")
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc"))
     else:
@@ -325,7 +388,7 @@ def embedding_near_duplicates(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.round(dot(F.col("a.nv"), F.col("b.nv")), 6).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
