@@ -105,7 +105,16 @@ def validate_pass(spark, docs_path: str, cat_path: str) -> float:
     The independent outputs are submitted CONCURRENTLY (thread pool →
     concurrent Spark jobs): on a real cluster the scheduler interleaves
     their stages across executors, so per-job fixed overhead doesn't
-    serialize — same effect here."""
+    serialize — same effect here.
+
+    Measured alternative (rejected): persisting the docs frame
+    (MEMORY_AND_DISK) and running the same jobs over the cache. At 16M
+    docs / local[32]: materialization cost 328s (JVM object caching of
+    the nested spans column thrashes GC even at 48g heap), warm passes
+    18.9s vs 21.9s scan-based — a 1.16x steady-state win that never
+    amortizes. The concurrent scans already share the OS page cache for
+    parquet bytes; re-decoding columns per job is cheaper than caching
+    deserialized nested rows. Keep the scan layout."""
     from concurrent.futures import ThreadPoolExecutor
 
     docs = spark.read.parquet(docs_path)
