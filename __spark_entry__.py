@@ -890,45 +890,40 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.dedup import simhash_near_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8, hash_fn="md5")
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=8, chunks=3, hash_fn="md5"
+    )
 
 
 def _oracle_simhash() -> str:
-    def bit(b: int) -> str:
-        src, sh = ("h1", b) if b < 60 else ("h2", b - 60)
-        return (
-            f"(CASE WHEN sum(CASE WHEN (({src} >> {sh}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
-            f"THEN 1 ELSE 0 END) AS bit{b}"
-        )
-
-    bits = ",\n         ".join(bit(b) for b in range(64))
-    # Spark's bits array is MSB-first; chunk j covers bits 63-16j .. 48-16j
-    chunk_eq = "\n    OR ".join(
-        "("
-        + " AND ".join(f"a.bit{63 - (j * 16 + r)} = b.bit{63 - (j * 16 + r)}" for r in range(16))
-        + ")"
-        for j in range(4)
+    # packed 60-bit signature: per-bit majority → CASE term carrying the
+    # bit's place value; chunk buckets are 15-bit shift/mask fields and
+    # hamming is bit_count(xor) — identical arithmetic to
+    # operators/dedup.py::simhash_signature60 / simhash_near_duplicates
+    sig = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(60)
     )
-    ham = " + ".join(
-        f"(CASE WHEN a.bit{b} <> b.bit{b} THEN 1 ELSE 0 END)" for b in range(64)
+    chunk_eq = " OR ".join(
+        f"((a.sig >> {20 * j}) & 1048575) = ((b.sig >> {20 * j}) & 1048575)"
+        for j in range(3)
     )
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ), hashed AS (
-  SELECT doc_id,
-         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
-         CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS h2
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
   FROM tok
-), sig AS (
-  SELECT doc_id, {bits}
+), sigs AS (
+  SELECT doc_id, {sig} AS sig
   FROM hashed GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(({ham}) AS INT) AS hamming_distance
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming_distance
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE ({chunk_eq})
-  AND ({ham}) <= 8
+  AND bit_count(xor(a.sig, b.sig)) <= 8
 """
 
 

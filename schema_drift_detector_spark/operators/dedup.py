@@ -279,6 +279,33 @@ def simhash_bits(
     )
 
 
+def simhash_signature60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit PACKED simhash (md5-based, bit-reproducible in ANSI SQL):
+    one md5+hex-parse per token, per-bit majority sign, bits packed into
+    a single BIGINT (60 bits keep the value positive in int64 for both
+    engines). Downstream ops become pure codegen integer arithmetic —
+    chunk buckets are shift/mask, hamming is bit_count(xor) — instead of
+    array zip_with, which is the interpreted slow path.
+    Output: (doc, sig: long)."""
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
+    tok = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    )
+    sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(60)
+        ]
+    )
+    sig = None
+    for b in range(60):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc", sig.alias("sig"))
+
+
 def hamming(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
@@ -296,7 +323,47 @@ def simhash_near_duplicates(
     """Chunk-LSH over simhash bits: split into ``chunks`` segments; by
     pigeonhole, any pair within max_hamming < chunks shares one exact
     segment → bucket-join then verify true hamming distance.
-    Output: doc_a, doc_b, hamming_distance."""
+    Output: doc_a, doc_b, hamming_distance.
+
+    hash_fn='md5' uses the packed 60-bit signature (simhash_signature60):
+    buckets are shift/mask fields, hamming is bit_count(xor) — all
+    whole-stage-codegen integer ops, and the DuckDB oracle recomputes
+    them bit-for-bit. 'xxhash64' keeps the 64-bit array form."""
+    if hash_fn == "md5":
+        assert 60 % chunks == 0
+        width = 60 // chunks
+        mask = (1 << width) - 1
+        sh = simhash_signature60(df, id_col, text_col).cache()
+        seg = sh.select(
+            "doc",
+            "sig",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("sig"), width * j).bitwiseAND(F.lit(mask))
+                        for j in range(chunks)
+                    ]
+                )
+            ).alias("seg", "bucket"),
+        )
+        a, b = seg.alias("a"), seg.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.seg") == F.col("b.seg"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias(
+                    "hamming_distance"
+                ),
+            )
+            .distinct()
+        )
+        return cands.filter(F.col("hamming_distance") <= max_hamming)
     sh = simhash_bits(df, id_col, text_col, hash_fn=hash_fn).cache()
     seg = sh.select(
         "doc",

@@ -46,6 +46,27 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup_exact(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    content_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: md5 content fingerprint +
+    dropDuplicatesWithinWatermark. The dedup state is BOUNDED by the
+    watermark horizon — an unbounded dropDuplicates would accumulate
+    one state row per distinct document forever, which cannot work at
+    10^12 docs; within-watermark semantics keep state proportional to
+    the ingest rate × horizon instead. Batch analog:
+    operators.dedup.drop_exact_duplicates."""
+    fp = docs_stream.withColumn("__fp", F.md5(F.col(content_col)))
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def stream_validate(
     docs_stream: DataFrame,
     catalog: DataFrame,

@@ -121,6 +121,42 @@ def test_stream_validate_matches_batch(spark, tmp_path_factory):
     assert not sv[("uniqueness", 2)] and not sv[("referential_integrity", 3)]
 
 
+def test_stream_dedup_exact_bounded_state(spark, tmp_path_factory):
+    """Watermarked streaming dedup keeps exactly one row per content
+    fingerprint within the horizon — parity with the batch survivor
+    count on the same data."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.streaming.epochs import stream_dedup_exact
+
+    base = str(tmp_path_factory.mktemp("sdedup"))
+    # 300 rows over 100 distinct texts (id % 100), event-time from id
+    src = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("text body %d", F.pmod(F.col("id"), F.lit(100))).alias("text"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ingest_ts"),
+    )
+    src.write.mode("overwrite").parquet(f"{base}/in")
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{base}/in").schema
+    ).parquet(f"{base}/in")
+    q = (
+        stream_dedup_exact(stream, ts_col="ingest_ts", content_col="text")
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/_ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{base}/out")
+    assert got.count() == 100
+    assert got.select("text").distinct().count() == 100
+
+
 def test_stateful_running_profiles(spark, tmp_path_factory):
     """applyInPandasWithState accumulates across micro-batches: two
     input files processed one per batch must end at the same totals as
