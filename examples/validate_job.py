@@ -18,7 +18,13 @@ import json
 
 from pyspark.sql import SparkSession
 
-from schema_drift_detector_spark.plans.run import run_validation
+from schema_drift_detector_spark.plans.run import (
+    DEFAULT_SPEC,
+    baseline_histogram,
+    baseline_kind_counts,
+    baseline_tdigest,
+    run_validation,
+)
 from schema_drift_detector_spark.sources.io import read_table
 
 
@@ -30,9 +36,22 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--epoch", type=int, default=0)
     ap.add_argument("--partition-batches", type=int, default=1)
+    ap.add_argument(
+        "--baseline-docs",
+        help="baseline-epoch documents table: enables distribution/quantile/"
+        "categorical drift checks against it",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"validate-{args.run_id}").getOrCreate()
+    baselines = {}
+    if args.baseline_docs:
+        base = read_table(spark, args.baseline_docs)
+        baselines = {
+            "baseline_hist": baseline_histogram(base, DEFAULT_SPEC),
+            "baseline_td": baseline_tdigest(base),
+            "baseline_kinds": baseline_kind_counts(base),
+        }
     envelope = run_validation(
         spark,
         read_table(spark, args.docs),
@@ -41,6 +60,7 @@ def main() -> None:
         run_id=args.run_id,
         epoch=args.epoch,
         partition_batches=args.partition_batches,
+        **baselines,
     )
     print(json.dumps(envelope, default=str))
     spark.stop()
