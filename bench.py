@@ -114,7 +114,13 @@ def validate_pass(spark, docs_path: str, cat_path: str) -> float:
     18.9s vs 21.9s scan-based — a 1.16x steady-state win that never
     amortizes. The concurrent scans already share the OS page cache for
     parquet bytes; re-decoding columns per job is cheaper than caching
-    deserialized nested rows. Keep the scan layout."""
+    deserialized nested rows. Keep the scan layout.
+
+    Also measured (rejected): fusing the span profile + RI verdict into
+    one explode + broadcast-join + per-kind aggregation (caching the
+    tiny per-kind rows and deriving both outputs). 15.9s vs 18.0s warm
+    at 16M docs — 1.13x, under the 1.2x complexity bar, because the RI
+    *violation rows* still require their own span pass either way."""
     from concurrent.futures import ThreadPoolExecutor
 
     docs = spark.read.parquet(docs_path)
