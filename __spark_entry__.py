@@ -1040,18 +1040,104 @@ def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("partition_id", "constraint", "passed", "severity", "summary")
 
 
-def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch rollup: per-partition HLL sketches of doc_id,
-    merged to table level WITHOUT rescanning data (hll_union_agg) —
-    rows-only (sketch estimates are engine-specific)."""
-    from schema_drift_detector_spark.operators.profile import merge_hll, profile_columns
+_QD_DIR = "/root/repo/.entry_artifacts/quantile_drift"
+
+
+def q_quantile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass/fail face of the t-digest quantile-drift check, oracle-backed:
+    on ≤~60 distinct integer offsets the digest is near-lossless, so the
+    sketch-KS verdict must equal DuckDB's EXACT two-sample KS verdict
+    (margins are wide: failing partitions sit at ks≈0.15-0.19, passing
+    ones ≤0.045, threshold 0.1). The numeric sketch summaries stay in
+    the rows-only quantile_drift_spans entry."""
+    from schema_drift_detector_spark.operators.constraints import check_quantile_drift
+    from schema_drift_detector_spark.plans.run import baseline_tdigest
     from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
 
     cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
-    prof = profile_columns(synth_documents(spark, cfg, epoch=0))
-    return merge_hll(prof, ["column"]).select(
-        "column", "n_rows", F.col("distinct_merged").cast("long").alias("distinct_merged")
+    synth_documents(spark, cfg, epoch=0).write.mode("overwrite").parquet(f"{_QD_DIR}/e0")
+    synth_documents(spark, cfg, epoch=2).write.mode("overwrite").parquet(f"{_QD_DIR}/e2")
+    e0 = spark.read.parquet(f"{_QD_DIR}/e0")
+    e2 = spark.read.parquet(f"{_QD_DIR}/e2")
+    return check_quantile_drift(
+        baseline_tdigest(e0), baseline_tdigest(e2), "entry", 2
+    ).select("partition_id", "constraint", "passed", "severity")
+
+
+ORACLE_QUANTILE_DRIFT_VERDICTS = f"""
+WITH s0 AS (
+  SELECT partition_id, s."offset" AS off
+  FROM (SELECT partition_id, unnest(spans) AS s FROM read_parquet('{_QD_DIR}/e0/*.parquet'))
+), s2 AS (
+  SELECT partition_id, s."offset" AS off
+  FROM (SELECT partition_id, unnest(spans) AS s FROM read_parquet('{_QD_DIR}/e2/*.parquet'))
+), b AS (SELECT partition_id, off, count(*) c FROM s0 GROUP BY 1, 2),
+c AS (SELECT partition_id, off, count(*) c FROM s2 GROUP BY 1, 2),
+sup AS (SELECT partition_id, off FROM b UNION SELECT partition_id, off FROM c),
+j AS (
+  SELECT sup.partition_id, sup.off, coalesce(b.c, 0) bc, coalesce(c.c, 0) cc
+  FROM sup
+  LEFT JOIN b ON b.partition_id = sup.partition_id AND b.off = sup.off
+  LEFT JOIN c ON c.partition_id = sup.partition_id AND c.off = sup.off
+), cdfs AS (
+  SELECT partition_id,
+    sum(bc) OVER (PARTITION BY partition_id ORDER BY off) * 1.0
+      / sum(bc) OVER (PARTITION BY partition_id) AS bcdf,
+    sum(cc) OVER (PARTITION BY partition_id ORDER BY off) * 1.0
+      / sum(cc) OVER (PARTITION BY partition_id) AS ccdf
+  FROM j
+)
+SELECT partition_id, 'quantile_drift' AS "constraint",
+       max(abs(bcdf - ccdf)) <= 0.1 AS passed,
+       CASE WHEN max(abs(bcdf - ccdf)) <= 0.1 THEN 'info' ELSE 'high' END AS severity
+FROM cdfs GROUP BY partition_id
+"""
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-partition HLL sketches, merged to
+    table level WITHOUT rescanning data (hll_union_agg). The raw
+    estimate is engine-specific, so the oracle contract is (a) exact
+    n_rows, (b) exact distinct count, (c) a tolerance gate: the merged
+    estimate must land within 5% of exact (HLL lgk=12 rse≈1.6%, so 5%
+    is a >3-sigma accuracy bound — and the input is deterministic)."""
+    from schema_drift_detector_spark.operators.profile import merge_hll, profile_columns
+
+    docs, _ = _span_val_tables(spark)
+    prof = profile_columns(docs)
+    merged = merge_hll(prof, ["column"]).select(
+        "column", "n_rows", F.col("distinct_merged").cast("long").alias("est")
     )
+    exact = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("doc_id").alias("column"), F.col("doc_id").cast("string").alias("v")),
+                F.struct(F.lit("quality").alias("column"), F.col("quality").cast("string").alias("v")),
+            )
+        ).alias("e")
+    ).groupBy(F.col("e.column").alias("column")).agg(
+        F.count_distinct("e.v").alias("distinct_exact")
+    )
+    return merged.join(exact, "column").select(
+        "column",
+        "n_rows",
+        "distinct_exact",
+        (
+            F.abs(F.col("est") / F.col("distinct_exact") - 1.0) <= 0.05
+        ).alias("est_within_5pct"),
+    )
+
+
+ORACLE_HLL_ROLLUP = f"""
+WITH docs AS (SELECT * FROM read_parquet('{_SPAN_VAL_DIR}/docs/*.parquet')),
+u AS (
+  SELECT 'doc_id' AS "column", count(*) AS n_rows,
+         count(DISTINCT doc_id) AS distinct_exact FROM docs
+  UNION ALL
+  SELECT 'quality', count(*), count(DISTINCT quality) FROM docs
+)
+SELECT "column", n_rows, distinct_exact, TRUE AS est_within_5pct FROM u
+"""
 
 
 def q_span_kind_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1127,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
         "quantile_drift_spans": q_quantile_drift_spans,
+        "quantile_drift_verdicts": q_quantile_drift_verdicts,
         "hll_rollup": q_hll_rollup,
         "span_kind_histogram": q_span_kind_histogram,
     }
@@ -1163,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
         "simhash_pairs": _oracle_simhash(),
+        "quantile_drift_verdicts": ORACLE_QUANTILE_DRIFT_VERDICTS,
+        "hll_rollup": ORACLE_HLL_ROLLUP,
         # winnowing: rolling-hash array algebra → rows-only
         # quantile_drift_spans / hll_rollup: sketch algebra is
         # engine-specific → rows-only
