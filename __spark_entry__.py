@@ -928,13 +928,40 @@ WHERE ({chunk_eq})
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints, fully hash-certified: the oracle
+    recomputes the code-point Rabin–Karp rolling hashes and
+    sliding-window minima in SQL (list_reduce/list_transform), matching
+    the Arrow-vectorized numpy path value-for-value."""
     from schema_drift_detector_spark.functions.text import winnowing_fingerprint_arrow
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(winnowing_fingerprint_arrow("text", n=8, window=4)).alias("n_fingerprints"),
+        F.explode(winnowing_fingerprint_arrow("text", n=8, window=4)).alias("fp"),
     )
+
+
+ORACLE_WINNOWING = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, greatest(len(text) - 7, 1))) AS p
+  FROM documents
+), h AS (
+  SELECT doc_id, p,
+    list_reduce(
+      list_transform(generate_series(CAST(p AS INT), CAST(least(p + 7, len(text)) AS INT)),
+                     j -> unicode(substr(text, j, 1))),
+      (acc, x) -> (acc * 131 + x) % 1000003) AS hv,
+    count(*) OVER (PARTITION BY doc_id) AS L
+  FROM pos
+), wm AS (
+  SELECT doc_id, p, L,
+    min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM h
+)
+SELECT DISTINCT doc_id, CAST(wmin AS INT) AS fp
+FROM wm WHERE p <= greatest(L - 3, 1)
+"""
 
 
 _SPAN_VAL_DIR = "/root/repo/.entry_artifacts/span_validation"
@@ -1252,7 +1279,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracle_simhash(),
         "quantile_drift_verdicts": ORACLE_QUANTILE_DRIFT_VERDICTS,
         "hll_rollup": ORACLE_HLL_ROLLUP,
-        # winnowing: rolling-hash array algebra → rows-only
-        # quantile_drift_spans / hll_rollup: sketch algebra is
-        # engine-specific → rows-only
+        "winnowing": ORACLE_WINNOWING,
+        # quantile_drift_spans: raw sketch KS values are engine-specific
+        # → rows-only (the verdicts are hash-checked via
+        # quantile_drift_verdicts)
     }
