@@ -321,29 +321,33 @@ def run_validation(
 
 
 def _read_partitioned(
-    spark: SparkSession, path: str, schema_cols: list[str], run_id: str | None
+    spark: SparkSession, path: str, schema, run_id: str | None
 ) -> DataFrame:
     """Read a (run_id, partition_id)-directory-partitioned output back in
-    canonical column order; the run_id filter prunes directories."""
-    v = spark.read.parquet(path)
+    canonical column order; the run_id filter prunes directories. A run
+    that produced zero rows (e.g. no violations on clean data) leaves a
+    directory with no parquet footers to infer from → empty typed frame."""
+    try:
+        v = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
     if run_id:
         v = v.filter(F.col("run_id") == run_id)
     return v.select(
-        *[F.col(c).cast("int").alias(c) if c == "partition_id" else F.col(c) for c in schema_cols]
+        *[
+            F.col(f.name).cast("int").alias(f.name) if f.name == "partition_id" else F.col(f.name)
+            for f in schema.fields
+        ]
     )
 
 
 def read_verdicts(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
     from ..model import VERDICT_SCHEMA
 
-    return _read_partitioned(
-        spark, f"{out_dir}/verdicts", [f.name for f in VERDICT_SCHEMA.fields], run_id
-    )
+    return _read_partitioned(spark, f"{out_dir}/verdicts", VERDICT_SCHEMA, run_id)
 
 
 def read_violations(spark: SparkSession, out_dir: str, run_id: str | None = None) -> DataFrame:
     from ..model import VIOLATION_SCHEMA
 
-    return _read_partitioned(
-        spark, f"{out_dir}/violations", [f.name for f in VIOLATION_SCHEMA.fields], run_id
-    )
+    return _read_partitioned(spark, f"{out_dir}/violations", VIOLATION_SCHEMA, run_id)

@@ -192,6 +192,27 @@ def test_crash_between_write_and_commit_no_duplicates(
     assert per_part(out, "cw") == per_part(out_clean, "cl")
 
 
+def test_clean_data_empty_violations_readable(spark, tmp_path_factory):
+    """A run over clean data writes zero violation rows; read_violations
+    must return an empty TYPED frame, not fail schema inference on the
+    footer-less directory."""
+    from schema_drift_detector_spark.model import VIOLATION_SCHEMA
+
+    cfg = SynthConfig(
+        n_docs=800, n_partitions=4, n_assets=2_000,
+        dup_partitions=(), dangling_partition=-1,
+    )
+    docs = synth_documents(spark, cfg, epoch=0)
+    catalog = synth_asset_catalog(spark, cfg)
+    out = str(tmp_path_factory.mktemp("run_clean"))
+    run_validation(spark, docs, catalog, out, run_id="cl0", epoch=0)
+    v = read_verdicts(spark, out, "cl0")
+    assert all(r.passed for r in v.collect())
+    viol = read_violations(spark, out, "cl0")
+    assert viol.count() == 0
+    assert [f.name for f in viol.schema.fields] == [f.name for f in VIOLATION_SCHEMA.fields]
+
+
 def test_categorical_drift_in_pipeline(spark, docs0, catalog, tmp_path_factory):
     from schema_drift_detector_spark.plans.run import baseline_kind_counts
 
