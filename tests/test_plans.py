@@ -111,6 +111,32 @@ def test_centroid_pick_avoids_global_sort(spark):
     assert "Exchange" not in scan_side
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the join key must join with NO Exchange —
+    the co-located-join path that amortizes one write-time shuffle over
+    every subsequent join at 10^12-doc scale."""
+    import uuid
+
+    from schema_drift_detector_spark.sources.io import write_bucketed
+
+    docs = synth_documents(spark, CFG, epoch=0).select("doc_id", "partition_id")
+    other = synth_documents(spark, CFG, epoch=0).select("doc_id", "quality")
+    ta, tb = f"ba_{uuid.uuid4().hex[:8]}", f"bb_{uuid.uuid4().hex[:8]}"
+    write_bucketed(docs, ta, "doc_id", 8)
+    write_bucketed(other, tb, "doc_id", 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # bucket co-location: no shuffle at all
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
 def test_ri_shuffle_join_fallback(spark, docs_path):
     """broadcast_catalog=False must produce a non-broadcast join (the
     huge-catalog path) and identical verdicts."""
