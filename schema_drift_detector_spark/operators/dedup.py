@@ -241,30 +241,14 @@ def minhash_near_duplicates(
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_bits(
-    df: DataFrame, id_col: str, text_col: str, nbits: int = 64, hash_fn: str = "xxhash64"
-) -> DataFrame:
-    """SimHash: per token hash; per bit, sum(+1/-1); sign → bit.
-    One explode + one groupBy (nbits sums, map-side combined).
-
-    hash_fn='md5' draws the 64 bits from two 60-bit ints parsed off the
-    md5 hex (15+15 chars) — reproducible in ANSI SQL for the oracle;
-    'xxhash64' is the JVM-only default.
-
-    Output: (doc, bits: array<int>[nbits]) MSB-first."""
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataFrame:
+    """SimHash (xxhash64 form): per token xxhash64; per bit, sum(+1/-1);
+    sign → bit. One explode + one groupBy (nbits sums, map-side
+    combined). For the SQL-reproducible variant use simhash_signature60
+    (packed md5 form). Output: (doc, bits: array<int>[nbits]) MSB-first."""
     tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
-    if hash_fn == "md5":
-        assert nbits <= 120
-        m = F.md5("t")
-        tok = tok.withColumn(
-            "h1", F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-        ).withColumn("h2", F.conv(F.substring(m, 16, 15), 16, 10).cast("long"))
-        bit = lambda b: (  # noqa: E731
-            F.shiftright(F.col("h1"), b) if b < 60 else F.shiftright(F.col("h2"), b - 60)
-        ).bitwiseAND(F.lit(1))
-    else:
-        tok = tok.withColumn("h", F.xxhash64("t"))
-        bit = lambda b: F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))  # noqa: E731
+    tok = tok.withColumn("h", F.xxhash64("t"))
+    bit = lambda b: F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))  # noqa: E731
     sums = tok.groupBy("doc").agg(
         *[
             F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"__b{b}")
@@ -364,7 +348,7 @@ def simhash_near_duplicates(
             .distinct()
         )
         return cands.filter(F.col("hamming_distance") <= max_hamming)
-    sh = simhash_bits(df, id_col, text_col, hash_fn=hash_fn).cache()
+    sh = simhash_bits(df, id_col, text_col).cache()
     seg = sh.select(
         "doc",
         "bits",

@@ -72,6 +72,7 @@ def stream_validate(
     catalog: DataFrame,
     out_dir: str,
     baseline_hist: DataFrame | None = None,
+    baseline_kinds: DataFrame | None = None,
     spec: dict[str, Any] | None = None,
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
@@ -106,6 +107,20 @@ def stream_validate(
                     baseline_hist, curr, run_id, epoch=batch_id,
                     ks_threshold=d["ks_threshold"],
                     chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
+                )
+            )
+        if baseline_kinds is not None:
+            curr_kinds = (
+                batch_df.select("partition_id", F.explode("spans.kind").alias("category"))
+                .groupBy("partition_id", "category")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            verdicts = verdicts.unionByName(
+                C.check_categorical_drift(
+                    baseline_kinds, curr_kinds, run_id, epoch=batch_id,
+                    chi2_per_category_threshold=spec.get("categorical_drift", {}).get(
+                        "chi2_per_category_threshold", 10.0
+                    ),
                 )
             )
         verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")

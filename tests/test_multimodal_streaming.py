@@ -96,10 +96,13 @@ def test_stream_validate_matches_batch(spark, tmp_path_factory):
     docs.write.mode("overwrite").parquet(f"{base}/in")
     catalog = synth_asset_catalog(spark, CFG).cache()
 
+    from schema_drift_detector_spark.plans.run import baseline_kind_counts
+
+    kinds = baseline_kind_counts(docs).cache()
     stream = spark.readStream.schema(
         spark.read.parquet(f"{base}/in").schema
     ).parquet(f"{base}/in")
-    q = stream_validate(stream, catalog, f"{base}/out")
+    q = stream_validate(stream, catalog, f"{base}/out", baseline_kinds=kinds)
     q.awaitTermination(120)
 
     sv = {
@@ -107,18 +110,23 @@ def test_stream_validate_matches_batch(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{base}/out/verdicts").collect()
     }
     from schema_drift_detector_spark.operators.constraints import (
+        check_categorical_drift,
         check_referential_integrity,
         check_uniqueness,
     )
 
     uq_v, _ = check_uniqueness(docs, "batch")
     ri_v, _ = check_referential_integrity(docs, catalog, "batch")
+    cd_v = check_categorical_drift(kinds, baseline_kind_counts(docs), "batch", 0)
     bv = {
         (r.constraint, r.partition_id): r.passed
-        for r in uq_v.unionByName(ri_v).collect()
+        for r in uq_v.unionByName(ri_v).unionByName(cd_v).collect()
     }
     assert sv == bv
     assert not sv[("uniqueness", 2)] and not sv[("referential_integrity", 3)]
+    # identical kind mix vs itself → categorical drift passes everywhere
+    assert all(p for (c, _), p in sv.items() if c == "categorical_drift")
+    assert sum(1 for (c, _) in sv if c == "categorical_drift") == 8
 
 
 def test_stream_dedup_exact_bounded_state(spark, tmp_path_factory):
