@@ -1067,6 +1067,47 @@ def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("partition_id", "constraint", "passed", "severity", "summary")
 
 
+_MEDIA_DIR = "/root/repo/.entry_artifacts/media"
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing certified end-to-end: synthetic opaque blobs
+    (binary column) decoded via Arrow mapInPandas — header fields and
+    payload byte-mean. The oracle re-parses the same persisted BLOBs in
+    SQL (hex slicing), so schema, batch iteration, and byte math are all
+    hash-checked, not just row counts."""
+    from schema_drift_detector_spark.operators.multimodal import decode_media, synth_media
+    from schema_drift_detector_spark.sources.synth import SynthConfig
+
+    synth_media(spark, SynthConfig(), n=200).write.mode("overwrite").parquet(
+        f"{_MEDIA_DIR}/media"
+    )
+    media = spark.read.parquet(f"{_MEDIA_DIR}/media")
+    return decode_media(media).select(
+        "media_ref", "width", "height", "n_frames",
+        F.round("mean_byte", 6).alias("mean_byte"), "decoder",
+    )
+
+
+ORACLE_MEDIA_DECODE = f"""
+WITH m AS (
+  SELECT media_ref, hex(content) AS hx, octet_length(content) - 10 AS n,
+         substr(hex(content), 21) AS bodyhex
+  FROM read_parquet('{_MEDIA_DIR}/media/*.parquet')
+)
+SELECT media_ref,
+  CAST('0x' || substr(hx, 9, 4) AS INT) AS width,
+  CAST('0x' || substr(hx, 13, 4) AS INT) AS height,
+  CAST('0x' || substr(hx, 17, 4) AS INT) AS n_frames,
+  round(list_aggregate(
+          list_transform(range(1, n + 1),
+                         i -> CAST('0x' || substr(bodyhex, 2 * i - 1, 2) AS INT)),
+          'sum') * 1.0 / n, 6) AS mean_byte,
+  'sdxm' AS decoder
+FROM m
+"""
+
+
 _QD_DIR = "/root/repo/.entry_artifacts/quantile_drift"
 
 
@@ -1241,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_validation": q_span_validation,
         "quantile_drift_spans": q_quantile_drift_spans,
         "quantile_drift_verdicts": q_quantile_drift_verdicts,
+        "media_decode": q_media_decode,
         "hll_rollup": q_hll_rollup,
         "span_kind_histogram": q_span_kind_histogram,
     }
@@ -1280,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_drift_verdicts": ORACLE_QUANTILE_DRIFT_VERDICTS,
         "hll_rollup": ORACLE_HLL_ROLLUP,
         "winnowing": ORACLE_WINNOWING,
+        "media_decode": ORACLE_MEDIA_DECODE,
         # quantile_drift_spans: raw sketch KS values are engine-specific
         # → rows-only (the verdicts are hash-checked via
         # quantile_drift_verdicts)
