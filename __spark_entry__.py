@@ -1108,6 +1108,79 @@ FROM m
 """
 
 
+def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature extraction (size + Shannon entropy over a
+    16-bin byte histogram) — Arrow numpy inside mapInPandas, oracle
+    recomputes from the same BLOBs via hex parsing."""
+    from schema_drift_detector_spark.operators.multimodal import (
+        extract_byte_features,
+        synth_media,
+    )
+    from schema_drift_detector_spark.sources.synth import SynthConfig
+
+    synth_media(spark, SynthConfig(), n=200).write.mode("overwrite").parquet(
+        f"{_MEDIA_DIR}/media"
+    )
+    media = spark.read.parquet(f"{_MEDIA_DIR}/media")
+    return extract_byte_features(media).select(
+        "media_ref", "size_bytes", F.round("entropy", 6).alias("entropy")
+    )
+
+
+ORACLE_MEDIA_BYTE_FEATURES = f"""
+WITH m AS (
+  SELECT media_ref, octet_length(content) AS sz, hex(content) AS hx
+  FROM read_parquet('{_MEDIA_DIR}/media/*.parquet')
+), bytes AS (
+  SELECT media_ref, sz,
+         unnest(list_transform(range(1, sz + 1),
+                               i -> CAST('0x' || substr(hx, 2 * i - 1, 2) AS INT)))
+           AS byte
+  FROM m
+), hist AS (
+  SELECT media_ref, sz, byte >> 4 AS bin, count(*) AS c
+  FROM bytes GROUP BY 1, 2, 3
+)
+SELECT media_ref, CAST(sz AS BIGINT) AS size_bytes,
+       round(-sum((c * 1.0 / sz) * log2(c * 1.0 / sz)), 6) AS entropy
+FROM hist GROUP BY media_ref, sz
+"""
+
+
+def q_media_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 2nd frame, deterministic checksum) — the
+    one-row-to-many mapInPandas fan-out, hash-certified."""
+    from schema_drift_detector_spark.operators.multimodal import sample_frames, synth_media
+    from schema_drift_detector_spark.sources.synth import SynthConfig
+
+    synth_media(spark, SynthConfig(), n=200).write.mode("overwrite").parquet(
+        f"{_MEDIA_DIR}/media"
+    )
+    media = spark.read.parquet(f"{_MEDIA_DIR}/media")
+    return sample_frames(media, every_n=2)
+
+
+ORACLE_MEDIA_FRAMES = f"""
+WITH m AS (
+  SELECT media_ref,
+         substr(hex(content), 21) AS bodyhex,
+         octet_length(content) - 10 AS n,
+         CAST('0x' || substr(hex(content), 17, 4) AS INT) AS fr
+  FROM read_parquet('{_MEDIA_DIR}/media/*.parquet')
+), f AS (
+  SELECT media_ref, bodyhex, fr, n, n // fr AS chunk,
+         unnest(range(0, fr, 2)) AS i
+  FROM m WHERE fr > 0 AND n > 0
+)
+SELECT media_ref, CAST(i AS INT) AS frame_index,
+  CAST(list_aggregate(
+         list_transform(range(i * chunk + 1, (i + 1) * chunk + 1),
+                        j -> CAST('0x' || substr(bodyhex, 2 * j - 1, 2) AS INT)),
+         'sum') AS BIGINT) AS frame_checksum
+FROM f
+"""
+
+
 _QD_DIR = "/root/repo/.entry_artifacts/quantile_drift"
 
 
@@ -1283,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_drift_spans": q_quantile_drift_spans,
         "quantile_drift_verdicts": q_quantile_drift_verdicts,
         "media_decode": q_media_decode,
+        "media_byte_features": q_media_byte_features,
+        "media_frame_checksums": q_media_frame_checksums,
         "hll_rollup": q_hll_rollup,
         "span_kind_histogram": q_span_kind_histogram,
     }
@@ -1323,6 +1398,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_rollup": ORACLE_HLL_ROLLUP,
         "winnowing": ORACLE_WINNOWING,
         "media_decode": ORACLE_MEDIA_DECODE,
+        "media_byte_features": ORACLE_MEDIA_BYTE_FEATURES,
+        "media_frame_checksums": ORACLE_MEDIA_FRAMES,
         # quantile_drift_spans: raw sketch KS values are engine-specific
         # → rows-only (the verdicts are hash-checked via
         # quantile_drift_verdicts)
