@@ -1051,6 +1051,28 @@ FROM ri
 """
 
 
+def q_stream_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming on the certified board: the SAME interleaved
+    docs flow through readStream → foreachBatch(stream_validate) →
+    parquet sink, and the sink's uniqueness/RI verdicts are hash-checked
+    against the SAME SQL oracle as the batch path — streaming/batch
+    semantic parity enforced by the driver, not just by pytest."""
+    import shutil
+
+    from schema_drift_detector_spark.streaming.epochs import stream_validate
+
+    docs, catalog = _span_val_tables(spark)
+    out = "/root/repo/.entry_artifacts/stream_span_validation"
+    shutil.rmtree(out, ignore_errors=True)
+    stream = spark.readStream.schema(docs.schema).parquet(f"{_SPAN_VAL_DIR}/docs")
+    q = stream_validate(stream, catalog, out, trigger_available_now=True)
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{out}/verdicts")
+        .select("partition_id", "constraint", "passed", "severity", "summary")
+    )
+
+
 def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantile-drift verdicts between synthetic epochs 0 and 2
     (sketch build via applyInPandas, KS on merged digests) — rows-only:
@@ -1353,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
+        "stream_span_validation": q_stream_span_validation,
         "quantile_drift_spans": q_quantile_drift_spans,
         "quantile_drift_verdicts": q_quantile_drift_verdicts,
         "media_decode": q_media_decode,
@@ -1391,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
+        "stream_span_validation": ORACLE_SPAN_VALIDATION,
         "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
         "simhash_pairs": _oracle_simhash(),
