@@ -967,10 +967,22 @@ FROM wm WHERE p <= greatest(L - 3, 1)
 _SPAN_VAL_DIR = "/root/repo/.entry_artifacts/span_validation"
 
 
+def _write_once(df: DataFrame, path: str) -> None:
+    """Persist a DETERMINISTIC frame only if absent. The artifacts under
+    .entry_artifacts/ are committed to git so the DuckDB oracles can
+    read them regardless of whether the paired Spark query has run yet
+    in this process (and on a fresh checkout). Content is a pure
+    function of SynthConfig — bump the directory name if the config
+    ever changes."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df.write.mode("overwrite").parquet(path)
+
+
 def _span_val_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """Synthesize the interleaved documents + asset catalog, persisted to
-    parquet so the DuckDB oracles recompute from the same bytes.
-    Deterministic content → the overwrite is idempotent across queries."""
+    parquet so the DuckDB oracles recompute from the same bytes."""
     from schema_drift_detector_spark.sources.synth import (
         SynthConfig,
         synth_asset_catalog,
@@ -978,12 +990,8 @@ def _span_val_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     )
 
     cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
-    synth_documents(spark, cfg, epoch=0).write.mode("overwrite").parquet(
-        f"{_SPAN_VAL_DIR}/docs"
-    )
-    synth_asset_catalog(spark, cfg).write.mode("overwrite").parquet(
-        f"{_SPAN_VAL_DIR}/catalog"
-    )
+    _write_once(synth_documents(spark, cfg, epoch=0), f"{_SPAN_VAL_DIR}/docs")
+    _write_once(synth_asset_catalog(spark, cfg), f"{_SPAN_VAL_DIR}/catalog")
     return (
         spark.read.parquet(f"{_SPAN_VAL_DIR}/docs"),
         spark.read.parquet(f"{_SPAN_VAL_DIR}/catalog"),
@@ -1101,9 +1109,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.multimodal import decode_media, synth_media
     from schema_drift_detector_spark.sources.synth import SynthConfig
 
-    synth_media(spark, SynthConfig(), n=200).write.mode("overwrite").parquet(
-        f"{_MEDIA_DIR}/media"
-    )
+    _write_once(synth_media(spark, SynthConfig(), n=200), f"{_MEDIA_DIR}/media")
     media = spark.read.parquet(f"{_MEDIA_DIR}/media")
     return decode_media(media).select(
         "media_ref", "width", "height", "n_frames",
@@ -1140,9 +1146,7 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from schema_drift_detector_spark.sources.synth import SynthConfig
 
-    synth_media(spark, SynthConfig(), n=200).write.mode("overwrite").parquet(
-        f"{_MEDIA_DIR}/media"
-    )
+    _write_once(synth_media(spark, SynthConfig(), n=200), f"{_MEDIA_DIR}/media")
     media = spark.read.parquet(f"{_MEDIA_DIR}/media")
     return extract_byte_features(media).select(
         "media_ref", "size_bytes", F.round("entropy", 6).alias("entropy")
@@ -1175,9 +1179,7 @@ def q_media_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.multimodal import sample_frames, synth_media
     from schema_drift_detector_spark.sources.synth import SynthConfig
 
-    synth_media(spark, SynthConfig(), n=200).write.mode("overwrite").parquet(
-        f"{_MEDIA_DIR}/media"
-    )
+    _write_once(synth_media(spark, SynthConfig(), n=200), f"{_MEDIA_DIR}/media")
     media = spark.read.parquet(f"{_MEDIA_DIR}/media")
     return sample_frames(media, every_n=2)
 
@@ -1218,8 +1220,8 @@ def q_quantile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
 
     cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
-    synth_documents(spark, cfg, epoch=0).write.mode("overwrite").parquet(f"{_QD_DIR}/e0")
-    synth_documents(spark, cfg, epoch=2).write.mode("overwrite").parquet(f"{_QD_DIR}/e2")
+    _write_once(synth_documents(spark, cfg, epoch=0), f"{_QD_DIR}/e0")
+    _write_once(synth_documents(spark, cfg, epoch=2), f"{_QD_DIR}/e2")
     e0 = spark.read.parquet(f"{_QD_DIR}/e0")
     e2 = spark.read.parquet(f"{_QD_DIR}/e2")
     return check_quantile_drift(
