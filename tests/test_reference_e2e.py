@@ -159,6 +159,42 @@ def test_salted_uniqueness_extreme_skew(spark):
     assert dups == {"HOT-KEY": n // 5 * 2}
 
 
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """40% of 200k left rows share one key; salted_join must produce the
+    exact multiset a plain join produces (incl. right-side duplicate
+    keys and left-outer nulls), with the hot key spread across salt
+    buckets instead of one reducer."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.skew import salted_join
+
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 5 < 2, F.lit("HOT"))
+        .otherwise(F.format_string("k-%06d", F.col("id") % 1000))
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    # right has a duplicate key row (multiplicity must be preserved) and
+    # is missing some left keys (left-outer null path)
+    right = spark.createDataFrame(
+        [("HOT", 1), ("HOT", 2), ("k-000001", 10), ("k-000002", 20)], ["k", "rv"]
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            plain = left.join(right, "k", how).groupBy("k", "rv").count()
+            salted = salted_join(left, right, "k", salt_buckets=8, how=how).groupBy(
+                "k", "rv"
+            ).count()
+            a = {(r.k, r.rv): r["count"] for r in plain.collect()}
+            b = {(r.k, r.rv): r["count"] for r in salted.collect()}
+            assert a == b, f"mismatch for how={how}"
+            if how == "inner":
+                assert a[("HOT", 1)] == 80_000 and a[("HOT", 2)] == 80_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_winnowing_forms_value_parity(spark):
     """The expression form and the Arrow form are the SAME function:
     identical fingerprint sets per row — including repeated n-grams
