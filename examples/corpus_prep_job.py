@@ -59,8 +59,10 @@ def main() -> None:
         docs, args.id_col, args.text_col,
         threshold=args.minhash_threshold, hash_fn="md5",
     )
+    # on a duplicate-heavy corpus the loser set can be a large fraction
+    # of all ids — too big to broadcast; let AQE pick the join strategy
     losers = pairs.select(F.col("doc_b").alias(args.id_col)).distinct()
-    docs = docs.join(F.broadcast(losers), args.id_col, "left_anti")
+    docs = docs.join(losers, args.id_col, "left_anti")
 
     # 3. quality + language gates
     scored = docs.withColumn("quality_score", quality_score(args.text_col)).withColumn(

@@ -78,13 +78,25 @@ def cosine_arrow(a: Column | str, b: Column | str) -> Column:
 
     @pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if len(xs) == 0:
+        n = len(xs)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        x = np.vstack(xs.to_numpy()).astype(np.float64)
-        y = np.vstack(ys.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", x, y)
-        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            return pd.Series(num / den)
+        # null-propagate like the expression form: a NULL vector on
+        # either side (or a zero-norm vector → 0/0) yields a NULL score,
+        # never a task crash or a NaN that desc-sorts above every number
+        xv, yv = xs.to_numpy(), ys.to_numpy()
+        valid = np.array(
+            [xi is not None and yi is not None for xi, yi in zip(xv, yv)], dtype=bool
+        )
+        out = np.full(n, np.nan)
+        if valid.any():
+            x = np.vstack(xv[valid]).astype(np.float64)
+            y = np.vstack(yv[valid]).astype(np.float64)
+            num = np.einsum("ij,ij->i", x, y)
+            den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out[valid] = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
+        # nullable Float64 → Arrow nulls for the NaN slots
+        return pd.Series(pd.array(out, dtype="Float64"))
 
     return _cos(_c(a), _c(b))

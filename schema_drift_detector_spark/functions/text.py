@@ -160,8 +160,14 @@ def winnowing_fingerprint(text: Column | str, n: int = 8, window: int = 4) -> Co
     fp = F.array_distinct(
         F.transform(idx, lambda i: F.array_min(F.slice(h, i, window)))
     )
-    # empty text → empty fingerprint set (aligns with the Arrow form)
-    return F.when(F.length(c) > 0, fp).otherwise(F.array().cast("array<int>"))
+    # null text → null, empty text → empty set (both align with the
+    # Arrow form; F.length(NULL) is null so the when-chain must branch
+    # on isNull explicitly)
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<int>"))
+        .when(F.length(c) > 0, fp)
+        .otherwise(F.array().cast("array<int>"))
+    )
 
 
 def winnowing_fingerprint_arrow(

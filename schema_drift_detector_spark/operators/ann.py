@@ -103,15 +103,25 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Spherical k-means trainer, Lloyd iterations in DataFrame ops:
-    assign (broadcast centroids, max_by cosine) → per-dimension mean
-    (posexplode + groupBy(cell, dim)) → renormalize. Centroids are
-    collected to the driver between iterations (k×dim floats —
-    metadata-scale) to break iterative lineage; the corpus itself never
-    leaves the executors. Deterministic: md5-sample init +
-    lowest-cell-wins tie-break."""
+    """SPHERICAL k-means trainer, Lloyd iterations in DataFrame ops:
+    assign (broadcast centroids, max_by cosine) → per-dimension mean of
+    the UNIT-normalized members (posexplode + groupBy(cell, dim)) →
+    renormalize the mean. Centroids are collected to the driver between
+    iterations (k×dim floats — metadata-scale) to break iterative
+    lineage; the corpus itself never leaves the executors.
+    Deterministic: md5-sample init + lowest-cell-wins tie-break."""
+    import math
+
+    from ..functions.similarity import normalize
+
     sess = corpus.sparkSession
-    v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).cache()
+    # nv (unit vectors) is what spherical k-means averages — a single
+    # huge-magnitude member must not dominate its cell's direction
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        normalize(vec_col).alias("nv"),
+    ).cache()
     cents = deterministic_centroids(corpus, k, id_col, vec_col)
     for _ in range(iters):
         assigned = (
@@ -120,14 +130,14 @@ def kmeans_centroids(
             .groupBy("vec_id")
             .agg(
                 F.max_by(
-                    F.struct(F.col("centroid_id"), F.col("vec")),
+                    F.struct(F.col("centroid_id"), F.col("nv")),
                     F.struct(F.col("sim"), -F.col("centroid_id")),
                 ).alias("best")
             )
-            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.vec").alias("vec"))
+            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.nv").alias("nv"))
         )
         means = (
-            assigned.select("centroid_id", F.posexplode("vec").alias("dim", "val"))
+            assigned.select("centroid_id", F.posexplode("nv").alias("dim", "val"))
             .groupBy("centroid_id", "dim")
             .agg(F.avg("val").alias("m"))
             .groupBy("centroid_id")
@@ -139,8 +149,11 @@ def kmeans_centroids(
             )
         )
         rows = means.collect()  # k rows — breaks lineage between iterations
+        def _unit(xs):
+            n = math.sqrt(sum(x * x for x in xs))
+            return [x / n for x in xs] if n > 0 else list(xs)
         cents = sess.createDataFrame(
-            [(int(r.centroid_id), list(r.mean_vec)) for r in rows],
+            [(int(r.centroid_id), _unit(list(r.mean_vec))) for r in rows],
             "centroid_id int, centroid_vec array<double>",
         )
     return cents

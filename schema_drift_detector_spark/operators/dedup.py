@@ -425,8 +425,14 @@ def embedding_near_duplicates(
         # sign(raw·p) == sign(normalized·p), so the raw vector is hashed.
         @pandas_udf("long")
         def _bucket(vs: pd.Series) -> pd.Series:
-            m = np.vstack(vs.to_numpy()) @ planes_t > 0  # rows × n_planes
-            return pd.Series((m * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64))
+            vv = vs.to_numpy()
+            valid = np.array([v is not None for v in vv], dtype=bool)
+            out = np.zeros(len(vv), dtype=np.int64)
+            if valid.any():
+                m = np.vstack(vv[valid]) @ planes_t > 0  # rows × n_planes
+                out[valid] = (m * (1 << np.arange(n_planes))).sum(axis=1)
+            # null vectors → null bucket (they match nothing)
+            return pd.Series(pd.array(out, dtype="Int64")).mask(~valid)
 
         sig = v.withColumn("bucket", _bucket("vec"))
         a, b = sig.alias("a"), sig.alias("b")

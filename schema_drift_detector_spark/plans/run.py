@@ -146,6 +146,25 @@ def run_validation(
             docs, uq_spec.get("key", "doc_id"), uq_spec.get("salt_buckets", 16)
         ).cache()
 
+    # partitions present in a drift baseline but ABSENT from the current
+    # table "vanished" — that is drift, and the fail-closed verdict the
+    # checks emit for them must not be lost to the per-batch partition
+    # filter. They belong to no batch, so attach them to the first
+    # executed batch (idempotent under resume: the dynamic overwrite
+    # rewrites the same (run_id, partition_id) dirs). Metadata-scale
+    # collects: one row per baseline partition id.
+    def _vanished(baseline: DataFrame | None) -> list[int]:
+        if baseline is None:
+            return []
+        gone = (
+            baseline.select("partition_id").distinct()
+            .join(universe, "partition_id", "left_anti")
+        )
+        return [int(r.partition_id) for r in gone.collect()]
+
+    vanished_hist = _vanished(baseline_hist)
+    vanished_kinds = _vanished(baseline_kinds)
+
     executed = 0
     for batch in batches:
         if fail_after_batches is not None and executed >= fail_after_batches:
@@ -178,7 +197,11 @@ def run_validation(
                 epoch,
                 ks_threshold=d["ks_threshold"],
                 chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
-            ).filter(F.col("partition_id").isin(batch_ids))
+            ).filter(
+                F.col("partition_id").isin(
+                    batch_ids + (vanished_hist if executed == 0 else [])
+                )
+            )
             verdicts = verdicts.unionByName(dd_v)
         if baseline_td is not None:
             qd_v = C.check_quantile_drift(
@@ -198,7 +221,11 @@ def run_validation(
                 chi2_per_category_threshold=spec.get("categorical_drift", {}).get(
                     "chi2_per_category_threshold", 10.0
                 ),
-            ).filter(F.col("partition_id").isin(batch_ids))
+            ).filter(
+                F.col("partition_id").isin(
+                    batch_ids + (vanished_kinds if executed == 0 else [])
+                )
+            )
             verdicts = verdicts.unionByName(cd_v)
 
         # writes first, manifest commit last (write-ahead ordering); the
@@ -327,17 +354,21 @@ def _read_partitioned(
     canonical column order; the run_id filter prunes directories. A run
     that produced zero rows (e.g. no violations on clean data) leaves a
     directory with no parquet footers to infer from → empty typed frame."""
+    from pyspark.errors import AnalysisException
+
     try:
         v = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
+        # path absent or footer-less (zero-row run) — genuinely empty;
+        # any other failure (corrupt files, IO errors) must propagate
         return spark.createDataFrame([], schema)
     if run_id:
         v = v.filter(F.col("run_id") == run_id)
+    # directory-partition columns (run_id, partition_id) come back
+    # type-inferred from the path — cast EVERY column to its canonical
+    # schema type (a numeric-looking run_id would otherwise read as int)
     return v.select(
-        *[
-            F.col(f.name).cast("int").alias(f.name) if f.name == "partition_id" else F.col(f.name)
-            for f in schema.fields
-        ]
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
 
 

@@ -93,10 +93,22 @@ def stream_validate(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..plans.run import baseline_kind_counts
+
         run_id = f"stream-{batch_id}"
         uq_v, uq_viol = C.check_uniqueness(batch_df, run_id)
         ri_v, ri_viol = C.check_referential_integrity(batch_df, catalog, run_id)
         verdicts = uq_v.unionByName(ri_v)
+        # drift verdicts are scoped to partitions PRESENT in this
+        # micro-batch: the fail-closed full-outer checks would otherwise
+        # emit a FAILED row for every baseline partition a trigger
+        # happens not to touch, on every trigger (metadata-scale collect)
+        batch_parts = None
+        if baseline_hist is not None or baseline_kinds is not None:
+            batch_parts = [
+                int(r.partition_id)
+                for r in batch_df.select("partition_id").distinct().collect()
+            ]
         if baseline_hist is not None:
             curr = numeric_histogram(
                 batch_df.select("partition_id", F.explode("spans.offset").alias("off")),
@@ -107,21 +119,16 @@ def stream_validate(
                     baseline_hist, curr, run_id, epoch=batch_id,
                     ks_threshold=d["ks_threshold"],
                     chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
-                )
+                ).filter(F.col("partition_id").isin(batch_parts))
             )
         if baseline_kinds is not None:
-            curr_kinds = (
-                batch_df.select("partition_id", F.explode("spans.kind").alias("category"))
-                .groupBy("partition_id", "category")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-            )
             verdicts = verdicts.unionByName(
                 C.check_categorical_drift(
-                    baseline_kinds, curr_kinds, run_id, epoch=batch_id,
+                    baseline_kinds, baseline_kind_counts(batch_df), run_id, epoch=batch_id,
                     chi2_per_category_threshold=spec.get("categorical_drift", {}).get(
                         "chi2_per_category_threshold", 10.0
                     ),
-                )
+                ).filter(F.col("partition_id").isin(batch_parts))
             )
         verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")
         uq_viol.unionByName(ri_viol).write.mode("append").parquet(f"{out_dir}/violations")

@@ -118,6 +118,31 @@ def test_embedding_lsh_requires_dim(spark, emb):
         embedding_near_duplicates(emb, "vec_id", "embedding", 0.95, n_planes=8)
 
 
+def test_topk_null_and_zero_vectors_never_outrank(spark, emb):
+    """A NULL embedding must not crash the Arrow cosine, and a zero-norm
+    vector must score null (sorted last in desc), never NaN-above-1.0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dim = 64
+    extra = spark.createDataFrame(
+        [(100001, None), (100002, [0.0] * dim)],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(extra)
+    top = topk_bruteforce(corpus, emb.filter("vec_id < 2"), k=5).collect()
+    ids_ranked = {r.vec_id for r in top}
+    assert 100001 not in ids_ranked and 100002 not in ids_ranked
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert rows[0].vec_id == q and rows[0].cos_sim == 1.0  # self-hit still first
+
+
 def test_topk_bruteforce_self_hit(spark, emb):
     queries = emb.filter("vec_id < 3")
     top = topk_bruteforce(emb, queries, k=5).collect()

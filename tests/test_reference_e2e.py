@@ -214,24 +214,26 @@ def test_winnowing_forms_value_parity(spark):
             ("d", "tiny"),                            # shorter than n
             ("e", ""),                                # empty
             ("f", "completely different content here entirely"),
+            ("g", None),                              # null text
         ],
         ["id", "t"],
     )
     for n, window in ((8, 4), (12, 5)):
         expr = {
-            r.id: list(r.fp)
+            r.id: (None if r.fp is None else list(r.fp))
             for r in df.select(
                 "id", winnowing_fingerprint("t", n=n, window=window).alias("fp")
             ).collect()
         }
         arrow = {
-            r.id: list(r.fp)
+            r.id: (None if r.fp is None else list(r.fp))
             for r in df.select(
                 "id", winnowing_fingerprint_arrow("t", n=n, window=window).alias("fp")
             ).collect()
         }
-        assert {k: sorted(v) for k, v in expr.items()} == {
-            k: sorted(v) for k, v in arrow.items()
+        assert {k: v if v is None else sorted(v) for k, v in expr.items()} == {
+            k: v if v is None else sorted(v) for k, v in arrow.items()
         }, f"divergence at n={n}"
     assert expr["e"] == []
+    assert expr["g"] is None
     assert len(expr["a"]) > 0 and expr["a"] != expr["f"]

@@ -232,6 +232,30 @@ def test_categorical_drift_in_pipeline(spark, docs0, catalog, tmp_path_factory):
     assert all(r.passed for r in cd.values())
 
 
+def test_vanished_partition_fails_in_pipeline(spark, docs0, catalog, tmp_path_factory):
+    """A partition present in the drift baseline but absent from the
+    current table must still get its fail-closed verdict — the per-batch
+    partition filter must not swallow it."""
+    from schema_drift_detector_spark.plans.run import baseline_kind_counts
+
+    out = str(tmp_path_factory.mktemp("run_vanish"))
+    current = docs0.filter(F.col("partition_id") != 6)  # partition 6 vanishes
+    run_validation(
+        spark, current, catalog, out, run_id="vz", epoch=1,
+        baseline_kinds=baseline_kind_counts(docs0), partition_batches=3,
+    )
+    cd = {
+        r.partition_id: r
+        for r in read_verdicts(spark, out, "vz")
+        .filter("constraint = 'categorical_drift'")
+        .collect()
+    }
+    assert set(cd) == set(range(8))  # 7 live + the vanished one
+    assert cd[6].passed is False
+    assert "missing baseline or current data" in cd[6].summary
+    assert all(cd[p].passed for p in range(8) if p != 6)
+
+
 def test_categorical_drift_fails_closed_on_missing_baseline(spark, docs0):
     """A partition absent from the baseline must fail (not null-verdict)."""
     from schema_drift_detector_spark.operators.constraints import check_categorical_drift
