@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NO_DRIFT_SUMMARY = "no schema drift detected"
@@ -39,13 +39,25 @@ NO_DRIFT_SUMMARY = "no schema drift detected"
 _FIELD_COLS = ("name", "dtype", "nullable", "ordinal")
 
 
+def _lower_key(name: Column | str = "name") -> Column:
+    # reference: (f.get("name") or "").lower() — a null name keys as ''
+    # so two null-named fields COMPARE instead of null-join-missing each
+    # other into a spurious remove+add pair
+    c = F.col(name) if isinstance(name, str) else name
+    return F.lower(F.coalesce(c, F.lit("")))
+
+
 def _dedupe_last_wins(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Replicate python-dict build: for duplicate lower(name) within a
-    snapshot, the LAST list entry's payload wins (detector_agent.py:563-564).
-    List order ≙ ordinal order."""
-    w = Window.partitionBy(*keys, F.lower(F.col("name"))).orderBy(F.col("ordinal").desc())
+    snapshot, the LAST list entry's payload wins, but the key keeps the
+    FIRST entry's position (dict insertion order — detector_agent.py:
+    563-564). List order ≙ ordinal order, so the iteration position is
+    min(ordinal) per key, carried as __first_ord for report ordering."""
+    part = Window.partitionBy(*keys, _lower_key())
+    w = part.orderBy(F.col("ordinal").desc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__first_ord", F.min("ordinal").over(part))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -70,12 +82,14 @@ def diff_fields(
     keys = list(keys)
     b = _dedupe_last_wins(before, keys).select(
         *keys,
-        F.lower(F.col("name")).alias("__k"),
+        _lower_key().alias("__k"),
+        F.col("__first_ord").alias("__b_ford"),
         F.struct(*[F.col(c) for c in _FIELD_COLS]).alias("before"),
     )
     a = _dedupe_last_wins(after, keys).select(
         *keys,
-        F.lower(F.col("name")).alias("__k"),
+        _lower_key().alias("__k"),
+        F.col("__first_ord").alias("__a_ford"),
         F.struct(*[F.col(c) for c in _FIELD_COLS]).alias("after"),
     )
     joined = b.join(a, on=keys + ["__k"], how="full_outer")
@@ -114,10 +128,12 @@ def diff_fields(
         )
         .when(b_ord != a_ord, F.lit("low"))
     )
-    # removes/changes first (before-map iteration order), then adds
+    # removes/changes first (before-map iteration order), then adds;
+    # iteration position is the FIRST occurrence's ordinal (dict
+    # insertion order), not the surviving last-wins payload's ordinal
     sort_key = F.struct(
         F.when(bf.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("grp"),
-        F.coalesce(bf["ordinal"], af["ordinal"], F.lit(0)).alias("ord"),
+        F.coalesce(F.col("__b_ford"), F.col("__a_ford"), F.lit(0)).alias("ord"),
         F.col("__k").alias("key"),
     )
 
@@ -170,7 +186,12 @@ def drift_report(
         ).alias("__rank"),
     )
     if keys and universe is not None:
-        agg = agg.join(universe.select(*keys).distinct(), on=keys, how="right_outer")
+        # full_outer: universe ADDS missing no-drift rows but must never
+        # REMOVE a change-bearing group — an entity that vanished
+        # entirely (remove-only changes, overall critical) is absent
+        # from an after-side universe and would be silently dropped by
+        # right_outer
+        agg = agg.join(universe.select(*keys).distinct(), on=keys, how="full_outer")
 
     changes_arr = F.coalesce(F.col("__changes"), F.array())
     n_changes = F.size(changes_arr)

@@ -56,6 +56,28 @@ def profile_columns(
         for i, f in enumerate(df.schema.fields)
         if f.name not in group_cols and _is_atomic(f.dataType)
     ]
+    if not fields:
+        # nothing atomic to profile (e.g. only group cols + nested
+        # columns) — return an empty, correctly-typed long-format frame
+        # instead of letting array()-of-nothing break the star-expand
+        out_schema = T.StructType(
+            [df.schema[c] for c in group_cols]
+            + [
+                T.StructField("column", T.StringType()),
+                T.StructField("ordinal", T.IntegerType()),
+                T.StructField("dtype", T.StringType()),
+                T.StructField("nullable", T.BooleanType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("null_ratio", T.DoubleType()),
+                T.StructField("min_val", T.StringType()),
+                T.StructField("max_val", T.StringType()),
+                T.StructField("approx_distinct", T.LongType()),
+                T.StructField("hll_sketch", T.BinaryType()),
+            ]
+            + ([T.StructField("snapshot_id", T.StringType())] if snapshot_id is not None else [])
+            + ([T.StructField("entity", T.StringType())] if entity is not None else [])
+        )
+        return df.sparkSession.createDataFrame([], out_schema)
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, f in fields:
@@ -124,8 +146,12 @@ def profile_spans(
     s = docs.select(*group_cols, F.explode(spans_col).alias("s"))
     # two-level aggregation: per-(group, kind) partials roll up to the
     # group row — ONE explode, two shuffles, no join; the kind histogram
-    # falls out of the rollup for free
-    per_kind = s.groupBy(*group_cols, F.col("s.kind").alias("kind")).agg(
+    # falls out of the rollup for free. Null kinds coalesce to 'unknown':
+    # map_from_entries rejects null keys at runtime, which would fail the
+    # whole stage on one malformed span
+    per_kind = s.groupBy(
+        *group_cols, F.coalesce(F.col("s.kind"), F.lit("unknown")).alias("kind")
+    ).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(F.when(F.col("s.text").isNull(), 1).otherwise(0)).alias("__n_text_null"),
         F.min("s.offset").alias("__omin"),
@@ -165,8 +191,10 @@ def kind_histogram(
     """Categorical histogram of span kinds per group as map<kind,count>."""
     group_cols = [c for c in group_cols if c in docs.columns]
     return (
-        docs.select(*group_cols, F.explode(f"{spans_col}.kind").alias("kind"))
-        .groupBy(*group_cols, "kind")
+        docs.select(*group_cols, F.explode(f"{spans_col}.kind").alias("__kind"))
+        .groupBy(
+            *group_cols, F.coalesce(F.col("__kind"), F.lit("unknown")).alias("kind")
+        )
         .count()
         .groupBy(*group_cols)
         .agg(
@@ -240,15 +268,20 @@ def numeric_histogram(
     bin (int), bin_count (long) — long format merges by simple addition,
     which is what distribution-drift checks consume.
     """
+    if not hi > lo:
+        raise ValueError(f"numeric_histogram requires hi > lo, got [{lo}, {hi})")
     group_cols = list(group_cols)
     c = F.col(value) if isinstance(value, str) else value
+    cd = c.cast("double")
     width = (hi - lo) / nbins
     bin_ = F.least(
-        F.greatest(F.floor((c.cast("double") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.greatest(F.floor((cd - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(nbins - 1),
     ).cast("int")
+    # NaN passes isNotNull and would floor() into bin 0 as a phantom
+    # low value, silently skewing drift comparisons — exclude it like null
     return (
-        df.filter(c.isNotNull())
+        df.filter(cd.isNotNull() & ~F.isnan(cd))
         .groupBy(*group_cols, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("bin_count"))
     )

@@ -30,9 +30,13 @@ def manifest_path(out_dir: str) -> str:
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path(out_dir))
-    except Exception:
+    except AnalysisException:
+        # first run (no manifest yet); transient read errors propagate —
+        # swallowing them would reset resume and recompute every partition
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 

@@ -98,18 +98,22 @@ def healing_plan(
 
 def healing_actions_df(changes: DataFrame, table_name: str = "{table_name}") -> DataFrame:
     """Bulk healing generation over change rows (diff.diff_fields output)
-    — same strings, as Catalyst expressions, for fleets of entities."""
-    ftype = F.coalesce(F.col("after")["dtype"], F.lit("null"))
+    — the same strings healing_actions emits driver-side, as Catalyst
+    expressions, for fleets of entities: a missing dtype renders as
+    'None' (python f-string semantics) and '%' in the table name is
+    escaped before it reaches format_string."""
+    tn = table_name.replace("%", "%%")
+    ftype = F.coalesce(F.col("after")["dtype"], F.lit("None"))
     return changes.select(
         *[c for c in changes.columns if c not in ("before", "after", "sort_key")],
         F.when(F.col("op") == "remove", F.lit("manual")).otherwise(F.lit("sql")).alias("type"),
         F.when(
             F.col("op") == "add",
-            F.format_string(f"ALTER TABLE {table_name} ADD COLUMN %s %s;", F.col("field"), ftype),
+            F.format_string(f"ALTER TABLE {tn} ADD COLUMN %s %s;", F.col("field"), ftype),
         )
         .when(
             F.col("op") == "change",
-            F.format_string(f"ALTER TABLE {table_name} ALTER COLUMN %s TYPE %s;", F.col("field"), ftype),
+            F.format_string(f"ALTER TABLE {tn} ALTER COLUMN %s TYPE %s;", F.col("field"), ftype),
         )
         .otherwise(F.format_string("-- Manual review required for removed column: %s", F.col("field")))
         .alias("script"),
@@ -117,6 +121,18 @@ def healing_actions_df(changes: DataFrame, table_name: str = "{table_name}") -> 
         .when(F.col("op") == "change", 70)
         .otherwise(100)
         .alias("confidence"),
+        F.when(
+            F.col("op") == "add",
+            F.format_string("Add missing column %s", F.col("field")),
+        )
+        .when(
+            F.col("op") == "change",
+            F.format_string("Change type of column %s to %s", F.col("field"), ftype),
+        )
+        .otherwise(
+            F.format_string("Column %s was removed. Review required.", F.col("field"))
+        )
+        .alias("description"),
     )
 
 

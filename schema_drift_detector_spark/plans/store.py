@@ -39,6 +39,20 @@ def persist_snapshot(
     """Append an immutable snapshot; returns its uuid
     (≙ snapshot_persistence_agent.py:116 identity semantics)."""
     snapshot_id = new_snapshot_id()
+    # write-ahead ordering: fields/profiles land FIRST, the snapshot
+    # meta row LAST — the meta row is the commit point every reader
+    # discovers snapshots through (previous_snapshot, get_or_create).
+    # A crash mid-persist then leaves only unreferenced field rows,
+    # never a discoverable-but-empty snapshot that would poison the
+    # diff chain permanently (same discipline as plans/manifest.py).
+    f = fields.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn("entity", F.lit(entity))
+    ensure_metadata_only(f)
+    f.write.mode("append").parquet(f"{store_dir}/snapshot_fields")
+    if profiles is not None:
+        ensure_metadata_only(profiles)
+        profiles.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn(
+            "entity", F.lit(entity)
+        ).write.mode("append").parquet(f"{store_dir}/profiles")
     meta = spark.createDataFrame(
         [
             (
@@ -53,14 +67,6 @@ def persist_snapshot(
         SNAPSHOT_SCHEMA,
     )
     meta.coalesce(1).write.mode("append").parquet(f"{store_dir}/snapshots")
-    f = fields.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn("entity", F.lit(entity))
-    ensure_metadata_only(f)
-    f.write.mode("append").parquet(f"{store_dir}/snapshot_fields")
-    if profiles is not None:
-        ensure_metadata_only(profiles)
-        profiles.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn(
-            "entity", F.lit(entity)
-        ).write.mode("append").parquet(f"{store_dir}/profiles")
     return snapshot_id
 
 
@@ -92,9 +98,15 @@ def get_or_create_snapshot(
 
 
 def read_snapshots(spark: SparkSession, store_dir: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(f"{store_dir}/snapshots")
-    except Exception:
+    except AnalysisException:
+        # store not initialized yet; transient IO/corruption errors must
+        # propagate — treating them as "no snapshots" would both produce
+        # a false first-snapshot all-adds diff and append a duplicate
+        # snapshot row
         return spark.createDataFrame([], SNAPSHOT_SCHEMA)
 
 

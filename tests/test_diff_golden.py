@@ -172,3 +172,58 @@ def test_duplicate_lowercased_names_last_wins(spark):
     before = _fields(spark, [("Dup", "int", True, 0), ("dup", "string", True, 1)])
     after = _fields(spark, [("dup", "string", True, 1)])
     assert diff_fields(before, after).count() == 0
+
+
+def test_universe_keeps_wholly_removed_entity(spark):
+    """An entity present only in BEFORE (dropped entirely) must survive
+    an after-side universe join — its remove-only report is the most
+    severe verdict the diff can produce."""
+    import pyspark.sql.functions as F
+
+    b = spark.createDataFrame(
+        [("gone", "x", "string", True, 0), ("kept", "x", "string", True, 0)],
+        ["entity"] + list(FIELD_SCHEMA.fieldNames()),
+    )
+    a = spark.createDataFrame(
+        [("kept", "x", "string", True, 0)],
+        ["entity"] + list(FIELD_SCHEMA.fieldNames()),
+    )
+    rep = {
+        r.entity: r
+        for r in drift_report(
+            diff_fields(b, a, keys=["entity"]),
+            keys=["entity"],
+            universe=a.select("entity"),
+        ).collect()
+    }
+    assert set(rep) == {"gone", "kept"}
+    assert rep["gone"].severity == "critical"
+    assert rep["gone"].summary == "remove x (critical)"
+    assert rep["kept"].drift_detected is False
+
+
+def test_duplicate_lowercased_names_dict_order(spark):
+    """Reference dict semantics for case-duplicate names: FIRST
+    occurrence's iteration position, LAST occurrence's payload."""
+    b = spark.createDataFrame(
+        [("Dup", "int", True, 0), ("b", "int", True, 1), ("dup", "string", True, 2)],
+        FIELD_SCHEMA,
+    )
+    a = spark.createDataFrame([], FIELD_SCHEMA)
+    rep = drift_report(diff_fields(b, a)).collect()[0]
+    # 'dup' keyed at position 0 (first occurrence) iterates before 'b';
+    # the surviving payload is the LAST row (name 'dup', type string)
+    assert rep.summary == "remove dup (critical) ; remove b (critical)"
+
+
+def test_null_field_names_compare_not_remove_add(spark):
+    """Null names key as '' (reference: (name or '').lower()), so two
+    null-named fields diff as a change, not a spurious remove+add."""
+    nullable_schema = "name string, dtype string, nullable boolean, ordinal int"
+    b = spark.createDataFrame([(None, "int", True, 0)], nullable_schema)
+    a = spark.createDataFrame([(None, "string", True, 0)], nullable_schema)
+    rows = diff_fields(b, a).collect()
+    assert len(rows) == 1
+    assert rows[0].op == "change" and rows[0].notes == "type changed"
+    rep = drift_report(diff_fields(b, a)).collect()[0]
+    assert rep.severity == "warning"  # high change, no remove

@@ -74,3 +74,50 @@ def test_profile_is_single_shuffle(spark, docs):
     plan = profile_columns(docs)._jdf.queryExecution().executedPlan().toString()
     # one wide hash-aggregate pair → exactly one exchange
     assert plan.count("Exchange") == 1
+
+
+def test_null_span_kind_does_not_crash_profiles(spark):
+    """map_from_entries rejects null keys — null kinds must coalesce to
+    'unknown' instead of failing the stage on one malformed span."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.profile import kind_histogram, profile_spans
+
+    docs = spark.createDataFrame(
+        [(1, [("text", "hi", None, 0), (None, None, None, 5)])],
+        "partition_id int, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    prof = profile_spans(docs).collect()[0]
+    assert prof.n_spans == 2
+    assert prof.kind_histogram == {"text": 1, "unknown": 1}
+    kh = kind_histogram(docs).collect()[0]
+    assert kh.kind_histogram == {"text": 1, "unknown": 1}
+
+
+def test_numeric_histogram_excludes_nan_and_guards_bounds(spark):
+    import math
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from schema_drift_detector_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (0, float("nan")), (0, None)], "partition_id int, v double"
+    )
+    rows = numeric_histogram(df, "v", 0.0, 4.0, 4, ["partition_id"]).collect()
+    assert sum(r.bin_count for r in rows) == 2  # NaN and null both excluded
+    with _pytest.raises(ValueError, match="hi > lo"):
+        numeric_histogram(df, "v", 4.0, 4.0, 4, ["partition_id"])
+
+
+def test_profile_columns_no_atomic_columns_returns_empty(spark):
+    from schema_drift_detector_spark.operators.profile import profile_columns
+
+    docs = spark.createDataFrame(
+        [(1, 0, [("text", "x", None, 0)])],
+        "partition_id int, epoch int, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = profile_columns(docs, snapshot_id="s", entity="e")
+    assert out.count() == 0
+    assert "column" in out.columns and "hll_sketch" in out.columns
