@@ -32,28 +32,39 @@ def build(values: np.ndarray, delta: int = 128) -> bytes:
 def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
     """Greedy size-capped compression with the scale function
     k(q) = delta/2 * (asin(2q-1)/pi + 1/2) — caps centroid count at
-    ~delta while keeping tails fine-grained. Inputs must be sorted."""
+    ~delta while keeping tails fine-grained. Inputs must be sorted.
+
+    Vectorized: one cumulative-sum pass over the inputs, then ONE loop
+    iteration per OUTPUT centroid (≤ ~delta + tails) using searchsorted
+    to find each centroid's absorption cut — build() over 10^6 raw
+    values must not spend 10^6 Python iterations on the
+    tdigest_profiles hot path. Same greedy rule as the per-element
+    form: absorb the longest prefix whose weight fits the k-limit cap,
+    with at least one element."""
     total = weights.sum()
     if len(means) <= delta:
         return means.copy(), weights.copy()
-    out_m, out_w = [], []
-    q0 = 0.0
-    i = 0
     n = len(means)
+    cw = np.cumsum(weights)                # inclusive cumulative weight
+    cmw = np.cumsum(means * weights)       # cumulative weighted mean sum
+    out_m, out_w = [], []
+    i = 0
+    q0 = 0.0
     while i < n:
         k0 = _k(q0, delta)
-        # max weight this centroid may absorb: q at k0+1
         q_limit = _k_inv(k0 + 1.0, delta)
         cap = max(q_limit * total - q0 * total, 1.0)
-        w_acc = 0.0
-        m_acc = 0.0
-        while i < n and (w_acc + weights[i] <= cap or w_acc == 0.0):
-            w_acc += weights[i]
-            m_acc += means[i] * weights[i]
-            i += 1
+        base_w = cw[i - 1] if i > 0 else 0.0
+        base_m = cmw[i - 1] if i > 0 else 0.0
+        # largest j with cw[j] - base_w <= cap, but at least element i
+        j = np.searchsorted(cw, base_w + cap, side="right") - 1
+        j = max(j, i)
+        w_acc = cw[j] - base_w
+        m_acc = cmw[j] - base_m
         out_m.append(m_acc / w_acc)
         out_w.append(w_acc)
         q0 += w_acc / total
+        i = j + 1
     return np.array(out_m), np.array(out_w)
 
 
@@ -74,8 +85,19 @@ def serialize(means: np.ndarray, weights: np.ndarray) -> bytes:
 def deserialize(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     if not blob:
         return np.empty(0), np.empty(0)
+    # explicit validation (not assert — stripped under -O): a truncated
+    # or foreign blob must fail HERE with a clear message, not deep in
+    # np.interp with a shape error
+    if len(blob) < 16:
+        raise ValueError(f"corrupt t-digest blob: {len(blob)} bytes, need >= 16")
     ver, n = np.frombuffer(blob[:16], dtype="<i8")
-    assert ver == _VERSION, f"unknown sketch version {ver}"
+    if ver != _VERSION:
+        raise ValueError(f"unknown t-digest version {ver} (expected {_VERSION})")
+    if n < 0 or len(blob) < 16 + 16 * n:
+        raise ValueError(
+            f"corrupt t-digest blob: header says {n} centroids but only "
+            f"{len(blob)} bytes present"
+        )
     means = np.frombuffer(blob[16 : 16 + 8 * n], dtype="<f8")
     weights = np.frombuffer(blob[16 + 8 * n : 16 + 16 * n], dtype="<f8")
     return means.copy(), weights.copy()

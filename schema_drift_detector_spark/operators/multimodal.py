@@ -67,7 +67,7 @@ def synth_media(spark: SparkSession, cfg: SynthConfig = SynthConfig(), n: int = 
             yield pd.DataFrame(
                 {
                     "media_ref": np.char.add(
-                        "asset-", np.char.zfill(ids.astype("U8"), 8)
+                        "asset-", np.char.zfill(ids.astype("U12"), 8)
                     ),
                     "kind": kinds,
                     "content": payloads,
@@ -93,7 +93,11 @@ BYTE_FEATURES_SCHEMA = T.StructType(
 
 def extract_byte_features(media: DataFrame, nbins: int = 16) -> DataFrame:
     """REAL feature extraction: per-blob byte histogram + Shannon
-    entropy, vectorized numpy inside Arrow batches."""
+    entropy, vectorized numpy inside Arrow batches. nbins must be a
+    power of two ≤ 256 (binning is a bit shift of the byte value);
+    anything else would silently mis-shape the histogram."""
+    if nbins <= 0 or nbins > 256 or (nbins & (nbins - 1)) != 0:
+        raise ValueError(f"nbins must be a power of two in [1, 256], got {nbins}")
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -222,10 +226,19 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             for ref, content in zip(b["media_ref"], b["content"]):
                 blob = bytes(content or b"")
                 if blob[:4] != MAGIC:
+                    # undecodable blob: emit a sentinel row (frame_index
+                    # -1, null checksum) like decode_media's
+                    # 'unavailable' row — never vanish silently
+                    refs.append(ref)
+                    idxs.append(-1)
+                    sums.append(None)
                     continue
                 fr = int.from_bytes(blob[8:10], "big")
                 body = np.frombuffer(blob[10:], dtype=np.uint8)
                 if fr <= 0 or len(body) == 0:
+                    refs.append(ref)
+                    idxs.append(-1)
+                    sums.append(None)
                     continue
                 chunk = len(body) // fr
                 for i in range(0, fr, every_n):

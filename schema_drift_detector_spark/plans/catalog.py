@@ -53,10 +53,23 @@ def fetch_healing_policy(
     policies: DataFrame, strategies: DataFrame | None, pipeline: str
 ) -> dict | None:
     """R2: healing policy with optional strategy — the Cypher OPTIONAL
-    MATCH becomes a left join (source_schema_identifier_agent.py:125-137)."""
+    MATCH becomes a left join (source_schema_identifier_agent.py:125-137).
+
+    Strategy columns that collide with policy column names are prefixed
+    ``strategy_`` (Row.asDict silently keeps only the last duplicate
+    otherwise), and the joined rows are ordered before limit(1) so a
+    multi-strategy pipeline resolves deterministically."""
     p = policies.filter(F.col("pipeline") == pipeline)
     if strategies is not None:
-        p = p.join(F.broadcast(strategies), "pipeline", "left")
+        pol_cols = set(p.columns)
+        s = strategies
+        for c in s.columns:
+            if c != "pipeline" and c in pol_cols:
+                s = s.withColumnRenamed(c, f"strategy_{c}")
+        p = p.join(F.broadcast(s), "pipeline", "left")
+        order_col = next((c for c in s.columns if c != "pipeline"), None)
+        if order_col is not None:
+            p = p.orderBy(F.col(order_col).asc_nulls_last())
     rows = p.limit(1).collect()
     return rows[0].asDict() if rows else None
 

@@ -16,8 +16,9 @@ Epoch drift spec (F3):
   e0  baseline: doc_id, spans, quality:int64, partition_id, epoch
   e1  + country:string at the end
   e2  country removed; quality int→string; doc_id nullable True→False;
-      partition_id/epoch ordinals swapped; spans.offset distribution
-      +40% and text null-ratio ×3 in partitions DRIFT_PARTITIONS.
+      partition_id/epoch ordinals swapped; spans.offset step scaled
+      (step*14)//10 + 1 ≈ +50% mean and text null-ratio ×3 in
+      partitions DRIFT_PARTITIONS.
 """
 
 from __future__ import annotations
@@ -137,11 +138,16 @@ def _gen_docs(ids: np.ndarray, epoch: int, cfg: SynthConfig) -> pd.DataFrame:
         & ((m % np.uint64(cfg.dangling_every)) == np.uint64(1))
     )
     asset_ix = np.where(dangling, cfg.n_assets + (asset_ix % 1000), asset_ix)
+    # U12 (not U8): %08d is a MINIMUM width — for catalogs >= 10^8
+    # assets the id string grows past 8 chars and a U8 dtype would
+    # silently truncate it, manufacturing dangling refs + collisions
     media_ref = np.where(
-        ~is_text, np.char.add("asset-", np.char.zfill(asset_ix.astype("U8"), 8)), None
+        ~is_text, np.char.add("asset-", np.char.zfill(asset_ix.astype("U12"), 8)), None
     )
 
-    # offset: strictly increasing within a doc; +40% step drift in e2
+    # offset: strictly increasing within a doc; e2 drift scales the
+    # step by (x*14)//10 + 1 (~+50% mean — the +1 keeps every step
+    # strictly larger, so drift is unambiguous at any step size)
     step = 1 + (_mix(gid * np.int64(63) + span_j, seed + 5) % np.uint64(10)).astype(np.int64)
     if epoch >= 2:
         step = np.where(np.isin(part[doc_ix], cfg.drift_partitions), (step * 14) // 10 + 1, step)

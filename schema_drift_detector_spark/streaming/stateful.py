@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "n_docs LONG, n_spans LONG, n_text_null LONG, offset_max LONG"
+STATE_SCHEMA = "n_docs LONG, n_spans LONG, n_text LONG, n_text_null LONG, offset_max LONG"
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("partition_id", T.IntegerType(), False),
@@ -36,8 +36,8 @@ def _fold(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n_docs, n_spans, n_text_null, offset_max = (
-        state.get if state.exists else (0, 0, 0, 0)
+    n_docs, n_spans, n_text, n_text_null, offset_max = (
+        state.get if state.exists else (0, 0, 0, 0, None)
     )
     for pdf in pdfs:
         n_docs += len(pdf)
@@ -49,17 +49,23 @@ def _fold(
                 kind = s["kind"] if isinstance(s, dict) else s.kind
                 text = s["text"] if isinstance(s, dict) else s.text
                 off = s["offset"] if isinstance(s, dict) else s.offset
-                if kind == "text" and text is None:
-                    n_text_null += 1
-                if off is not None and off > offset_max:
+                if kind == "text":
+                    n_text += 1
+                    if text is None:
+                        n_text_null += 1
+                if off is not None and (offset_max is None or off > offset_max):
                     offset_max = int(off)
-    state.update((n_docs, n_spans, n_text_null, offset_max))
+    state.update((n_docs, n_spans, n_text, n_text_null, offset_max))
     yield pd.DataFrame(
         {
             "partition_id": [int(key[0])],
             "n_docs": [n_docs],
             "n_spans": [n_spans],
-            "text_null_ratio": [n_text_null / n_spans if n_spans else None],
+            # SAME definition as the batch profiler (profile_spans):
+            # nulls among TEXT spans / text spans — comparable lifetime
+            # vs baseline numbers; offset_max stays null until an offset
+            # is actually observed (batch emits null there too)
+            "text_null_ratio": [n_text_null / n_text if n_text else None],
             "offset_max": [offset_max],
         }
     )

@@ -215,7 +215,17 @@ def test_stateful_running_profiles(spark, tmp_path_factory):
         r.partition_id: r.c
         for r in docs.groupBy("partition_id").agg(F.count(F.lit(1)).alias("c")).collect()
     }
+    # text_null_ratio must use the SAME definition as the batch profiler
+    # (nulls among TEXT spans / text spans) so lifetime-vs-baseline
+    # comparisons are apples-to-apples
+    from schema_drift_detector_spark.operators.profile import profile_spans
+
+    batch_prof = {
+        r.partition_id: r
+        for r in profile_spans(docs, group_cols=["partition_id"]).collect()
+    }
     for p, r in last.items():
         assert r.n_docs == n_docs_per_part[p]
         assert r.n_spans == expected[p].ns
         assert r.offset_max == expected[p].om
+        assert abs(r.text_null_ratio - batch_prof[p].text_null_ratio) < 1e-9
