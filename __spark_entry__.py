@@ -964,7 +964,11 @@ FROM wm WHERE p <= greatest(L - 3, 1)
 """
 
 
-_SPAN_VAL_DIR = "/root/repo/.entry_artifacts/span_validation"
+# artifacts live next to this file (committed fixtures) — located via
+# __file__ like the sys.path bootstrap above, robust to driver cwd and
+# to checkouts outside /root/repo
+_ARTIFACTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".entry_artifacts")
+_SPAN_VAL_DIR = f"{_ARTIFACTS}/span_validation"
 
 
 def _write_once(df: DataFrame, path: str) -> None:
@@ -1070,11 +1074,13 @@ def q_stream_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.streaming.epochs import stream_validate
 
     docs, catalog = _span_val_tables(spark)
-    out = "/root/repo/.entry_artifacts/stream_span_validation"
+    out = f"{_ARTIFACTS}/stream_span_validation"
     shutil.rmtree(out, ignore_errors=True)
     stream = spark.readStream.schema(docs.schema).parquet(f"{_SPAN_VAL_DIR}/docs")
     q = stream_validate(stream, catalog, out, trigger_available_now=True)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_span_validation did not finish within 300s")
     return (
         spark.read.parquet(f"{out}/verdicts")
         .select("partition_id", "constraint", "passed", "severity", "summary")
@@ -1097,7 +1103,7 @@ def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("partition_id", "constraint", "passed", "severity", "summary")
 
 
-_MEDIA_DIR = "/root/repo/.entry_artifacts/media"
+_MEDIA_DIR = f"{_ARTIFACTS}/media"
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,7 +1211,7 @@ FROM f
 """
 
 
-_QD_DIR = "/root/repo/.entry_artifacts/quantile_drift"
+_QD_DIR = f"{_ARTIFACTS}/quantile_drift"
 
 
 def q_quantile_drift_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:

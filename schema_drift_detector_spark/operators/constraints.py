@@ -380,16 +380,29 @@ def check_quantile_drift(
     keys = list(keys)
     b = base_td.select(*keys, F.col("tdigest").alias("td_base"), F.col("n").alias("n_base"))
     c = curr_td.select(*keys, F.col("tdigest").alias("td_curr"), F.col("n").alias("n_curr"))
-    j = b.join(c, on=keys, how="inner").withColumn("ks_stat", ks("td_base", "td_curr"))
+    # full_outer + fail-closed, like the histogram/categorical checks: a
+    # key group with a baseline digest but no current one (vanished
+    # partition) — or vice versa — IS drift, not a skippable row
+    j = b.join(c, on=keys, how="full_outer").withColumn("ks_stat", ks("td_base", "td_curr"))
+    both = F.col("td_base").isNotNull() & F.col("td_curr").isNotNull()
     per = j.select(
         *keys,
         F.lit(epoch).alias("epoch"),
-        (F.col("ks_stat") <= ks_threshold).alias("passed"),
-        F.format_string(
-            "tdigest ks=%.4f (n_base=%d n_curr=%d)",
-            F.col("ks_stat"),
-            F.col("n_base"),
-            F.col("n_curr"),
+        F.when(both, F.col("ks_stat") <= ks_threshold).otherwise(F.lit(False)).alias("passed"),
+        F.when(
+            both,
+            F.format_string(
+                "tdigest ks=%.4f (n_base=%d n_curr=%d)",
+                F.col("ks_stat"),
+                F.col("n_base"),
+                F.col("n_curr"),
+            ),
+        ).otherwise(
+            F.format_string(
+                "missing baseline or current digest (n_base=%d n_curr=%d)",
+                F.coalesce(F.col("n_base"), F.lit(0)),
+                F.coalesce(F.col("n_curr"), F.lit(0)),
+            )
         ).alias("summary"),
         F.to_json(F.struct(F.col("ks_stat"), F.col("n_base"), F.col("n_curr"))).alias("metrics"),
     )

@@ -52,8 +52,12 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 def drop_exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Keep one row per content fingerprint (min id wins) — the
-    map-side-combinable form of exact dedup."""
-    fp = fingerprint_md5(content_col).alias("__fp")
+    map-side-combinable form of exact dedup. NULL content groups as one
+    fingerprint (sentinel, since md5(NULL)=NULL and a null key would
+    silently match nothing in the join, deleting every null row); one
+    null-content survivor is kept — same as SQL PARTITION BY md5(text),
+    where nulls group together."""
+    fp = F.coalesce(fingerprint_md5(content_col), F.lit("__null_content__")).alias("__fp")
     w = df.select(df["*"], fp)
     keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return w.join(keep, on=["__fp", id_col], how="inner").drop("__fp")
@@ -216,7 +220,18 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: signatures → banded candidates →
     signature-overlap Jaccard estimate ≥ threshold.
-    Output: doc_a, doc_b, est_jaccard."""
+    Output: doc_a, doc_b, est_jaccard.
+
+    The signature frame is cached (used by both the band join and the
+    estimate join); it stays cached until the session ends or the
+    caller clears it — callers running many dedup passes in one
+    long-lived app should spark.catalog.clearCache() between epochs."""
+    if bands <= 0 or bands > k or k % bands != 0:
+        raise ValueError(
+            f"bands must divide k with bands <= k (got k={k}, bands={bands}): "
+            "bands > k makes every band slice empty (one global bucket → "
+            "all-pairs blowup); k % bands != 0 silently ignores trailing minhashes"
+        )
     sigs = minhash_signatures(df, id_col, text_col, n, k, hash_fn=hash_fn).cache()
     cands = lsh_candidate_pairs(sigs, bands)
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -304,15 +319,24 @@ def simhash_near_duplicates(
     chunks: int = 4,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Chunk-LSH over simhash bits: split into ``chunks`` segments; by
-    pigeonhole, any pair within max_hamming < chunks shares one exact
-    segment → bucket-join then verify true hamming distance.
-    Output: doc_a, doc_b, hamming_distance.
+    """Chunk-LSH over simhash bits: split into ``chunks`` segments and
+    bucket-join on exact segment equality, then verify true hamming
+    distance. Output: doc_a, doc_b, hamming_distance.
+
+    RECALL GUARANTEE is pigeonhole-exact only for max_hamming < chunks
+    (a pair that differs in fewer bits than there are chunks must share
+    one untouched chunk). For max_hamming >= chunks the operator is
+    APPROXIMATE: pairs whose differing bits spread across every chunk
+    are missed — standard LSH recall/cost trading, same rule the DuckDB
+    oracle replicates. Raise ``chunks`` for exact recall at higher
+    candidate cost.
 
     hash_fn='md5' uses the packed 60-bit signature (simhash_signature60):
     buckets are shift/mask fields, hamming is bit_count(xor) — all
     whole-stage-codegen integer ops, and the DuckDB oracle recomputes
-    them bit-for-bit. 'xxhash64' keeps the 64-bit array form."""
+    them bit-for-bit. 'xxhash64' keeps the 64-bit array form. The
+    signature frame is cached for the duration of the session (see
+    minhash_near_duplicates note)."""
     if hash_fn == "md5":
         assert 60 % chunks == 0
         width = 60 // chunks
@@ -404,9 +428,10 @@ def embedding_near_duplicates(
     n_planes>0 → random-hyperplane LSH: docs whose sign-bit signatures
     match exactly become candidates, then exact cosine verifies.
     Planes are deterministic (seeded numpy) literals broadcast into the
-    plan. dim (vector dimensionality) is taken from the schema when the
-    column is a fixed-width vector, else from the `dim` parameter — no
-    driver-side data action. Output: doc_a, doc_b, cos_sim."""
+    plan. ``dim`` (vector dimensionality) must be supplied when
+    n_planes > 0: Spark array columns carry no fixed width in the
+    schema, and probing the first row would put a driver-side data
+    action inside a library function. Output: doc_a, doc_b, cos_sim."""
     v = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
     if n_planes > 0:
         if dim is None:

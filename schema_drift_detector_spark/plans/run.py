@@ -101,7 +101,10 @@ def run_validation(
     envelope plus run bookkeeping. Re-invoking with the same run_id
     resumes at partition granularity."""
     run_id = run_id or str(uuid.uuid4())
-    spec = spec or DEFAULT_SPEC
+    # section-level merge: a partial spec override (e.g. only {'policy':
+    # ...}) falls back to DEFAULT_SPEC for every other section instead
+    # of KeyError-ing after the snapshot work already ran
+    spec = {**DEFAULT_SPEC, **(spec or {})}
 
     # ---- schema snapshot + drift detection (metadata-scale) ------------
     fields = fields_from_schema(spark, docs.schema)
@@ -164,153 +167,168 @@ def run_validation(
 
     vanished_hist = _vanished(baseline_hist)
     vanished_kinds = _vanished(baseline_kinds)
+    vanished_td = _vanished(baseline_td)
 
     executed = 0
-    for batch in batches:
-        if fail_after_batches is not None and executed >= fail_after_batches:
-            break
-        started = time.time()
-        batch_ids = [int(p) for p in batch]
-        subset = docs.filter(F.col("partition_id").isin(batch_ids))
+    try:
+        for batch in batches:
+            if fail_after_batches is not None and executed >= fail_after_batches:
+                break
+            started = time.time()
+            batch_ids = [int(p) for p in batch]
+            subset = docs.filter(F.col("partition_id").isin(batch_ids))
 
-        # persisted: reused by the profile write AND the docs_validated
-        # manifest counts, so the batch is not rescanned for bookkeeping
-        profiles = profile_columns(subset, snapshot_id=snapshot_id, entity=entity).persist()
-        span_prof = profile_spans(subset)
-        uq_v, uq_viol = C.check_uniqueness(
-            subset, run_id, dups=dups, **{k: v for k, v in spec["uniqueness"].items()}
-        )
-        ri_v, ri_viol = C.check_referential_integrity(
-            subset, catalog, run_id, **spec["referential_integrity"]
-        )
-        verdicts = uq_v.unionByName(ri_v)
-        violations = uq_viol.unionByName(ri_viol)
-        if baseline_hist is not None:
-            d = spec["distribution_drift"]
-            curr_hist = numeric_histogram(
-                _offsets_view(subset), "off", d["lo"], d["hi"], d["nbins"], ["partition_id"]
+            # persisted: reused by the profile write AND the docs_validated
+            # manifest counts, so the batch is not rescanned for bookkeeping
+            profiles = profile_columns(subset, snapshot_id=snapshot_id, entity=entity).persist()
+            span_prof = profile_spans(subset)
+            uq_v, uq_viol = C.check_uniqueness(
+                subset, run_id, dups=dups, **{k: v for k, v in spec["uniqueness"].items()}
             )
-            dd_v = C.check_distribution_drift(
-                baseline_hist,
-                curr_hist,
-                run_id,
-                epoch,
-                ks_threshold=d["ks_threshold"],
-                chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
-            ).filter(
-                F.col("partition_id").isin(
-                    batch_ids + (vanished_hist if executed == 0 else [])
+            ri_v, ri_viol = C.check_referential_integrity(
+                subset, catalog, run_id, **spec["referential_integrity"]
+            )
+            verdicts = uq_v.unionByName(ri_v)
+            violations = uq_viol.unionByName(ri_viol)
+            if baseline_hist is not None:
+                d = spec["distribution_drift"]
+                curr_hist = numeric_histogram(
+                    _offsets_view(subset), "off", d["lo"], d["hi"], d["nbins"], ["partition_id"]
                 )
-            )
-            verdicts = verdicts.unionByName(dd_v)
-        if baseline_td is not None:
-            qd_v = C.check_quantile_drift(
-                baseline_td,
-                tdigest_profiles(_offsets_view(subset), "off", ["partition_id"]),
-                run_id,
-                epoch,
-                ks_threshold=spec.get("quantile_drift", {}).get("ks_threshold", 0.1),
-            )
-            verdicts = verdicts.unionByName(qd_v)
-        if baseline_kinds is not None:
-            cd_v = C.check_categorical_drift(
-                baseline_kinds,
-                baseline_kind_counts(subset),
-                run_id,
-                epoch,
-                chi2_per_category_threshold=spec.get("categorical_drift", {}).get(
-                    "chi2_per_category_threshold", 10.0
-                ),
-            ).filter(
-                F.col("partition_id").isin(
-                    batch_ids + (vanished_kinds if executed == 0 else [])
-                )
-            )
-            verdicts = verdicts.unionByName(cd_v)
-
-        # writes first, manifest commit last (write-ahead ordering); the
-        # four outputs are independent → submit as concurrent Spark jobs
-        # (the scheduler interleaves their stages across the cluster, so
-        # per-job fixed costs and scans overlap instead of serializing).
-        # Each write is dynamic-partition-OVERWRITE keyed by the stable
-        # identity of the rows (run/snapshot + partition_id): a batch
-        # whose writes landed but whose manifest commit did not (crash in
-        # between) is simply re-written in place on resume — readers
-        # never see duplicated verdict/violation/profile rows.
-        from concurrent.futures import ThreadPoolExecutor
-
-        targets = [
-            (profiles, f"{out_dir}/profiles", ["snapshot_id", "partition_id"]),
-            (
-                span_prof.withColumn("run_id", F.lit(run_id)),
-                f"{out_dir}/span_profiles",
-                ["run_id", "partition_id"],
-            ),
-            (verdicts, f"{out_dir}/verdicts", ["run_id", "partition_id"]),
-            (violations, f"{out_dir}/violations", ["run_id", "partition_id"]),
-        ]
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            with ThreadPoolExecutor(max_workers=len(targets)) as pool:
-                list(
-                    pool.map(
-                        lambda t: t[0].write.mode("overwrite")
-                        .partitionBy(*t[2])
-                        .parquet(t[1]),
-                        targets,
+                dd_v = C.check_distribution_drift(
+                    baseline_hist,
+                    curr_hist,
+                    run_id,
+                    epoch,
+                    ks_threshold=d["ks_threshold"],
+                    chi2_per_bin_threshold=d["chi2_per_bin_threshold"],
+                ).filter(
+                    F.col("partition_id").isin(
+                        batch_ids + (vanished_hist if executed == 0 else [])
                     )
                 )
-        finally:
-            if prev_mode is not None:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+                verdicts = verdicts.unionByName(dd_v)
+            if baseline_td is not None:
+                qd_v = C.check_quantile_drift(
+                    baseline_td,
+                    tdigest_profiles(_offsets_view(subset), "off", ["partition_id"]),
+                    run_id,
+                    epoch,
+                    ks_threshold=spec.get("quantile_drift", {}).get("ks_threshold", 0.1),
+                ).filter(
+                    F.col("partition_id").isin(
+                        batch_ids + (vanished_td if executed == 0 else [])
+                    )
+                )
+                verdicts = verdicts.unionByName(qd_v)
+            if baseline_kinds is not None:
+                cd_v = C.check_categorical_drift(
+                    baseline_kinds,
+                    baseline_kind_counts(subset),
+                    run_id,
+                    epoch,
+                    chi2_per_category_threshold=spec.get("categorical_drift", {}).get(
+                        "chi2_per_category_threshold", 10.0
+                    ),
+                ).filter(
+                    F.col("partition_id").isin(
+                        batch_ids + (vanished_kinds if executed == 0 else [])
+                    )
+                )
+                verdicts = verdicts.unionByName(cd_v)
 
-        if (
-            crash_after_write
-            and fail_after_batches is not None
-            and executed == fail_after_batches - 1
-        ):
-            # simulate a crash AFTER the batch outputs landed but BEFORE
-            # the manifest commit: the orphaned rows must be overwritten
-            # in place (not duplicated) when the run resumes
-            profiles.unpersist()
-            break
+            # writes first, manifest commit last (write-ahead ordering); the
+            # four outputs are independent → submit as concurrent Spark jobs
+            # (the scheduler interleaves their stages across the cluster, so
+            # per-job fixed costs and scans overlap instead of serializing).
+            # Each write is dynamic-partition-OVERWRITE keyed by the stable
+            # identity of the rows (run/snapshot + partition_id): a batch
+            # whose writes landed but whose manifest commit did not (crash in
+            # between) is simply re-written in place on resume — readers
+            # never see duplicated verdict/violation/profile rows.
+            from concurrent.futures import ThreadPoolExecutor
 
-        # docs_validated from the already-persisted profile rows (n_rows
-        # per (epoch, partition) group) — no extra scan of the batch data
-        counts = {
-            r.partition_id: r.n
-            for r in profiles.filter(F.col("column") == "doc_id")
-            .groupBy("partition_id")
-            .agg(F.sum("n_rows").alias("n"))
-            .collect()
-        }
-        profiles.unpersist()
-        M.commit_partitions(
-            spark,
-            out_dir,
-            run_id,
-            [
-                {
-                    "partition_id": p,
-                    "docs_validated": counts.get(p, 0),
-                    "started_at": started,
-                    "metrics": {"batch": executed},
-                    "lineage": {
-                        "snapshot_id": snapshot_id,
-                        "previous_snapshot_id": prev_id,
-                        "entity": entity,
-                        "epoch": epoch,
-                    },
+            targets = [
+                (profiles, f"{out_dir}/profiles", ["snapshot_id", "partition_id"]),
+                (
+                    span_prof.withColumn("run_id", F.lit(run_id)),
+                    f"{out_dir}/span_profiles",
+                    ["run_id", "partition_id"],
+                ),
+                (verdicts, f"{out_dir}/verdicts", ["run_id", "partition_id"]),
+                (violations, f"{out_dir}/violations", ["run_id", "partition_id"]),
+            ]
+            prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            write_ok = False
+            try:
+                with ThreadPoolExecutor(max_workers=len(targets)) as pool:
+                    list(
+                        pool.map(
+                            lambda t: t[0].write.mode("overwrite")
+                            .partitionBy(*t[2])
+                            .parquet(t[1]),
+                            targets,
+                        )
+                    )
+                write_ok = True
+            finally:
+                if prev_mode is not None:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+                else:
+                    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+                if not write_ok:
+                    # a failed write must not leak the persisted profile
+                    # frame into a caller's retry loop
+                    profiles.unpersist()
+
+            if (
+                crash_after_write
+                and fail_after_batches is not None
+                and executed == fail_after_batches - 1
+            ):
+                # simulate a crash AFTER the batch outputs landed but BEFORE
+                # the manifest commit: the orphaned rows must be overwritten
+                # in place (not duplicated) when the run resumes
+                profiles.unpersist()
+                break
+
+            # docs_validated from the already-persisted profile rows (n_rows
+            # per (epoch, partition) group) — no extra scan of the batch data
+            try:
+                counts = {
+                    r.partition_id: r.n
+                    for r in profiles.filter(F.col("column") == "doc_id")
+                    .groupBy("partition_id")
+                    .agg(F.sum("n_rows").alias("n"))
+                    .collect()
                 }
-                for p in batch
-            ],
-        )
-        executed += 1
-    if dups is not None:
-        dups.unpersist()
+            finally:
+                profiles.unpersist()
+            M.commit_partitions(
+                spark,
+                out_dir,
+                run_id,
+                [
+                    {
+                        "partition_id": p,
+                        "docs_validated": counts.get(p, 0),
+                        "started_at": started,
+                        "metrics": {"batch": executed},
+                        "lineage": {
+                            "snapshot_id": snapshot_id,
+                            "previous_snapshot_id": prev_id,
+                            "entity": entity,
+                            "epoch": epoch,
+                        },
+                    }
+                    for p in batch
+                ],
+            )
+            executed += 1
+    finally:
+        if dups is not None:
+            dups.unpersist()
 
     # ---- policy: heal → notify → decide (driver-side, tiny) ------------
     pol = spec.get("policy", {})

@@ -135,3 +135,27 @@ def test_categorical_drift_on_span_kinds(spark, docs):
     }
     failing = {p for p, r in v2.items() if not r.passed}
     assert failing == {1, 4}
+
+
+def test_quantile_drift_fails_closed_on_one_sided_groups(spark):
+    """A partition with a baseline digest but no current one (vanished),
+    or vice versa (new), must FAIL — not silently drop out of an inner
+    join."""
+    import numpy as np
+
+    from schema_drift_detector_spark.functions import sketch
+    from schema_drift_detector_spark.operators.constraints import check_quantile_drift
+
+    blob = bytearray(sketch.build(np.arange(100, dtype=np.float64)))
+    base = spark.createDataFrame(
+        [(0, blob, 100), (1, blob, 100)], "partition_id int, tdigest binary, n long"
+    )
+    curr = spark.createDataFrame(
+        [(0, blob, 100), (2, blob, 100)], "partition_id int, tdigest binary, n long"
+    )
+    v = {r.partition_id: r for r in check_quantile_drift(base, curr, "q", 1).collect()}
+    assert set(v) == {0, 1, 2}
+    assert v[0].passed is True            # identical digests
+    assert v[1].passed is False           # vanished from current
+    assert v[2].passed is False           # new without baseline
+    assert "missing baseline or current digest" in v[1].summary

@@ -42,3 +42,28 @@ def test_healing_actions_df_matches_driver_strings(spark):
     assert acts["typed"].confidence == 70
     assert acts["gone"].script == "-- Manual review required for removed column: gone"
     assert acts["gone"].type == "manual" and acts["gone"].confidence == 100
+
+
+def test_drop_exact_duplicates_null_content_keeps_one(spark):
+    """NULL-content rows group as one fingerprint and keep one survivor
+    (min id) — they must not silently vanish via a null join key."""
+    from schema_drift_detector_spark.operators.dedup import drop_exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, "y")],
+        "doc_id long, text string",
+    )
+    out = sorted(r.doc_id for r in drop_exact_duplicates(df, "doc_id", "text").collect())
+    assert out == [1, 3, 5]
+
+
+def test_minhash_rejects_invalid_bands(spark):
+    import pytest as _pytest
+
+    from schema_drift_detector_spark.operators.dedup import minhash_near_duplicates
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_near_duplicates(df, "doc_id", "text", k=8, bands=16)
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_near_duplicates(df, "doc_id", "text", k=64, bands=12)
