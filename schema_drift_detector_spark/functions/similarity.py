@@ -70,10 +70,15 @@ def normalize(a: Column | str) -> Column:
 def cosine_arrow(a: Column | str, b: Column | str) -> Column:
     """Arrow-vectorized cosine similarity between two vector columns of
     equal length: per batch, stack both sides into (rows × dim) float64
-    matrices and compute row-wise dot / norms in numpy. Identical
-    semantics to ``cosine`` (float64 math on the cast values); rounding
-    differences vs the left-fold expression form are below the 6-dp
-    precision every caller rounds to."""
+    matrices and compute row-wise dot / norms in numpy. Same float64
+    math as ``cosine``; rounding differences vs the left-fold expression
+    form are below the 6-dp precision every caller rounds to.
+
+    DELIBERATE divergence on degenerate inputs: NULL vectors and
+    zero-norm vectors score NULL here (sorts last under desc, drops
+    under isNotNull) whereas the expression form produces NaN for a
+    zero norm — NaN desc-sorts ABOVE every real number in Spark, which
+    made zero vectors rank first in top-k. Prefer this form."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

@@ -25,9 +25,11 @@ def salted_join(
     """Skew-resilient equi-join: a hot key on the LEFT no longer funnels
     into one reducer.
 
-    Left rows get a per-row salt derived from physical position
-    (spark_partition_id + a cheap mix — identical keys spread across
-    ``salt_buckets`` reducers); the RIGHT side is replicated
+    Left rows get a PER-ROW salt (monotonically_increasing_id mod
+    buckets — consecutive rows of the same key land in different
+    buckets, so a hot key spreads across ``salt_buckets`` reducers even
+    when it is clustered into one input partition, e.g. after a
+    key-partitioned read or groupBy); the RIGHT side is replicated
     ``salt_buckets`` times so every (key, salt) bucket finds its match.
     Output columns = left columns + right's non-key columns, exactly as
     ``left.join(right, key, how)`` would produce. Supported how:
@@ -39,9 +41,12 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salt = F.pmod(
-        F.spark_partition_id() + F.crc32(F.col(key).cast("string")), F.lit(salt_buckets)
-    )
+    # NOT spark_partition_id + hash(key): that is constant per
+    # (partition, key), so a hot key clustered in one input partition
+    # would still funnel into one reducer. monotonically_increasing_id
+    # is per-row (contiguous within a partition) — join RESULTS are
+    # identical for any salt assignment, only the balance varies.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     lhs = left.withColumn("__salt", salt)
     rhs = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

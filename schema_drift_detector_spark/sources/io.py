@@ -32,10 +32,27 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _require_runtime_for_identifier(spark: SparkSession, location: str) -> bool:
+    """True → treat ``location`` as an Iceberg identifier. A dotted
+    identifier WITHOUT the Iceberg runtime is a config error and must
+    fail loudly — silently treating 'lake.db.documents' as a relative
+    parquet path would write/read a stray local directory while the job
+    reports success."""
+    if "/" in location:
+        return False
+    if iceberg_available(spark):
+        return True
+    raise RuntimeError(
+        f"'{location}' looks like an Iceberg table identifier but no Iceberg "
+        "runtime is on the classpath — add the iceberg-spark-runtime package "
+        "to spark-submit, or pass a filesystem path (containing '/')"
+    )
+
+
 def read_table(spark: SparkSession, location: str) -> DataFrame:
     """Read a table by Iceberg identifier (contains no '/') or
     parquet path."""
-    if "/" not in location and iceberg_available(spark):
+    if _require_runtime_for_identifier(spark, location):
         return spark.read.format("iceberg").load(location)
     return spark.read.parquet(location)
 
@@ -49,7 +66,7 @@ def write_table(
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if "/" not in location and iceberg_available(df.sparkSession):
+    if _require_runtime_for_identifier(df.sparkSession, location):
         writer.format("iceberg").saveAsTable(location)
     else:
         writer.parquet(location)

@@ -80,23 +80,48 @@ def stream_validate(
     """readStream → foreachBatch validate. Returns the started query.
 
     Each micro-batch runs the batch constraint operators with
-    run_id = f"stream-{batch_id}" and appends verdicts/violations —
+    run_id = f"stream-{batch_id}" and writes verdicts/violations —
     identical semantics to the batch engine, so tests can diff the two.
+
+    Exactly-once sink: foreachBatch may RE-RUN a batch_id after a
+    failure, so the writes are dynamic-partition-OVERWRITE keyed by
+    (run_id, partition_id) — a replayed batch rewrites its own rows in
+    place instead of appending duplicates (same discipline as
+    plans/run.py's batch writes).
     """
     from ..operators import constraints as C
     from ..operators.profile import numeric_histogram
 
     spec = spec or {}
-    d = spec.get(
-        "distribution_drift",
-        {"lo": 0.0, "hi": 60.0, "nbins": 16, "ks_threshold": 0.1, "chi2_per_bin_threshold": 10.0},
-    )
+    # section-level merge like plans/run.py — a partial override of one
+    # threshold must not KeyError the stream on its first micro-batch
+    d = {
+        "lo": 0.0, "hi": 60.0, "nbins": 16,
+        "ks_threshold": 0.1, "chi2_per_bin_threshold": 10.0,
+        **spec.get("distribution_drift", {}),
+    }
+
+    def _write_idempotent(df: DataFrame, path: str) -> None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy("run_id", "partition_id").parquet(path)
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from ..plans.run import baseline_kind_counts
 
         run_id = f"stream-{batch_id}"
-        uq_v, uq_viol = C.check_uniqueness(batch_df, run_id)
+        # per-batch dup-key cache is released before the batch ends — a
+        # long-running stream must not accumulate one dead cache per
+        # trigger in the CacheManager
+        dups = C.duplicate_keys(batch_df).cache()
+        uq_v, uq_viol = C.check_uniqueness(batch_df, run_id, dups=dups)
         ri_v, ri_viol = C.check_referential_integrity(batch_df, catalog, run_id)
         verdicts = uq_v.unionByName(ri_v)
         # drift verdicts are scoped to partitions PRESENT in this
@@ -108,6 +133,7 @@ def stream_validate(
             batch_parts = [
                 int(r.partition_id)
                 for r in batch_df.select("partition_id").distinct().collect()
+                if r.partition_id is not None
             ]
         if baseline_hist is not None:
             curr = numeric_histogram(
@@ -130,8 +156,11 @@ def stream_validate(
                     ),
                 ).filter(F.col("partition_id").isin(batch_parts))
             )
-        verdicts.write.mode("append").parquet(f"{out_dir}/verdicts")
-        uq_viol.unionByName(ri_viol).write.mode("append").parquet(f"{out_dir}/violations")
+        try:
+            _write_idempotent(verdicts, f"{out_dir}/verdicts")
+            _write_idempotent(uq_viol.unionByName(ri_viol), f"{out_dir}/violations")
+        finally:
+            dups.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir or f"{out_dir}/_checkpoint"

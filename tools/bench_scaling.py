@@ -76,8 +76,13 @@ def run(cores: int) -> dict:
         [sys.executable, "-c", code, str(cores)],
         capture_output=True, text=True, timeout=1200, cwd=REPO,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"scaling child at local[{cores}] failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -28,6 +28,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0:
+            v = 0.0  # -0.0 and 0.0 hash identically (engines differ on zero sign)
         return f"{v:.10g}"
     return str(v)
 
