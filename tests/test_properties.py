@@ -145,3 +145,75 @@ def test_no_per_row_python_udfs_in_engine():
         if re.search(r"\bF\.udf\(|^\s*@udf\b|functions\.udf\(", src, re.M):
             offenders.append(str(p))
     assert offenders == []
+
+
+def _reference_fallback_diff(before: list[dict], after: list[dict]):
+    """Direct transcription of the reference's deterministic diff
+    (detector_agent.py:559-598 _fallback_diff) used as a property-test
+    oracle: dict keyed by (name or '').lower(), removed/changed in
+    before-map order then adds in after-map order, first-difference-wins
+    classification, op-keyed overall severity."""
+    before_map = {(f["name"] or "").lower(): f for f in before}
+    after_map = {(f["name"] or "").lower(): f for f in after}
+    changes = []
+    for k, bf in before_map.items():
+        af = after_map.get(k)
+        if not af:
+            changes.append(("remove", bf.get("name"), "critical", "field removed"))
+        elif (bf.get("type") or "").lower() != (af.get("type") or "").lower():
+            changes.append(("change", bf.get("name"), "high", "type changed"))
+        elif bool(bf.get("nullable")) != bool(af.get("nullable")):
+            sev = "high" if (bf.get("nullable") and not af.get("nullable")) else "medium"
+            changes.append(("change", bf.get("name"), sev, "nullable changed"))
+        elif int(bf.get("ordinal") or 0) != int(af.get("ordinal") or 0):
+            changes.append(("change", bf.get("name"), "low", "ordinal changed"))
+    for k, af in after_map.items():
+        if k not in before_map:
+            changes.append(("add", af.get("name"), "low", "field added"))
+    overall = "info"
+    if changes:
+        if any(c[0] == "remove" for c in changes):
+            overall = "critical"
+        elif any(c[2] == "high" for c in changes):
+            overall = "warning"
+    summary = (
+        "no schema drift detected"
+        if not changes
+        else " ; ".join(f"{op} {field} ({sev})" for op, field, sev, _ in changes)
+    )
+    return changes, overall, summary
+
+
+@given(st.data())
+@settings(max_examples=12, deadline=None)
+def test_diff_matches_reference_fallback_semantics(spark, data):
+    """Property: for random field lists (shared names, case collisions,
+    null dtypes, random nullability/ordinals), diff_fields + drift_report
+    reproduce the reference _fallback_diff verbatim — changes multiset,
+    summary string, and overall severity."""
+    from schema_drift_detector_spark.operators.diff import diff_fields, drift_report
+
+    names = st.sampled_from(["a", "B", "b", "cc", "Dd", "dd", "e1"])
+    dtypes = st.sampled_from(["int", "string", "Date", None])
+    field = st.tuples(names, dtypes, st.booleans(), st.integers(0, 5))
+
+    def to_rows(fields):
+        # reference semantics assign list position as iteration order;
+        # our rows carry it via ordinal — regenerate ordinal as position
+        return [(n, t, nu, i) for i, (n, t, nu, _) in enumerate(fields)]
+
+    bf = to_rows(data.draw(st.lists(field, min_size=0, max_size=6)))
+    af = to_rows(data.draw(st.lists(field, min_size=0, max_size=6)))
+    schema = "name string, dtype string, nullable boolean, ordinal int"
+    b = spark.createDataFrame(bf, schema) if bf else spark.createDataFrame([], schema)
+    a = spark.createDataFrame(af, schema) if af else spark.createDataFrame([], schema)
+
+    ref_changes, ref_overall, ref_summary = _reference_fallback_diff(
+        [dict(name=n, type=t, nullable=nu, ordinal=o) for n, t, nu, o in bf],
+        [dict(name=n, type=t, nullable=nu, ordinal=o) for n, t, nu, o in af],
+    )
+    rep = drift_report(diff_fields(b, a)).collect()[0]
+    got = [(c["op"], c["field"], c["severity"], c["notes"]) for c in rep.changes]
+    assert got == ref_changes, f"changes mismatch\n got={got}\n ref={ref_changes}"
+    assert rep.summary == ref_summary
+    assert rep.severity == ref_overall
