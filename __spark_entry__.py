@@ -1181,22 +1181,35 @@ FROM hist GROUP BY media_ref, sz
 
 def q_media_frame_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (every 2nd frame, deterministic checksum) — the
-    one-row-to-many mapInPandas fan-out, hash-certified."""
+    one-row-to-many mapInPandas fan-out, hash-certified. The fixture
+    deliberately includes undecodable blobs (every 13th asset: bad
+    magic / truncated / empty body) so the sentinel contract
+    (frame_index -1, null checksum) is certified too, not just the
+    happy path."""
     from schema_drift_detector_spark.operators.multimodal import sample_frames, synth_media
     from schema_drift_detector_spark.sources.synth import SynthConfig
 
-    _write_once(synth_media(spark, SynthConfig(), n=200), f"{_MEDIA_DIR}/media")
-    media = spark.read.parquet(f"{_MEDIA_DIR}/media")
+    _write_once(
+        synth_media(spark, SynthConfig(), n=200, corrupt_every=13),
+        f"{_MEDIA_DIR}/media_c13",
+    )
+    media = spark.read.parquet(f"{_MEDIA_DIR}/media_c13")
     return sample_frames(media, every_n=2)
 
 
 ORACLE_MEDIA_FRAMES = f"""
-WITH m AS (
+WITH raw AS (
+  SELECT media_ref, octet_length(content) AS len, hex(content) AS hx
+  FROM read_parquet('{_MEDIA_DIR}/media_c13/*.parquet')
+), m AS (
+  -- mirror the engine's decode guards exactly: bad/short magic or a
+  -- null blob decodes to fr=0, which routes the row to the sentinel arm
   SELECT media_ref,
-         substr(hex(content), 21) AS bodyhex,
-         octet_length(content) - 10 AS n,
-         CAST('0x' || substr(hex(content), 17, 4) AS INT) AS fr
-  FROM read_parquet('{_MEDIA_DIR}/media/*.parquet')
+         CASE WHEN len >= 10 AND substr(hx, 1, 8) = '5344584D'
+              THEN CAST('0x' || substr(hx, 17, 4) AS INT) ELSE 0 END AS fr,
+         coalesce(len, 0) - 10 AS n,
+         substr(hx, 21) AS bodyhex
+  FROM raw
 ), f AS (
   SELECT media_ref, bodyhex, fr, n, n // fr AS chunk,
          unnest(range(0, fr, 2)) AS i
@@ -1208,6 +1221,12 @@ SELECT media_ref, CAST(i AS INT) AS frame_index,
                         j -> CAST('0x' || substr(bodyhex, 2 * j - 1, 2) AS INT)),
          'sum') AS BIGINT) AS frame_checksum
 FROM f
+UNION ALL
+-- undecodable/empty blobs: the engine emits a sentinel row
+-- (frame_index -1, null checksum) instead of vanishing silently
+SELECT media_ref, CAST(-1 AS INT) AS frame_index,
+       CAST(NULL AS BIGINT) AS frame_checksum
+FROM m WHERE NOT (fr > 0 AND n > 0)
 """
 
 

@@ -77,6 +77,38 @@ BENCH_QUERIES = [
 ]
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def host_probe() -> dict:
+    """Spark-free busy-loop capacity probe, embedded so every BENCH_rNN
+    is self-interpreting: this virtualized host has time-varying
+    hypervisor steal (observed ~1.5x swings between sessions), so raw
+    wall times are only comparable across rounds when normalized by the
+    host's own deliverable throughput at measurement time.
+
+    Reports single-worker M ops/s and CPUS-worker aggregate M ops/s;
+    effective_cores = aggregate / single. A round-over-round wall-time
+    change that tracks the probe ratio is host steal, not the engine."""
+    import multiprocessing as mp
+
+    out: dict = {}
+    for procs in (1, CPUS):
+        with mp.Pool(procs) as p:
+            p.map(_burn, [200_000] * procs)  # pool warm-up, excluded
+            t0 = time.time()
+            p.map(_burn, [20_000_000] * procs * 2)
+            out[f"mops_{procs}w"] = round(
+                procs * 2 * 20_000_000 / (time.time() - t0) / 1e6, 1
+            )
+    out["effective_cores"] = round(out[f"mops_{CPUS}w"] / out["mops_1w"], 1)
+    return out
+
+
 def bench_cfg() -> SynthConfig:
     return SynthConfig(n_docs=N_DOCS, n_partitions=64, n_assets=200_000)
 
@@ -151,6 +183,8 @@ def validate_pass(spark, docs_path: str, cat_path: str) -> float:
 
 
 def main() -> None:
+    probe_pre = host_probe()  # before the JVM exists — clean host reading
+
     spark = get_spark(
         "bench",
         master=f"local[{CPUS}]",
@@ -160,10 +194,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs_path, cat_path = ensure_bench_data(spark)
-    # warm-up (JVM/codegen/page cache), excluded; best of 2 timed passes
+    # warm-up (JVM/codegen/page cache), excluded; best of 3 timed passes
     # (the virtualized host has time-varying steal — single samples are noisy)
     validate_pass(spark, docs_path, cat_path)
-    elapsed = min(validate_pass(spark, docs_path, cat_path) for _ in range(2))
+    elapsed = min(validate_pass(spark, docs_path, cat_path) for _ in range(3))
 
     import __spark_entry__ as E
 
@@ -171,11 +205,13 @@ def main() -> None:
     qs = E.queries()
     for name in BENCH_QUERIES:
         samples = []
-        for _ in range(2):  # best of 2 — host steal noise
+        for _ in range(3):  # best of 3 — host steal noise
             t0 = time.time()
             _force(qs[name](spark, SF_DIR))
             samples.append(time.time() - t0)
         qtimes[name] = round(min(samples), 3)
+
+    probe_post = host_probe()  # steal drifts within a session — bracket it
 
     out = {
         "metric": "validated documents/sec (profile+constraint pass)",
@@ -186,6 +222,12 @@ def main() -> None:
         "n_docs": N_DOCS,
         "docs_per_sec": round(N_DOCS / elapsed, 1),
         "cores": CPUS,
+        # host-capacity probes bracketing the run (see host_probe docstring):
+        # compare docs_per_sec across rounds only after normalizing by
+        # mops_{CPUS}w — a wall-time delta that tracks the probe delta is
+        # hypervisor steal, not an engine change
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
     }
     print(json.dumps(out))
     spark.stop()

@@ -103,60 +103,105 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SPHERICAL k-means trainer, Lloyd iterations in DataFrame ops:
-    assign (broadcast centroids, max_by cosine) → per-dimension mean of
-    the UNIT-normalized members (posexplode + groupBy(cell, dim)) →
-    renormalize the mean. Centroids are collected to the driver between
-    iterations (k×dim floats — metadata-scale) to break iterative
-    lineage; the corpus itself never leaves the executors.
-    Deterministic: md5-sample init + lowest-cell-wins tie-break."""
-    import math
+    """SPHERICAL k-means trainer. Each Lloyd iteration is ONE corpus
+    pass: a mapInPandas stage fuses assignment (numpy matmul against
+    the broadcast centroid matrix, argmax-cosine) with the per-cell
+    partial sums, so the only shuffle is the ≤ tasks×k partial rows
+    (centroid_id, psum, pcount) into the per-cell merge — the corpus
+    rows themselves NEVER shuffle. (The previous formulation exploded
+    vectors to (cell, dim) rows and shuffled N×dim rows per iteration:
+    ~10^12 shuffle rows/iter at 10^9 × 768-dim. This one shuffles
+    tasks×k rows ≈ 10^8 at 10^5 tasks × 10^3 cells.)
+
+    Centroids move driver→executors as a Spark broadcast and come back
+    as k×dim floats per iteration (metadata-scale), which also breaks
+    iterative lineage. Deterministic given a fixed input partitioning:
+    md5-sample init + first-max (lowest-cell) argmax tie-break; mean
+    aggregation is FP-order-dependent across partitions, same as any
+    distributed average."""
+    import numpy as np
 
     from ..functions.similarity import normalize
 
     sess = corpus.sparkSession
     # nv (unit vectors) is what spherical k-means averages — a single
-    # huge-magnitude member must not dominate its cell's direction
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        normalize(vec_col).alias("nv"),
-    ).cache()
-    cents = deterministic_centroids(corpus, k, id_col, vec_col)
-    for _ in range(iters):
-        assigned = (
-            v.crossJoin(F.broadcast(cents))
-            .withColumn("sim", cosine_arrow(F.col("vec"), F.col("centroid_vec")))
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct(F.col("centroid_id"), F.col("nv")),
-                    F.struct(F.col("sim"), -F.col("centroid_id")),
-                ).alias("best")
+    # huge-magnitude member must not dominate its cell's direction.
+    # Cached because every iteration rescans it (iters× otherwise).
+    v = corpus.select(normalize(vec_col).alias("nv")).filter(F.col("nv").isNotNull()).persist()
+    init = deterministic_centroids(corpus, k, id_col, vec_col).collect()
+    cent_ids = [int(r.centroid_id) for r in sorted(init, key=lambda r: r.centroid_id)]
+    cents_np = np.asarray(
+        [r.centroid_vec for r in sorted(init, key=lambda r: r.centroid_id)],
+        dtype=np.float64,
+    )
+    # unit-normalize so dot(nv, centroid) IS the cosine
+    nrm = np.linalg.norm(cents_np, axis=1, keepdims=True)
+    cents_np = np.where(nrm > 0, cents_np / np.where(nrm == 0, 1.0, nrm), cents_np)
+
+    merge_schema = "centroid_id int, centroid_vec array<double>"
+    try:
+        for _ in range(iters):
+            rows = _lloyd_iteration(v, cents_np, cent_ids).collect()  # k rows
+            rows.sort(key=lambda r: r.centroid_id)
+            cent_ids = [int(r.centroid_id) for r in rows]  # empty cells collapse
+            cents_np = np.asarray([r.centroid_vec for r in rows], dtype=np.float64)
+    finally:
+        v.unpersist()
+    return sess.createDataFrame(
+        [(cid, vec.tolist()) for cid, vec in zip(cent_ids, cents_np)], merge_schema
+    )
+
+
+def _lloyd_iteration(v: DataFrame, cents_np, cent_ids: list[int]) -> DataFrame:
+    """One Lloyd step as a lazy frame (exposed for plan-shape tests):
+    fused assign+partial-sum mapInPandas over unit vectors ``v(nv)``,
+    then a per-cell applyInPandas merge. The ONLY Exchange in this plan
+    hashes the ≤ tasks×k partial rows on centroid_id."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    bc = v.sparkSession.sparkContext.broadcast(np.asarray(cents_np, dtype=np.float64))
+    ids = list(cent_ids)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value  # (k_live, dim) unit rows
+        sums = np.zeros_like(C)
+        counts = np.zeros(C.shape[0], dtype=np.int64)
+        for b in batches:
+            if not len(b):
+                continue
+            mat = np.asarray(b["nv"].to_list(), dtype=np.float64)
+            # argmax returns the FIRST max → lowest-cell tie-break
+            cell = np.argmax(mat @ C.T, axis=1)
+            np.add.at(sums, cell, mat)
+            np.add.at(counts, cell, 1)
+        live = np.nonzero(counts)[0]
+        if len(live):
+            yield pd.DataFrame(
+                {
+                    "centroid_id": [ids[i] for i in live],
+                    "psum": [sums[i].tolist() for i in live],
+                    "pcount": counts[live],
+                }
             )
-            .select(F.col("best.centroid_id").alias("centroid_id"), F.col("best.nv").alias("nv"))
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = np.asarray(pdf["psum"].to_list(), dtype=np.float64).sum(axis=0)
+        n = int(pdf["pcount"].sum())
+        m = total / n
+        mn = float(np.linalg.norm(m))
+        vec = (m / mn) if mn > 0 else m
+        return pd.DataFrame(
+            {"centroid_id": [int(pdf["centroid_id"].iloc[0])], "centroid_vec": [vec.tolist()]}
         )
-        means = (
-            assigned.select("centroid_id", F.posexplode("nv").alias("dim", "val"))
-            .groupBy("centroid_id", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("m")))),
-                    lambda s: s["m"],
-                ).alias("mean_vec")
-            )
-        )
-        rows = means.collect()  # k rows — breaks lineage between iterations
-        def _unit(xs):
-            n = math.sqrt(sum(x * x for x in xs))
-            return [x / n for x in xs] if n > 0 else list(xs)
-        cents = sess.createDataFrame(
-            [(int(r.centroid_id), _unit(list(r.mean_vec))) for r in rows],
-            "centroid_id int, centroid_vec array<double>",
-        )
-    return cents
+
+    return (
+        v.mapInPandas(partials, schema="centroid_id int, psum array<double>, pcount long")
+        .groupBy("centroid_id")
+        .applyInPandas(_merge, schema="centroid_id int, centroid_vec array<double>")
+    )
 
 
 def assign_cells(

@@ -338,7 +338,10 @@ def simhash_near_duplicates(
     signature frame is cached for the duration of the session (see
     minhash_near_duplicates note)."""
     if hash_fn == "md5":
-        assert 60 % chunks == 0
+        # fail loud (assert is stripped under -O): chunks=7 would silently
+        # cover only 56 of the 60 signature bits, changing candidate recall
+        if chunks <= 0 or 60 % chunks != 0:
+            raise ValueError(f"chunks must divide 60, got {chunks}")
         width = 60 // chunks
         mask = (1 << width) - 1
         sh = simhash_signature60(df, id_col, text_col).cache()
@@ -372,6 +375,10 @@ def simhash_near_duplicates(
             .distinct()
         )
         return cands.filter(F.col("hamming_distance") <= max_hamming)
+    if chunks <= 0 or 64 % chunks != 0:
+        # same fail-loud rule as the md5 path: a non-divisor chunk count
+        # silently leaves tail bits out of every bucket slice
+        raise ValueError(f"chunks must divide 64, got {chunks}")
     sh = simhash_bits(df, id_col, text_col).cache()
     seg = sh.select(
         "doc",

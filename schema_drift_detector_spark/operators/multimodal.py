@@ -41,9 +41,19 @@ MEDIA_SCHEMA = T.StructType(
 MAGIC = b"SDXM"  # synthetic media header: MAGIC + w(2) + h(2) + frames(2)
 
 
-def synth_media(spark: SparkSession, cfg: SynthConfig = SynthConfig(), n: int = 1000) -> DataFrame:
+def synth_media(
+    spark: SparkSession,
+    cfg: SynthConfig = SynthConfig(),
+    n: int = 1000,
+    corrupt_every: int = 0,
+) -> DataFrame:
     """Deterministic opaque blobs for the first ``n`` catalog assets:
-    header (magic, dims, frame count) + seeded payload bytes."""
+    header (magic, dims, frame count) + seeded payload bytes.
+
+    corrupt_every=k > 0 makes every k-th asset undecodable in one of
+    three deterministic ways (bad magic / truncated header / headered
+    but empty body) so decode-guard and sentinel paths are exercised
+    by real rows, not just unit fixtures."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -63,7 +73,17 @@ def synth_media(spark: SparkSession, cfg: SynthConfig = SynthConfig(), n: int = 
                     + int(height[i]).to_bytes(2, "big")
                     + int(frames[i]).to_bytes(2, "big")
                 )
-                payloads.append(head + (body % 256).astype(np.uint8).tobytes())
+                blob = head + (body % 256).astype(np.uint8).tobytes()
+                if corrupt_every > 0 and ident % corrupt_every == 0:
+                    mode = int(ident) % 3
+                    if mode == 0:
+                        blob = b"XXXX" + blob[4:]  # wrong magic
+                    elif mode == 1:
+                        blob = blob[:8]  # truncated: header cut mid-field
+                    else:
+                        # valid header claiming frames, but zero payload
+                        blob = MAGIC + blob[4:8] + (3).to_bytes(2, "big")
+                payloads.append(blob)
             yield pd.DataFrame(
                 {
                     "media_ref": np.char.add(

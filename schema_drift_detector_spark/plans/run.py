@@ -101,10 +101,17 @@ def run_validation(
     envelope plus run bookkeeping. Re-invoking with the same run_id
     resumes at partition granularity."""
     run_id = run_id or str(uuid.uuid4())
-    # section-level merge: a partial spec override (e.g. only {'policy':
-    # ...}) falls back to DEFAULT_SPEC for every other section instead
-    # of KeyError-ing after the snapshot work already ran
-    spec = {**DEFAULT_SPEC, **(spec or {})}
+    # per-SECTION merge: a partial override like
+    # {'distribution_drift': {'ks_threshold': 0.2}} inherits the rest of
+    # that section's defaults (lo/hi/nbins) instead of KeyError-ing after
+    # the snapshot work already ran — same deep-merge streaming/epochs.py
+    # applies to this spec
+    spec = {
+        k: {**DEFAULT_SPEC[k], **v}
+        if isinstance(v, dict) and isinstance(DEFAULT_SPEC.get(k), dict)
+        else v
+        for k, v in {**DEFAULT_SPEC, **(spec or {})}.items()
+    }
 
     # ---- schema snapshot + drift detection (metadata-scale) ------------
     fields = fields_from_schema(spark, docs.schema)
@@ -117,7 +124,7 @@ def run_validation(
     else:
         before = spark.createDataFrame([], fields.schema)  # first snapshot → all adds
     changes_df = diff_fields(before, fields)
-    report_row = drift_report(changes_df).collect()[0]
+    report_row = drift_report(changes_df).first()  # single-row metadata frame
     schema_report = {
         "request_id": run_id,
         "drift_detected": report_row.drift_detected,
@@ -249,7 +256,17 @@ def run_validation(
             from concurrent.futures import ThreadPoolExecutor
 
             targets = [
-                (profiles, f"{out_dir}/profiles", ["snapshot_id", "partition_id"]),
+                # run_id leads the partition key: snapshot_id is deduplicated
+                # by schema (get_or_create_snapshot), so two runs over the
+                # same schema share a snapshot_id — without run_id in the
+                # layout, a later run's dynamic overwrite would destroy the
+                # earlier run's profile history. With it, only a same-run
+                # resume overwrites in place.
+                (
+                    profiles.withColumn("run_id", F.lit(run_id)),
+                    f"{out_dir}/profiles",
+                    ["run_id", "snapshot_id", "partition_id"],
+                ),
                 (
                     span_prof.withColumn("run_id", F.lit(run_id)),
                     f"{out_dir}/span_profiles",
@@ -296,9 +313,16 @@ def run_validation(
             # docs_validated from the already-persisted profile rows (n_rows
             # per (epoch, partition) group) — no extra scan of the batch data
             try:
+                # count rows of ONE column's profile rows per partition
+                # (n_rows repeats identically for every column in a group;
+                # summing one column's rows across epoch groups gives the
+                # partition's row count). The uniqueness key is the natural
+                # single atomic column and is spec-configurable — no
+                # hardcoded 'doc_id'.
+                uq_key = spec["uniqueness"].get("key", "doc_id")
                 counts = {
                     r.partition_id: r.n
-                    for r in profiles.filter(F.col("column") == "doc_id")
+                    for r in profiles.filter(F.col("column") == uq_key)
                     .groupBy("partition_id")
                     .agg(F.sum("n_rows").alias("n"))
                     .collect()

@@ -158,3 +158,134 @@ def test_ri_shuffle_join_fallback(spark, docs_path):
         assert a == b
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_kmeans_iteration_shuffles_only_partials(spark):
+    """One Lloyd iteration must shuffle ONLY the per-task partial rows
+    (centroid_id, psum, pcount) — not the corpus vectors, and never
+    exploded (cell, dim) rows (the round-2 formulation shuffled N x dim
+    rows per iteration: ~10^12 at 10^9 x 768-dim)."""
+    import numpy as np
+
+    from schema_drift_detector_spark.functions.similarity import normalize
+    from schema_drift_detector_spark.operators.ann import _lloyd_iteration
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(normalize("embedding").alias("nv"))
+    dim = len(emb.select("embedding").first()[0])
+    step = _lloyd_iteration(v, np.eye(4, dim), [0, 1, 2, 3])
+    plan = _plan(step)
+    # no explode of vectors into (cell, dim) rows anywhere in the plan
+    assert "Generate" not in plan and "posexplode" not in plan
+    # exactly one Exchange, and it hashes the partials on centroid_id —
+    # everything below it (the corpus scan + fused assign/partial-sum
+    # mapInPandas) runs shuffle-free
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(centroid_id" in exchanges[0], exchanges[0]
+    below = plan.split("Exchange")[-1]
+    assert "MapInPandas" in below and "Scan parquet" in below, plan
+
+
+def _task_stats(spark, fn):
+    """Run fn() under a fresh job group and return per-stage task stats
+    from the AppStatusStore: [{stage, durations_ms, reads, writes}]
+    where reads/writes are shuffle RECORD counts per task. Record
+    balance is the deterministic straggler signal — task wall time on
+    this steal-prone host is noise below ~100ms."""
+    import uuid as _uuid
+
+    sc = spark.sparkContext
+    group = f"stats-{_uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc._jsc.clearJobGroup()
+    store = sc._jsc.sc().statusStore()
+    tracker = sc.statusTracker()
+    out = []
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            tl = store.taskList(int(sid), 0, 100000)
+            durs, reads, writes = [], [], []
+            for i in range(tl.size()):
+                t = tl.apply(i)
+                d = t.duration()
+                durs.append(int(d.get()) if d.isDefined() else 0)
+                tm = t.taskMetrics()
+                if tm.isDefined():
+                    m = tm.get()
+                    reads.append(int(m.shuffleReadMetrics().recordsRead()))
+                    writes.append(int(m.shuffleWriteMetrics().recordsWritten()))
+            if durs:
+                out.append(
+                    {"stage": int(sid), "durations": durs, "reads": reads, "writes": writes}
+                )
+    return out
+
+
+def test_salted_join_has_no_straggler_reducer(spark):
+    """SURVEY §7.4 promise: prove via Spark task metrics that the salted
+    join BALANCES the hot key across reducers, against a measured
+    unsalted baseline that demonstrably straggles on the same fixture
+    (AQE off — salting is the defense where AQE cannot act)."""
+    from statistics import median
+
+    from schema_drift_detector_spark.operators.skew import salted_join
+
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 5 < 2, F.lit("HOT"))
+        .otherwise(F.format_string("k-%06d", F.col("id") % 40_000))
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(40_000).select(
+        F.format_string("k-%06d", F.col("id")).alias("k"),
+        F.col("id").alias("rv"),
+    ).union(spark.createDataFrame([("HOT", -1)], ["k", "rv"]))
+
+    def join_read_balance(df) -> float:
+        stats = _task_stats(spark, lambda: df.write.format("noop").mode("overwrite").save())
+        # the join stage is the one with the largest total shuffle READ
+        stage = max(stats, key=lambda s: sum(s["reads"]))
+        busy = sorted(r for r in stage["reads"] if r > 0)
+        assert len(busy) >= 4, f"want a real reducer stage, got {stage}"
+        return busy[-1] / median(busy)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = join_read_balance(left.join(right, "k", "inner"))
+        salted = join_read_balance(salted_join(left, right, "k", salt_buckets=16))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # unsalted: one reducer drags the whole 40% hot key; salted: spread
+    assert plain >= 5.0, f"fixture no longer skews (plain balance {plain:.1f})"
+    assert salted <= 3.0, f"salted join still has a straggler (balance {salted:.1f})"
+
+
+def test_salted_uniqueness_agg_is_balanced(spark):
+    """duplicate_keys' salted two-phase aggregation: no reducer reads a
+    disproportionate share even with 40% of rows on one key."""
+    from statistics import median
+
+    from schema_drift_detector_spark.operators.constraints import duplicate_keys
+
+    df = spark.range(400_000).select(
+        F.when(F.col("id") % 5 < 2, F.lit("HOT-KEY"))
+        .otherwise(F.format_string("key-%012d", F.col("id")))
+        .alias("doc_id")
+    )
+    stats = _task_stats(spark, lambda: duplicate_keys(df, "doc_id", 32).collect())
+    reducer_stages = [s for s in stats if sum(s["reads"]) > 0]
+    assert reducer_stages, "expected at least one shuffle-read stage"
+    for s in reducer_stages:
+        busy = sorted(r for r in s["reads"] if r > 0)
+        if len(busy) < 4:
+            continue  # coalesced/tiny stages carry no straggler signal
+        assert busy[-1] / median(busy) <= 3.0, (s["stage"], busy[-5:])
