@@ -254,6 +254,34 @@ FROM events GROUP BY event_type
 """
 
 
+def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (the input to the salting decision) without
+    shuffling the key universe: frequent-items sketch pass → broadcast
+    exact recount of candidates only. The output is EXACT (keys with
+    count ≥ ceil(phi·N)), so the oracle is a plain HAVING filter —
+    equality certifies the sketch's recall guarantee end-to-end."""
+    from schema_drift_detector_spark.operators.skew import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", phi=0.007)
+
+
+# CAST(0.007 AS DOUBLE): the bare literal is DECIMAL in DuckDB, and
+# decimal·bigint is exact (70.000) where Spark's double math gives
+# 70.00000000000001 → ceil 71 vs 70. Matching IEEE math on both sides
+# is the contract, not a rounding accident.
+ORACLE_HEAVY_HITTER_USERS = """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS N FROM events WHERE user_id IS NOT NULL),
+c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT c.user_id, c.n_occurrences, c.n_occurrences / t.N AS share
+FROM c, t
+WHERE c.n_occurrences >= ceil(CAST(0.007 AS DOUBLE) * t.N)
+"""
+
+
 def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.profile import numeric_histogram
 
@@ -1087,20 +1115,139 @@ def q_stream_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_running_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator on the certified board:
+    running per-partition profiles via applyInPandasWithState, fed one
+    parquet file per micro-batch (maxFilesPerTrigger=1) so every
+    partition's state provably folds ACROSS batches (the entry refuses
+    to answer if only one update per partition was emitted). The final
+    lifetime profile per partition is hash-checked against the exact
+    batch SQL aggregation over the same persisted bytes."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from schema_drift_detector_spark.streaming.stateful import running_partition_profiles
+
+    docs, _ = _span_val_tables(spark)
+    out = f"{_ARTIFACTS}/stream_running_profiles"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{_SPAN_VAL_DIR}/docs")
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        running_partition_profiles(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_running_profiles did not finish within 300s")
+    rows = spark.read.parquet(out)
+    n_parts = rows.select("partition_id").distinct().count()
+    if rows.count() <= n_parts:
+        raise RuntimeError(
+            "state never folded across micro-batches — expected >1 update per partition"
+        )
+    w = Window.partitionBy("partition_id").orderBy(F.col("batch_id").desc())
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("partition_id", "n_docs", "n_spans", "text_null_ratio", "offset_max")
+    )
+
+
+ORACLE_STREAM_RUNNING_PROFILES = f"""
+WITH docs AS (SELECT * FROM read_parquet('{_SPAN_VAL_DIR}/docs/*.parquet')),
+d AS (SELECT partition_id, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY 1),
+sp AS (SELECT partition_id, unnest(spans) AS s FROM docs),
+a AS (
+  SELECT partition_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         count(*) FILTER (s.kind = 'text') AS n_text,
+         count(*) FILTER (s.kind = 'text' AND s.text IS NULL) AS n_text_null,
+         CAST(max(s."offset") AS BIGINT) AS offset_max
+  FROM sp GROUP BY 1
+)
+SELECT d.partition_id, d.n_docs, a.n_spans,
+       CASE WHEN a.n_text > 0 THEN a.n_text_null / a.n_text END AS text_null_ratio,
+       a.offset_max
+FROM d JOIN a ON d.partition_id = a.partition_id
+"""
+
+
 def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest quantile-drift verdicts between synthetic epochs 0 and 2
-    (sketch build via applyInPandas, KS on merged digests) — rows-only:
-    the sketch algebra is not SQL-expressible."""
-    from schema_drift_detector_spark.operators.constraints import check_quantile_drift
+    """Digest-derived per-partition quantiles under a tolerance
+    contract (hll_rollup pattern): for each partition/epoch/probability
+    the engine emits the EXACT interpolated quantile (Spark percentile
+    — same (n-1)p rank-interpolation definition as DuckDB
+    quantile_cont) plus a boolean attesting the t-digest's quantile
+    lands within eps=2.0 of it (measured worst digest error on this
+    fixture: 0.57 across p∈{.1,.25,.5,.75,.9} on the 0–60 offset range,
+    so the gate has >3x margin and the input is deterministic). DuckDB
+    recomputes the exact quantiles and the contract expects every
+    attestation TRUE — certifying digest build, serialization, and
+    quantile inversion, which raw KS numbers (engine-specific) cannot."""
+    import pandas as pd
+
+    from schema_drift_detector_spark.functions import sketch
     from schema_drift_detector_spark.plans.run import baseline_tdigest
     from schema_drift_detector_spark.sources.synth import SynthConfig, synth_documents
 
     cfg = SynthConfig(n_docs=3_200, n_partitions=8, n_assets=4_000)
-    e0 = synth_documents(spark, cfg, epoch=0)
-    e2 = synth_documents(spark, cfg, epoch=2)
-    return check_quantile_drift(
-        baseline_tdigest(e0), baseline_tdigest(e2), "entry", 2
-    ).select("partition_id", "constraint", "passed", "severity", "summary")
+    _write_once(synth_documents(spark, cfg, epoch=0), f"{_QD_DIR}/e0")
+    _write_once(synth_documents(spark, cfg, epoch=2), f"{_QD_DIR}/e2")
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    eps = 2.0
+
+    def one_epoch(path: str, epoch: int) -> DataFrame:
+        docs = spark.read.parquet(path)
+        td = baseline_tdigest(docs)  # partition_id, tdigest, n — 8 rows
+
+        def qeval(batches):
+            for b in batches:
+                pids, ps, dqs = [], [], []
+                for pid, blob in zip(b["partition_id"], b["tdigest"]):
+                    for p in probs:
+                        pids.append(int(pid))
+                        ps.append(float(p))
+                        dqs.append(sketch.quantile(bytes(blob), p))
+                yield pd.DataFrame({"partition_id": pids, "prob": ps, "dq": dqs})
+
+        dq = td.mapInPandas(qeval, "partition_id int, prob double, dq double")
+        exact = (
+            docs.select("partition_id", F.explode("spans.offset").alias("off"))
+            .groupBy("partition_id")
+            .agg(F.percentile("off", F.array(*[F.lit(p) for p in probs])).alias("qs"))
+            .select(
+                "partition_id",
+                F.posexplode("qs").alias("pi", "exact_q"),
+            )
+            .select(
+                "partition_id",
+                F.element_at(F.array(*[F.lit(p) for p in probs]), F.col("pi") + 1).alias("prob"),
+                "exact_q",
+            )
+        )
+        return dq.join(exact, ["partition_id", "prob"]).select(
+            F.lit(epoch).alias("epoch"),
+            "partition_id",
+            "prob",
+            F.round("exact_q", 6).alias("exact_q"),
+            (F.abs(F.col("dq") - F.col("exact_q")) <= eps).alias("digest_within_eps"),
+        )
+
+    return one_epoch(f"{_QD_DIR}/e0", 0).unionByName(one_epoch(f"{_QD_DIR}/e2", 2))
 
 
 _MEDIA_DIR = f"{_ARTIFACTS}/media"
@@ -1284,6 +1431,35 @@ FROM cdfs GROUP BY partition_id
 """
 
 
+ORACLE_QUANTILE_DRIFT_SPANS = f"""
+WITH offs AS (
+  SELECT 0 AS epoch, partition_id, s."offset" AS off
+  FROM (SELECT partition_id, unnest(spans) AS s FROM read_parquet('{_QD_DIR}/e0/*.parquet'))
+  UNION ALL
+  SELECT 2, partition_id, s."offset" AS off
+  FROM (SELECT partition_id, unnest(spans) AS s FROM read_parquet('{_QD_DIR}/e2/*.parquet'))
+), q AS (
+  SELECT epoch, partition_id,
+         quantile_cont(off, 0.1)  AS p10, quantile_cont(off, 0.25) AS p25,
+         quantile_cont(off, 0.5)  AS p50, quantile_cont(off, 0.75) AS p75,
+         quantile_cont(off, 0.9)  AS p90
+  FROM offs GROUP BY 1, 2
+), u AS (
+  SELECT epoch, partition_id, CAST(0.1 AS DOUBLE) AS prob, p10 AS exact_q FROM q
+  UNION ALL SELECT epoch, partition_id, CAST(0.25 AS DOUBLE), p25 FROM q
+  UNION ALL SELECT epoch, partition_id, CAST(0.5 AS DOUBLE), p50 FROM q
+  UNION ALL SELECT epoch, partition_id, CAST(0.75 AS DOUBLE), p75 FROM q
+  UNION ALL SELECT epoch, partition_id, CAST(0.9 AS DOUBLE), p90 FROM q
+)
+-- the t-digest attestation must hold on every row (tolerance contract;
+-- eps has >3x margin over the measured worst digest error, so TRUE is
+-- the exact expected value, not a hope)
+SELECT epoch, partition_id, prob, round(exact_q, 6) AS exact_q,
+       TRUE AS digest_within_eps
+FROM u
+"""
+
+
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-partition HLL sketches, merged to
     table level WITHOUT rescanning data (hll_union_agg). The raw
@@ -1384,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_rollup": q_nation_rollup,
         "sessionize_events": q_sessionize_events,
         "profile_events": q_profile_events,
+        "heavy_hitter_users": q_heavy_hitter_users,
         "totalprice_histogram": q_totalprice_histogram,
         "distribution_drift_events": q_distribution_drift_events,
         "exact_dedup_props": q_exact_dedup_props,
@@ -1403,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
         "stream_span_validation": q_stream_span_validation,
+        "stream_running_profiles": q_stream_running_profiles,
         "quantile_drift_spans": q_quantile_drift_spans,
         "quantile_drift_verdicts": q_quantile_drift_verdicts,
         "media_decode": q_media_decode,
@@ -1426,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_rollup": ORACLE_NATION_ROLLUP,
         "sessionize_events": ORACLE_SESSIONIZE,
         "profile_events": ORACLE_PROFILE_EVENTS,
+        "heavy_hitter_users": ORACLE_HEAVY_HITTER_USERS,
         "totalprice_histogram": ORACLE_HISTOGRAM,
         "distribution_drift_events": ORACLE_DRIFT_EVENTS,
         "exact_dedup_props": ORACLE_EXACT_DEDUP,
@@ -1442,10 +1621,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
         "stream_span_validation": ORACLE_SPAN_VALIDATION,
+        "stream_running_profiles": ORACLE_STREAM_RUNNING_PROFILES,
         "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
         "simhash_pairs": _oracle_simhash(),
         "quantile_drift_verdicts": ORACLE_QUANTILE_DRIFT_VERDICTS,
+        "quantile_drift_spans": ORACLE_QUANTILE_DRIFT_SPANS,
         "hll_rollup": ORACLE_HLL_ROLLUP,
         "winnowing": ORACLE_WINNOWING,
         "media_decode": ORACLE_MEDIA_DECODE,

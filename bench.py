@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "order_chain",
     "nations_order_stats",
     "profile_events",
+    "heavy_hitter_users",
     "distribution_drift_events",
     "exact_dedup_props",
     "jaccard_pairs_sample",

@@ -56,6 +56,7 @@ def duplicate_keys(
     df: DataFrame,
     key: str = "doc_id",
     salt_buckets: int = 16,
+    assume_bucketed: bool = False,
 ) -> DataFrame:
     """Keys occurring more than once — salted two-phase aggregation.
 
@@ -69,7 +70,22 @@ def duplicate_keys(
 
     north_rule: "uniqueness on doc_id via salted repartition +
     hash-based dedup detection".
+
+    assume_bucketed=True is the opt-in for tables ALREADY bucketed on
+    ``key`` (written via sources.io.write_bucketed and read through
+    spark.table — a plain spark.read.parquet(path) does not carry
+    bucket metadata): the layout already co-locates identical keys, so
+    a plain one-phase groupBy aggregates with ZERO Exchange, and
+    salting would only destroy that layout and force the shuffle back.
+    Bucketing also bounds skew by construction (a hot key lives in one
+    bucket file, counted by map-side combine within its scan tasks).
     """
+    if assume_bucketed:
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") > 1)
+        )
     salted = df.select(
         F.col(key),
         F.pmod(F.spark_partition_id() + F.crc32(F.col(key).cast("string")), F.lit(salt_buckets)).alias(
@@ -88,6 +104,7 @@ def check_uniqueness(
     group_cols: Sequence[str] = ("epoch", "partition_id"),
     salt_buckets: int = 16,
     dups: DataFrame | None = None,
+    assume_bucketed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (verdicts, violations). A partition fails iff it contains any
     row whose key is globally duplicated. Violation rows carry the
@@ -103,7 +120,7 @@ def check_uniqueness(
     # the verdict and violation actions don't re-shuffle all keys twice,
     # and broadcast it back against the table
     if dups is None:
-        dups = duplicate_keys(docs, key, salt_buckets).cache()
+        dups = duplicate_keys(docs, key, salt_buckets, assume_bucketed).cache()
     else:
         dups = dups.select(key, "n_occurrences")
     offenders = docs.join(F.broadcast(dups), on=key, how="inner")

@@ -53,3 +53,62 @@ def salted_join(
     )
     joined = lhs.join(rhs, on=[key, "__salt"], how=how)
     return joined.drop("__salt")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    phi: float,
+    support: float | None = None,
+) -> DataFrame:
+    """EXACT φ-heavy-hitters (keys with frequency ≥ ceil(φ·N)) without
+    ever shuffling the key universe — the hot-key detector that decides
+    which doc_id ranges need explicit salting.
+
+    Two passes, both with metadata-scale shuffles:
+      1. candidate sketch: Spark's single-pass frequent-items
+         (df.stat.freqItems — batched Misra-Gries, treeAggregate of
+         ≤1/support counters per task) guarantees a superset of every
+         key with frequency > support; requires support ≤ φ.
+      2. exact recount: one scan counting ONLY the broadcast candidates
+         (left join tags candidate rows; non-candidates collapse into a
+         single null bucket that still contributes to the grand total N),
+         then the ceil(φ·N) threshold filter.
+
+    A plain groupBy(key).count() is exact too — but at 10^12 DISTINCT
+    doc_ids the aggregation shuffles the whole universe; here nothing
+    bigger than tasks×(1/support) partials and the candidate list moves.
+
+    Null keys are not candidates (a null doc_id is a constraint
+    violation, not a hot range). Output: key, n_occurrences, share.
+    """
+    if not (0 < phi < 1):
+        raise ValueError(f"phi must be in (0,1), got {phi}")
+    support = phi / 2 if support is None else support
+    if support > phi:
+        # freqItems only guarantees recall down to `support` — a larger
+        # support could silently miss φ-heavy keys
+        raise ValueError(f"support ({support}) must be <= phi ({phi})")
+    spark = df.sparkSession
+    items = [x for x in df.stat.freqItems([key], support).first()[0] if x is not None]
+    cand = spark.createDataFrame(
+        [(x,) for x in items], df.select(key).schema
+    ).withColumn("__hit", F.lit(1))
+    buckets = (
+        df.select(key)
+        .filter(F.col(key).isNotNull())
+        .join(F.broadcast(cand), key, "left")
+        .groupBy(F.when(F.col("__hit").isNotNull(), F.col(key)).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = buckets.agg(F.sum("n_occurrences").alias("__N"))
+    return (
+        buckets.filter(F.col("__k").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") >= F.ceil(F.lit(float(phi)) * F.col("__N")))
+        .select(
+            F.col("__k").alias(key),
+            "n_occurrences",
+            (F.col("n_occurrences") / F.col("__N")).alias("share"),
+        )
+    )

@@ -152,8 +152,15 @@ def run_validation(
     dups = None
     if batches:
         uq_spec = dict(spec["uniqueness"])
+        # spec {'uniqueness': {'bucketed': True}} opts into the zero-
+        # Exchange one-phase aggregation for tables pre-bucketed on the
+        # key (see duplicate_keys); the salt path is the default for
+        # arbitrary layouts
         dups = C.duplicate_keys(
-            docs, uq_spec.get("key", "doc_id"), uq_spec.get("salt_buckets", 16)
+            docs,
+            uq_spec.get("key", "doc_id"),
+            uq_spec.get("salt_buckets", 16),
+            uq_spec.get("bucketed", False),
         ).cache()
 
     # partitions present in a drift baseline but ABSENT from the current
@@ -190,7 +197,13 @@ def run_validation(
             profiles = profile_columns(subset, snapshot_id=snapshot_id, entity=entity).persist()
             span_prof = profile_spans(subset)
             uq_v, uq_viol = C.check_uniqueness(
-                subset, run_id, dups=dups, **{k: v for k, v in spec["uniqueness"].items()}
+                subset,
+                run_id,
+                dups=dups,
+                **{
+                    ("assume_bucketed" if k == "bucketed" else k): v
+                    for k, v in spec["uniqueness"].items()
+                },
             )
             ri_v, ri_viol = C.check_referential_integrity(
                 subset, catalog, run_id, **spec["referential_integrity"]

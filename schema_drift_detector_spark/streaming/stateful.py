@@ -36,25 +36,25 @@ def _fold(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    """Folds PRE-FLATTENED span rows (partition_id, span_idx, kind,
+    text, offset — the explode runs JVM-side in Catalyst before the
+    state operator, see running_partition_profiles) with vectorized
+    pandas reductions; no per-span Python loop."""
     n_docs, n_spans, n_text, n_text_null, offset_max = (
         state.get if state.exists else (0, 0, 0, 0, None)
     )
     for pdf in pdfs:
-        n_docs += len(pdf)
-        for spans in pdf["spans"]:
-            if spans is None:
-                continue
-            for s in spans:
-                n_spans += 1
-                kind = s["kind"] if isinstance(s, dict) else s.kind
-                text = s["text"] if isinstance(s, dict) else s.text
-                off = s["offset"] if isinstance(s, dict) else s.offset
-                if kind == "text":
-                    n_text += 1
-                    if text is None:
-                        n_text_null += 1
-                if off is not None and (offset_max is None or off > offset_max):
-                    offset_max = int(off)
+        idx = pdf["span_idx"]
+        # a doc contributes exactly one row with span_idx 0 (first span)
+        # or null (posexplode_outer's row for a null/empty spans array)
+        n_docs += int((idx.isna() | (idx == 0)).sum())
+        n_spans += int(idx.notna().sum())
+        text_mask = pdf["kind"] == "text"
+        n_text += int(text_mask.sum())
+        n_text_null += int((text_mask & pdf["text"].isna()).sum())
+        off_max = pdf["offset"].max()
+        if pd.notna(off_max) and (offset_max is None or int(off_max) > offset_max):
+            offset_max = int(off_max)
     state.update((n_docs, n_spans, n_text, n_text_null, offset_max))
     yield pd.DataFrame(
         {
@@ -74,15 +74,27 @@ def _fold(
 def running_partition_profiles(docs_stream: DataFrame) -> DataFrame:
     """Streaming DataFrame of running per-partition profiles. Apply to
     a readStream of the documents table; each micro-batch emits one
-    updated row per touched partition."""
-    return (
-        docs_stream.select("partition_id", "spans")
-        .groupBy("partition_id")
-        .applyInPandasWithState(
-            _fold,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    updated row per touched partition.
+
+    The spans explode runs in Catalyst (whole-stage-codegen'd,
+    posexplode_outer keeps empty/null-span docs as a null-index row so
+    the doc count survives); only the already-flat numeric/string
+    columns cross the Arrow boundary into the vectorized state fold."""
+    from pyspark.sql import functions as F
+
+    flat = docs_stream.select(
+        "partition_id", F.posexplode_outer("spans").alias("span_idx", "s")
+    ).select(
+        "partition_id",
+        "span_idx",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+    return flat.groupBy("partition_id").applyInPandasWithState(
+        _fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

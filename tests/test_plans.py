@@ -289,3 +289,35 @@ def test_salted_uniqueness_agg_is_balanced(spark):
         if len(busy) < 4:
             continue  # coalesced/tiny stages carry no straggler signal
         assert busy[-1] / median(busy) <= 3.0, (s["stage"], busy[-5:])
+
+
+def test_bucketed_uniqueness_agg_zero_exchange(spark):
+    """spec opt-in 'bucketed': over a table bucketed on the key,
+    duplicate_keys aggregates with ZERO Exchange (the write-time shuffle
+    is amortized) and finds exactly the same duplicates as the salted
+    path over the same rows."""
+    import uuid
+
+    from schema_drift_detector_spark.operators.constraints import duplicate_keys
+    from schema_drift_detector_spark.sources.io import write_bucketed
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 1000 == 0, F.lit("DUP"))
+        .otherwise(F.format_string("d-%08d", F.col("id")))
+        .alias("doc_id")
+    )
+    tname = f"uq_bucketed_{uuid.uuid4().hex[:8]}"
+    write_bucketed(df, tname, "doc_id", 8)
+    try:
+        bucketed = spark.table(tname)
+        dups = duplicate_keys(bucketed, "doc_id", assume_bucketed=True)
+        plan = _plan(dups)
+        assert "Exchange" not in plan, plan
+        got = {r.doc_id: r.n_occurrences for r in dups.collect()}
+        ref = {
+            r.doc_id: r.n_occurrences
+            for r in duplicate_keys(bucketed, "doc_id").collect()
+        }
+        assert got == ref == {"DUP": 50}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")

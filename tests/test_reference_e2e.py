@@ -237,3 +237,33 @@ def test_winnowing_forms_value_parity(spark):
     assert expr["e"] == []
     assert expr["g"] is None
     assert len(expr["a"]) > 0 and expr["a"] != expr["f"]
+
+
+def test_heavy_hitters_exact_on_skewed_keys(spark):
+    """heavy_hitters must return EXACTLY the keys at/above ceil(phi*N)
+    with exact counts — including a 40% hot key and borderline keys —
+    and refuse a support coarser than phi (recall would break)."""
+    import math
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from schema_drift_detector_spark.operators.skew import heavy_hitters
+
+    n = 100_000
+    # 40% one hot key; the rest spread over 300 mid keys (~200 rows each)
+    df = spark.range(n).select(
+        F.when(F.col("id") % 5 < 2, F.lit("HOT"))
+        .otherwise(F.format_string("m-%03d", F.col("id") % 300))
+        .alias("k")
+    )
+    phi = 0.0015  # threshold 150: HOT (40k) qualifies, mid keys (~200) do too
+    got = {(r.k, r.n_occurrences) for r in heavy_hitters(df, "k", phi).collect()}
+    exact = {
+        (r.k, r.c)
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c >= math.ceil(phi * n)
+    }
+    assert got == exact and ("HOT", n // 5 * 2) in got
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0.01, support=0.02)
