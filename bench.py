@@ -97,9 +97,13 @@ def host_probe() -> dict:
     change that tracks the probe ratio is host steal, not the engine."""
     import multiprocessing as mp
 
+    # spawn, not fork: the post-run probe executes with the py4j/JVM
+    # gateway threads live, and a forked worker can inherit a held lock
+    # and hang before ever reaching _burn
+    ctx = mp.get_context("spawn")
     out: dict = {}
     for procs in (1, CPUS):
-        with mp.Pool(procs) as p:
+        with ctx.Pool(procs) as p:
             p.map(_burn, [200_000] * procs)  # pool warm-up, excluded
             t0 = time.time()
             p.map(_burn, [20_000_000] * procs * 2)
@@ -215,7 +219,10 @@ def main() -> None:
     probe_post = host_probe()  # steal drifts within a session — bracket it
 
     out = {
-        "metric": "validated documents/sec (profile+constraint pass)",
+        # (metric, value, unit) names the VALUE: wall seconds of the
+        # validate pass. Throughput lives in docs_per_sec — a reader of
+        # the conventional triple must not mistake 4.0 for docs/sec.
+        "metric": "validate-pass wall time (profile+constraint pass; throughput in docs_per_sec)",
         "value": round(elapsed, 3),
         "unit": "sec",
         "queries": qtimes,

@@ -141,7 +141,13 @@ def kmeans_centroids(
     merge_schema = "centroid_id int, centroid_vec array<double>"
     try:
         for _ in range(iters):
-            rows = _lloyd_iteration(v, cents_np, cent_ids).collect()  # k rows
+            bc = sess.sparkContext.broadcast(cents_np)
+            try:
+                rows = _lloyd_iteration(v, bc, cent_ids).collect()  # k rows
+            finally:
+                # one leaked k×dim broadcast per iteration would outlive
+                # the trainer for the whole application otherwise
+                bc.destroy()
             rows.sort(key=lambda r: r.centroid_id)
             cent_ids = [int(r.centroid_id) for r in rows]  # empty cells collapse
             cents_np = np.asarray([r.centroid_vec for r in rows], dtype=np.float64)
@@ -152,17 +158,25 @@ def kmeans_centroids(
     )
 
 
-def _lloyd_iteration(v: DataFrame, cents_np, cent_ids: list[int]) -> DataFrame:
+def _lloyd_iteration(v: DataFrame, cents, cent_ids: list[int]) -> DataFrame:
     """One Lloyd step as a lazy frame (exposed for plan-shape tests):
     fused assign+partial-sum mapInPandas over unit vectors ``v(nv)``,
     then a per-cell applyInPandas merge. The ONLY Exchange in this plan
-    hashes the ≤ tasks×k partial rows on centroid_id."""
+    hashes the ≤ tasks×k partial rows on centroid_id.
+
+    ``cents`` is either an already-managed pyspark Broadcast of the
+    (k, dim) centroid matrix (the trainer's loop owns and destroys it
+    per iteration) or a raw array, wrapped here for one-off use."""
     from typing import Iterator
 
     import numpy as np
     import pandas as pd
+    from pyspark.broadcast import Broadcast
 
-    bc = v.sparkSession.sparkContext.broadcast(np.asarray(cents_np, dtype=np.float64))
+    if isinstance(cents, Broadcast):
+        bc = cents
+    else:
+        bc = v.sparkSession.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
     ids = list(cent_ids)
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -255,7 +255,11 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                     continue
                 fr = int.from_bytes(blob[8:10], "big")
                 body = np.frombuffer(blob[10:], dtype=np.uint8)
-                if fr <= 0 or len(body) == 0:
+                if fr <= 0 or len(body) < fr:
+                    # len(body) < fr would make chunk = 0 and every
+                    # "frame" an empty slice with checksum 0 — that is
+                    # an undecodable claim (more frames than bytes), so
+                    # it takes the sentinel path like the other guards
                     refs.append(ref)
                     idxs.append(-1)
                     sums.append(None)

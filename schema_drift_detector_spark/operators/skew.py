@@ -85,19 +85,31 @@ def heavy_hitters(
     if not (0 < phi < 1):
         raise ValueError(f"phi must be in (0,1), got {phi}")
     support = phi / 2 if support is None else support
-    if support > phi:
-        # freqItems only guarantees recall down to `support` — a larger
-        # support could silently miss φ-heavy keys
-        raise ValueError(f"support ({support}) must be <= phi ({phi})")
+    if support >= phi:
+        # freqItems guarantees recall only for counts STRICTLY above
+        # support·N — at support == phi a key with exactly ceil(phi·N)
+        # occurrences meets the output threshold yet sits outside the
+        # sketch guarantee and could be evicted
+        raise ValueError(f"support ({support}) must be strictly < phi ({phi})")
+    if support < 1e-4:
+        # Spark's freqItems rejects support < 1e-4 with an opaque py4j
+        # error; surface the real constraint at the API boundary
+        raise ValueError(
+            f"support ({support}) must be >= 1e-4 (Spark freqItems floor); "
+            f"pass support explicitly for phi < 2e-4"
+        )
     spark = df.sparkSession
-    items = [x for x in df.stat.freqItems([key], support).first()[0] if x is not None]
+    # sketch over the NON-NULL rows: the recall guarantee is relative to
+    # the sketched row count, and the output threshold ceil(phi·N) uses
+    # N = non-null rows — sketching nulls too would dilute the guarantee
+    # below the threshold whenever nulls are plentiful
+    nn = df.select(key).filter(F.col(key).isNotNull())
+    items = [x for x in nn.stat.freqItems([key], support).first()[0] if x is not None]
     cand = spark.createDataFrame(
         [(x,) for x in items], df.select(key).schema
     ).withColumn("__hit", F.lit(1))
     buckets = (
-        df.select(key)
-        .filter(F.col(key).isNotNull())
-        .join(F.broadcast(cand), key, "left")
+        nn.join(F.broadcast(cand), key, "left")
         .groupBy(F.when(F.col("__hit").isNotNull(), F.col(key)).alias("__k"))
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

@@ -67,3 +67,18 @@ def test_minhash_rejects_invalid_bands(spark):
         minhash_near_duplicates(df, "doc_id", "text", k=8, bands=16)
     with _pytest.raises(ValueError, match="bands"):
         minhash_near_duplicates(df, "doc_id", "text", k=64, bands=12)
+
+
+def test_simhash_chunk_validation_fails_loud(spark):
+    """Non-divisor chunk counts silently change recall — both signature
+    paths must reject them with a ValueError, not an -O-strippable
+    assert."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame([("a", "xyz")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divide 60"):
+        simhash_near_duplicates(df, "doc_id", "text", chunks=7, hash_fn="md5")
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_near_duplicates(df, "doc_id", "text", chunks=7, hash_fn="xxhash64")

@@ -267,3 +267,31 @@ def test_heavy_hitters_exact_on_skewed_keys(spark):
     assert got == exact and ("HOT", n // 5 * 2) in got
     with _pytest.raises(ValueError):
         heavy_hitters(df, "k", 0.01, support=0.02)
+
+
+def test_heavy_hitters_nulls_do_not_dilute_recall(spark):
+    """Review regression: with nulls dominating the table, the sketch
+    must still be computed over NON-NULL rows only — otherwise a key
+    above ceil(phi*N_nonnull) but below support*N_total sits outside
+    the frequent-items guarantee and can vanish. Also: support == phi
+    is rejected (guarantee is strict-above only)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from schema_drift_detector_spark.operators.skew import heavy_hitters
+
+    # 200k null keys + 100k real rows; 'EDGE' holds ~1.2% of non-null
+    # rows (1200) — above ceil(0.01*100k)=1000, but below
+    # 0.005*300k=1500, the recall floor a total-row sketch would have
+    df = spark.range(300_000).select(
+        F.when(F.col("id") < 200_000, F.lit(None).cast("string"))
+        .when(F.col("id") < 201_200, F.lit("EDGE"))
+        .otherwise(F.format_string("k-%09d", F.col("id")))
+        .alias("k")
+    )
+    got = {r.k: r.n_occurrences for r in heavy_hitters(df, "k", phi=0.01).collect()}
+    assert got == {"EDGE": 1_200}, got
+    with _pytest.raises(ValueError, match="strictly"):
+        heavy_hitters(df, "k", phi=0.01, support=0.01)
+    with _pytest.raises(ValueError, match="1e-4"):
+        heavy_hitters(df, "k", phi=1e-4)
