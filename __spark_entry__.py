@@ -883,7 +883,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash_lsh() -> str:
+def _minhash_oracle_parts() -> tuple[str, str]:
+    """(ctes, pair_select) — the md5-affine signature CTEs and the
+    banded candidate-pair SELECT, shared by the pair oracle and the
+    connected-components oracle so both certify the same arithmetic."""
     from schema_drift_detector_spark.operators.dedup import (
         MERSENNE31,
         minhash_permutation_params,
@@ -898,8 +901,7 @@ def _oracle_minhash_lsh() -> str:
         for j in range(16)
     )
     est = " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(64))
-    return f"""
-WITH sh AS (
+    ctes = f"""sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
   FROM documents, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
 ), hashed AS (
@@ -908,12 +910,54 @@ WITH sh AS (
 ), sig AS (
   SELECT doc_id, {mins}
   FROM hashed GROUP BY doc_id
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+)"""
+    pair_select = f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ({est}) / 64.0 AS est_jaccard
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE ({band_eq})
-  AND ({est}) / 64.0 >= 0.6
+  AND ({est}) / 64.0 >= 0.6"""
+    return ctes, pair_select
+
+
+def _oracle_minhash_lsh() -> str:
+    ctes, pair_select = _minhash_oracle_parts()
+    return f"\nWITH {ctes}\n{pair_select}\n"
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs → connected components
+    (hash-min label propagation) → (doc, cluster=min member). The oracle
+    recomputes the identical pairs (shared SQL parts) and closes them
+    with a recursive CTE — certifying the iterative BSP propagation
+    against an exact transitive closure."""
+    from schema_drift_detector_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
+    )
+    return connected_components(pairs)
+
+
+def _oracle_dedup_clusters() -> str:
+    ctes, pair_select = _minhash_oracle_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({pair_select}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+)
+SELECT doc, min(r) AS cluster FROM reach GROUP BY doc
 """
 
 
@@ -1589,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
@@ -1637,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_running_profiles": ORACLE_STREAM_RUNNING_PROFILES,
         "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "simhash_pairs": _oracle_simhash(),
         "quantile_drift_verdicts": ORACLE_QUANTILE_DRIFT_VERDICTS,
         "quantile_drift_spans": ORACLE_QUANTILE_DRIFT_SPANS,

@@ -481,3 +481,74 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components and name each by its
+    minimum member — the step between pair detection (MinHash/SimHash/
+    embedding LSH) and survivor selection in a dedup pipeline: every doc
+    of a component except the canonical min is a drop candidate.
+
+    Hash-min label propagation (the standard BSP connected-components):
+    every vertex starts labeled with itself; each superstep every vertex
+    takes the min of its own and its neighbors' labels; converges in
+    O(component diameter) supersteps. Per iteration: one edge⋈label join
+    + one min-aggregation — both shuffle on vertex id, nothing larger
+    than |edges| moves, and near-dup graphs are sparse (bounded candidate
+    fan-out from LSH banding). localCheckpoint breaks the iterative
+    lineage so the plan does not grow with iterations (on a cluster with
+    unreliable executors, prefer checkpoint() with a checkpoint dir).
+
+    Only docs that appear in at least one pair are returned (singletons
+    are their own cluster trivially — at 10^12 docs, materializing them
+    would dwarf the actual dedup signal). Raises after ``max_iters``
+    without convergence instead of returning partial labels.
+
+    Output: doc, cluster (cluster = min doc id of the component).
+    """
+    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = sym.distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = edges.join(
+                labels.withColumnRenamed("doc", "dst"), "dst"
+            ).select(F.col("src").alias("doc"), "label")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("doc")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("doc", F.col("label").alias("cluster"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} supersteps "
+            f"(component diameter exceeds max_iters?)"
+        )
+    finally:
+        edges.unpersist()

@@ -82,3 +82,21 @@ def test_simhash_chunk_validation_fails_loud(spark):
         simhash_near_duplicates(df, "doc_id", "text", chunks=7, hash_fn="md5")
     with pytest.raises(ValueError, match="divide 64"):
         simhash_near_duplicates(df, "doc_id", "text", chunks=7, hash_fn="xxhash64")
+
+
+def test_connected_components_chains_and_convergence(spark):
+    """Hash-min propagation must close transitive chains (a-b, b-c, c-d
+    → one cluster named by the min), keep disjoint components apart,
+    and fail loud when max_iters is too small for the diameter."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iters=1)

@@ -148,8 +148,21 @@ capacity) — meets the ≥0.8 criterion; at larger N the engine tracks
 deliver.**
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    path = f"{REPO}/BENCH/BASELINE.md"
+    # preserve hand-written sections (history tables, interpretation
+    # notes) that live below the generated block: everything from the
+    # first marker heading onward survives regeneration
+    appendix = ""
+    marker = "## Cross-session history"
+    try:
+        with open(path) as f:
+            old = f.read()
+        if marker in old:
+            appendix = "\n" + old[old.index(marker) :]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write(md + appendix)
     print(json.dumps({"throughput": thr, "efficiency": eff, "hw_efficiency": hw_eff}))
 
 
