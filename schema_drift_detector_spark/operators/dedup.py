@@ -501,32 +501,52 @@ def connected_components(
     Hash-min label propagation (the standard BSP connected-components):
     every vertex starts labeled with itself; each superstep every vertex
     takes the min of its own and its neighbors' labels; converges in
-    O(component diameter) supersteps. Per iteration: one edge⋈label join
-    + one min-aggregation — both shuffle on vertex id, nothing larger
-    than |edges| moves, and near-dup graphs are sparse (bounded candidate
-    fan-out from LSH banding). localCheckpoint breaks the iterative
-    lineage so the plan does not grow with iterations (on a cluster with
-    unreliable executors, prefer checkpoint() with a checkpoint dir).
+    O(component diameter) supersteps (+1 to observe quiescence — a graph
+    whose diameter equals ``max_iters`` still converges). Per iteration:
+    one edge⋈label join + one min-aggregation — both shuffle on vertex
+    id, nothing larger than |edges| moves, and near-dup graphs are
+    sparse (bounded candidate fan-out from LSH banding).
+
+    Generation hygiene: each superstep's labels are persisted and the
+    superseded generation unpersisted once its successor materializes
+    (two generations live at a time); every 10th superstep additionally
+    localCheckpoints to cut the growing lineage (on a cluster with
+    unreliable executors, prefer checkpoint() with a checkpoint dir —
+    a recompute-after-failure otherwise replays up to 10 joins).
 
     Only docs that appear in at least one pair are returned (singletons
     are their own cluster trivially — at 10^12 docs, materializing them
     would dwarf the actual dedup signal). Raises after ``max_iters``
-    without convergence instead of returning partial labels.
+    changing supersteps without convergence instead of returning
+    partial labels.
 
     Output: doc, cluster (cluster = min doc id of the component).
     """
-    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+    # one-pass symmetrize: referencing `pairs` twice in a union would
+    # execute the whole upstream pair-generation plan (LSH band
+    # self-join + signature joins) TWICE — Spark does not dedupe common
+    # subplans
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = sym.distinct().persist()
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    labels.count()  # materialize before the loop references it
     try:
-        for _ in range(max_iters):
+        # max_iters + 1: the final allowed pass may be the quiescence
+        # observation (changed == 0) for a graph that needed exactly
+        # max_iters propagation steps
+        for it in range(max_iters + 1):
             nbr = edges.join(
                 labels.withColumnRenamed("doc", "dst"), "dst"
             ).select(F.col("src").alias("doc"), "label")
@@ -534,8 +554,11 @@ def connected_components(
                 labels.unionByName(nbr)
                 .groupBy("doc")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
             )
+            if (it + 1) % 10 == 0:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc")
@@ -543,6 +566,7 @@ def connected_components(
                 .limit(1)
                 .count()
             )
+            labels.unpersist()  # superseded generation — successor is live
             labels = new_labels
             if changed == 0:
                 return labels.select("doc", F.col("label").alias("cluster"))

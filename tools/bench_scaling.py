@@ -161,8 +161,12 @@ deliver.**
             appendix = "\n" + old[old.index(marker) :]
     except FileNotFoundError:
         pass
-    with open(path, "w") as f:
+    # atomic replace: a crash mid-write must not destroy the
+    # hand-written appendix this preservation exists for
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         f.write(md + appendix)
+    os.replace(tmp, path)
     print(json.dumps({"throughput": thr, "efficiency": eff, "hw_efficiency": hw_eff}))
 
 
