@@ -942,6 +942,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_corpus_neardup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline as a user runs it: LSH pairs →
+    connected components → drop every non-canonical member (doc !=
+    cluster rep) via left_anti — returns the surviving corpus. Certifies
+    the composition, not just the stages."""
+    from schema_drift_detector_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
+    )
+    drops = connected_components(pairs).filter(F.col("doc") != F.col("cluster"))
+    return docs.join(
+        drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
+    ).select("doc_id", F.length("text").alias("text_len"))
+
+
+def _oracle_corpus_neardup_drop() -> str:
+    ctes, pair_select = _minhash_oracle_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({pair_select}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+),
+cl AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+drops AS (SELECT doc FROM cl WHERE doc <> cluster)
+SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
+FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
+WHERE drops.doc IS NULL
+"""
+
+
 def _oracle_dedup_clusters() -> str:
     ctes, pair_select = _minhash_oracle_parts()
     return f"""
@@ -1238,6 +1281,72 @@ SELECT d.partition_id, d.n_docs, coalesce(a.n_spans, 0) AS n_spans,
        CASE WHEN a.n_text > 0 THEN a.n_text_null / a.n_text END AS text_null_ratio,
        a.offset_max
 FROM d LEFT JOIN a ON d.partition_id = a.partition_id
+"""
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation on the certified board: the
+    events table streams in 4 micro-batches (complete-mode sink keeps
+    every window open so the FINAL batch equals the batch-mode answer
+    exactly — append mode would hold back windows inside the watermark
+    horizon forever on a finite stream). Certifies incremental window
+    state across batches against plain SQL day-window counts."""
+    import shutil
+
+    from schema_drift_detector_spark.streaming.epochs import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
+    _write_once(ev.repartition(4), src)
+    out = f"{_ARTIFACTS}/stream_windows/out_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # watermarks require TIMESTAMP; the parquet column reads as
+        # TIMESTAMP_NTZ — the cast is value-preserving under the UTC
+        # session timezone (session.py pins it)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(stream, window="1 day", watermark="2 days")
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_windowed_counts did not finish within 300s")
+    rows = spark.read.parquet(out)
+    last = rows.agg(F.max("batch_id")).first()[0]
+    if last is None or last < 1:
+        raise RuntimeError("expected >1 micro-batch — window state never folded")
+    return rows.filter(F.col("batch_id") == last).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+ORACLE_STREAM_WINDOWED_COUNTS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2
 """
 
 
@@ -1634,11 +1743,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_neardup_drop": q_corpus_neardup_drop,
         "simhash_pairs": q_simhash_pairs,
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
         "stream_span_validation": q_stream_span_validation,
         "stream_running_profiles": q_stream_running_profiles,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "quantile_drift_spans": q_quantile_drift_spans,
         "quantile_drift_verdicts": q_quantile_drift_verdicts,
         "media_decode": q_media_decode,
@@ -1680,9 +1791,11 @@ def oracle_sql() -> dict[str, str]:
         "span_validation": ORACLE_SPAN_VALIDATION,
         "stream_span_validation": ORACLE_SPAN_VALIDATION,
         "stream_running_profiles": ORACLE_STREAM_RUNNING_PROFILES,
+        "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
         "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "corpus_neardup_drop": _oracle_corpus_neardup_drop(),
         "simhash_pairs": _oracle_simhash(),
         "quantile_drift_verdicts": ORACLE_QUANTILE_DRIFT_VERDICTS,
         "quantile_drift_spans": ORACLE_QUANTILE_DRIFT_SPANS,
