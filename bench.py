@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "dedup_clusters",
 ]
 
 
