@@ -1183,6 +1183,27 @@ FROM ri
 """
 
 
+def q_span_validation_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The huge-catalog RI path: Bloom pre-filter (no false negatives)
+    resolves most refs without any join; only 'maybe' rows reach the
+    exact anti-join. Hash-checked against the SAME SQL oracle as the
+    plain-join path — the fpp sizes the residual join, never the
+    answer."""
+    from schema_drift_detector_spark.operators.constraints import (
+        check_referential_integrity,
+        check_uniqueness,
+    )
+
+    docs, catalog = _span_val_tables(spark)
+    uq_v, _ = check_uniqueness(docs, run_id="entry")
+    ri_v, _ = check_referential_integrity(
+        docs, catalog, run_id="entry", broadcast_catalog=False, bloom_catalog=True
+    )
+    return uq_v.unionByName(ri_v).select(
+        "partition_id", "constraint", "passed", "severity", "summary"
+    )
+
+
 def q_stream_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming on the certified board: the SAME interleaved
     docs flow through readStream → foreachBatch(stream_validate) →
@@ -1747,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnowing": q_winnowing,
         "span_validation": q_span_validation,
+        "span_validation_bloom": q_span_validation_bloom,
         "stream_span_validation": q_stream_span_validation,
         "stream_running_profiles": q_stream_running_profiles,
         "stream_windowed_counts": q_stream_windowed_counts,
@@ -1789,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
+        "span_validation_bloom": ORACLE_SPAN_VALIDATION,
         "stream_span_validation": ORACLE_SPAN_VALIDATION,
         "stream_running_profiles": ORACLE_STREAM_RUNNING_PROFILES,
         "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,

@@ -175,13 +175,26 @@ def check_referential_integrity(
     run_id: str,
     group_cols: Sequence[str] = ("epoch", "partition_id"),
     broadcast_catalog: bool = True,
+    bloom_catalog: bool = False,
+    bloom_bits_per_key: int = 10,
+    bloom_expected_items: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """media_ref of every non-text span must exist in the asset catalog.
 
-    Join strategy (north_star): broadcast the catalog when it fits
-    (explicit F.broadcast — dimension tables are small relative to
-    10^12 docs); pass broadcast_catalog=False for a huge catalog and
-    AQE picks shuffle-hash vs sort-merge at runtime.
+    Join strategies (north_star), by catalog size:
+      broadcast_catalog=True    dimension fits in executor memory —
+                                explicit F.broadcast.
+      broadcast_catalog=False   AQE picks shuffle-hash vs sort-merge.
+      bloom_catalog=True        HUGE catalog (too big to broadcast) vs
+                                10^12 refs: build a Bloom filter over
+                                the catalog keys once (no false
+                                negatives — see functions/bloom.py), so
+                                might_contain=False refs are EXACTLY
+                                dangling with no join at all; only the
+                                ~(danglers + fpp·|refs|) "maybe" rows
+                                reach the exact join. The result is
+                                bit-identical to the plain join — the
+                                fpp only sizes the residual join input.
 
     Null media_ref on a text span is NOT a violation (kind-conditional
     nullability per FIXTURES F1).
@@ -201,9 +214,21 @@ def check_referential_integrity(
     )
     refs = spans.filter(F.col("media_ref").isNotNull())
     cat = catalog.select("media_ref").distinct()
-    if broadcast_catalog:
-        cat = F.broadcast(cat)
-    dangling = refs.join(cat, on="media_ref", how="left_anti")
+    if bloom_catalog:
+        from ..functions.bloom import build_bloom, might_contain_udf
+
+        n_cat = bloom_expected_items or max(cat.count(), 1)  # one dimension pass
+        bits, m_bits, k = build_bloom(cat, "media_ref", n_cat, bloom_bits_per_key)
+        mc = might_contain_udf(docs.sparkSession, bits, m_bits, k)
+        tagged = refs.withColumn("__maybe", mc("media_ref"))
+        residual = tagged.filter(F.col("__maybe")).drop("__maybe")
+        definite = tagged.filter(~F.col("__maybe")).drop("__maybe")
+        join_cat = F.broadcast(cat) if broadcast_catalog else cat
+        dangling = definite.unionByName(residual.join(join_cat, "media_ref", "left_anti"))
+    else:
+        if broadcast_catalog:
+            cat = F.broadcast(cat)
+        dangling = refs.join(cat, on="media_ref", how="left_anti")
 
     violations = dangling.select(
         F.lit(run_id).alias("run_id"),
@@ -217,17 +242,28 @@ def check_referential_integrity(
         F.col("span_order").cast("int").alias("span_order"),
     )
 
-    # one pass over refs: count dangling per partition via a left join
-    # flag (cheaper than re-scanning docs)
-    flagged = refs.join(
-        cat.withColumn("__ok", F.lit(1)), on="media_ref", how="left"
-    )
-    per_part = (
-        flagged.groupBy(*group_cols)
-        .agg(
+    if bloom_catalog:
+        # n_refs from one refs aggregation; n_dangling from the (tiny)
+        # dangling set — no full refs⋈catalog join anywhere
+        n_refs = refs.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_refs"))
+        n_dang = dangling.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_dangling")
+        )
+        counts = n_refs.join(n_dang, list(group_cols), "left").fillna(
+            0, subset=["n_dangling"]
+        )
+    else:
+        # one pass over refs: count dangling per partition via a left
+        # join flag (cheaper than re-scanning docs)
+        flagged = refs.join(
+            cat.withColumn("__ok", F.lit(1)), on="media_ref", how="left"
+        )
+        counts = flagged.groupBy(*group_cols).agg(
             F.count(F.lit(1)).alias("n_refs"),
             F.sum(F.when(F.col("__ok").isNull(), 1).otherwise(0)).alias("n_dangling"),
         )
+    per_part = (
+        counts
         .select(
             *group_cols,
             (F.col("n_dangling") == 0).alias("passed"),

@@ -159,3 +159,53 @@ def test_quantile_drift_fails_closed_on_one_sided_groups(spark):
     assert v[1].passed is False           # vanished from current
     assert v[2].passed is False           # new without baseline
     assert "missing baseline or current digest" in v[1].summary
+
+
+def test_ri_bloom_catalog_matches_plain_join(spark):
+    """bloom_catalog=True must produce BIT-IDENTICAL verdicts and
+    violation rows to the plain join (no false negatives: a bloom miss
+    is an exact 'dangling'); the synth fixture injects dangling
+    media_refs in partition 3. Also check the scale property: the
+    residual exact join's input is a small fraction of all refs."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.constraints import check_referential_integrity
+    from schema_drift_detector_spark.sources.synth import (
+        SynthConfig,
+        synth_asset_catalog,
+        synth_documents,
+    )
+
+    cfg = SynthConfig(n_docs=2_000, n_partitions=8, n_assets=3_000)
+    docs = synth_documents(spark, cfg, epoch=0)
+    catalog = synth_asset_catalog(spark, cfg)
+
+    v_plain, viol_plain = check_referential_integrity(docs, catalog, "r")
+    v_bloom, viol_bloom = check_referential_integrity(
+        docs, catalog, "r", bloom_catalog=True
+    )
+    vp = {(r.partition_id): (r.passed, r.summary) for r in v_plain.collect()}
+    vb = {(r.partition_id): (r.passed, r.summary) for r in v_bloom.collect()}
+    assert vp == vb and vb[3][0] is False
+    p = {(r.doc_id, r.span_order, r.media_ref) for r in viol_plain.collect()}
+    b = {(r.doc_id, r.span_order, r.media_ref) for r in viol_bloom.collect()}
+    assert p == b and len(b) > 0
+
+    # scale property: most refs are resolved by the bloom alone —
+    # the residual join sees only maybes (present keys + ~1% fpp)
+    from schema_drift_detector_spark.functions.bloom import build_bloom, might_contain_udf
+
+    cat = catalog.select("media_ref").distinct()
+    bits, m, k = build_bloom(cat, "media_ref", cat.count())
+    mc = might_contain_udf(spark, bits, m, k)
+    refs = docs.select(F.explode("spans.media_ref").alias("media_ref")).filter(
+        F.col("media_ref").isNotNull()
+    )
+    stats = refs.withColumn("maybe", mc("media_ref")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("maybe").cast("int")).alias("n_maybe"),
+    ).first()
+    dang = refs.join(cat, "media_ref", "left_anti").count()
+    # every present ref probes true; absent refs mostly probe false
+    assert stats.n_maybe >= stats.n - dang
+    assert stats.n_maybe - (stats.n - dang) <= max(3, 0.03 * dang + 0.02 * stats.n)
