@@ -1196,9 +1196,7 @@ def q_span_validation_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs, catalog = _span_val_tables(spark)
     uq_v, _ = check_uniqueness(docs, run_id="entry")
-    ri_v, _ = check_referential_integrity(
-        docs, catalog, run_id="entry", broadcast_catalog=False, bloom_catalog=True
-    )
+    ri_v, _ = check_referential_integrity(docs, catalog, run_id="entry", bloom_catalog=True)
     return uq_v.unionByName(ri_v).select(
         "partition_id", "constraint", "passed", "severity", "summary"
     )

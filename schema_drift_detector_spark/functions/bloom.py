@@ -4,14 +4,26 @@ referential-integrity primitive.
 Spark's internal BloomFilterAggregate is not exposed as a SQL function
 in this build, so this is the same construction from public pieces:
 
-  build   keys are hashed JVM-side (xxhash64, codegen'd); each scan
-          task sets bits into a local numpy bitmap inside one Arrow
-          mapInPandas pass (vectorized double hashing: idx_i =
-          (h1 + i*h2) mod m); the <= tasks partial bitmaps OR-merge via
-          treeAggregate (executor-side combine — the driver never sees
-          more than `depth` partials at once).
+  build   keys are canonicalized to string and hashed JVM-side
+          (xxhash64, codegen'd); an Arrow mapInPandas pass expands each
+          key to its k bit indices (vectorized double hashing:
+          idx_i = (h1 + i·h2) mod m); indices shuffle to BAND owners
+          (each reducer owns one contiguous slice of the bit space) and
+          each band builds its slice bitmap; the driver assembles the
+          ≤ band_bytes-sized slices. No task ever allocates the full
+          bitmap, so m scales past the single-Arrow-cell/task-memory
+          cap a per-task-full-bitmap construction hits (~2 GB).
+          Shuffle volume: k·|keys| longs — tiny next to the 10^12-ref
+          probe side this filter exists to protect.
   probe   the merged bitmap broadcasts once; a vectorized pandas_udf
           tests all k probe positions per Arrow batch.
+
+KEY CANONICALIZATION: both build and probe hash
+``xxhash64(cast(key as string))``. An equijoin would coerce mismatched
+key dtypes (LONG 123 vs STRING '123'); hashing raw values would not —
+casting both sides to string keeps bloom verdicts identical to the
+join for any dtype pairing whose string forms agree, and the engine's
+media_ref keys are strings throughout.
 
 Guarantee: NO false negatives (a key that was inserted always probes
 true), so "might_contain == False" is an EXACT "not present" — the
@@ -48,49 +60,65 @@ def build_bloom(
     col: str,
     expected_items: int,
     bits_per_key: int = 10,
+    band_bytes: int = 32 << 20,
 ) -> tuple[bytes, int, int]:
     """One pass over ``keys`` → (bitmap bytes, m_bits, k). Nulls are
-    skipped (a null key is never 'present')."""
+    skipped (a null key is never 'present'). Duplicate keys are fine —
+    bit-setting is idempotent, so callers need NOT pre-distinct."""
     if expected_items <= 0:
         raise ValueError(f"expected_items must be positive, got {expected_items}")
     m_bits = max(64, expected_items * bits_per_key)
     k = max(1, round(bits_per_key * math.log(2)))
     m = np.uint64(m_bits)
+    n_bytes = (m_bits + 7) // 8
+    band_bits = band_bytes * 8
 
-    h = keys.select(F.xxhash64(F.col(col)).alias("h")).filter(F.col(col).isNotNull())
+    h = (
+        keys.filter(F.col(col).isNotNull())
+        .select(F.xxhash64(F.col(col).cast("string")).alias("h"))
+    )
 
-    def partial(batches):
-        bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-        seen = False
+    def indices(batches):
         for b in batches:
             if not len(b):
                 continue
-            seen = True
             h1, h2 = _h1_h2(b["h"])
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % m
-                np.bitwise_or.at(
-                    bits, (idx >> np.uint64(3)).astype(np.int64),
-                    np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)),
-                )
-        if seen:
-            yield pd.DataFrame({"bits": [bits.tobytes()]})
+            idx = np.concatenate(
+                [((h1 + np.uint64(i) * h2) % m) for i in range(k)]
+            )
+            # m_bits < 2^62 in practice → int64-safe
+            yield pd.DataFrame({"idx": idx.astype(np.int64)})
 
-    parts = h.mapInPandas(partial, schema="bits binary")
-    zero = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-    merged = parts.rdd.map(lambda r: r.bits).treeAggregate(
-        zero,
-        lambda acc, b: acc | np.frombuffer(b, dtype=np.uint8),
-        lambda a, b: a | b,
-        depth=2,
+    def band_bitmap(pdf: pd.DataFrame) -> pd.DataFrame:
+        band = int(pdf["band"].iloc[0])
+        lo = band * band_bits
+        size = min(band_bytes, n_bytes - band * band_bytes)
+        bits = np.zeros(size, dtype=np.uint8)
+        local = pdf["idx"].to_numpy(dtype=np.int64) - lo
+        np.bitwise_or.at(
+            bits, local >> 3, np.left_shift(np.uint8(1), (local & 7).astype(np.uint8))
+        )
+        return pd.DataFrame({"band": [band], "bits": [bits.tobytes()]})
+
+    bands = (
+        h.mapInPandas(indices, schema="idx long")
+        .withColumn("band", (F.col("idx") / F.lit(band_bits)).cast("long"))
+        .groupBy("band")
+        .applyInPandas(band_bitmap, schema="band long, bits binary")
+        .collect()
     )
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for r in bands:
+        lo = int(r.band) * band_bytes
+        part = np.frombuffer(r.bits, dtype=np.uint8)
+        merged[lo : lo + len(part)] |= part
     return merged.tobytes(), m_bits, k
 
 
 def might_contain_udf(spark, bitmap: bytes, m_bits: int, k: int):
-    """Column function: might_contain(xxhash64_col) — vectorized probe
-    against the broadcast bitmap. Input column must be the SAME
-    F.xxhash64(key) used at build time."""
+    """Column function: might_contain(key_col) — vectorized probe
+    against the broadcast bitmap. Applies the SAME cast-to-string +
+    xxhash64 canonicalization as build_bloom."""
     bc = spark.sparkContext.broadcast(bitmap)
     m = np.uint64(m_bits)
 
@@ -110,6 +138,7 @@ def might_contain_udf(spark, bitmap: bytes, m_bits: int, k: int):
         return pd.Series(ok)
 
     def apply(key_col: Column | str) -> Column:
-        return might(F.xxhash64(F.col(key_col) if isinstance(key_col, str) else key_col))
+        c = F.col(key_col) if isinstance(key_col, str) else key_col
+        return might(F.xxhash64(c.cast("string")))
 
     return apply

@@ -174,16 +174,18 @@ def check_referential_integrity(
     catalog: DataFrame,
     run_id: str,
     group_cols: Sequence[str] = ("epoch", "partition_id"),
-    broadcast_catalog: bool = True,
+    broadcast_catalog: bool | None = None,
     bloom_catalog: bool = False,
     bloom_bits_per_key: int = 10,
     bloom_expected_items: int | None = None,
+    bloom: tuple[bytes, int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """media_ref of every non-text span must exist in the asset catalog.
 
     Join strategies (north_star), by catalog size:
       broadcast_catalog=True    dimension fits in executor memory —
-                                explicit F.broadcast.
+                                explicit F.broadcast. (The default for
+                                the plain path.)
       broadcast_catalog=False   AQE picks shuffle-hash vs sort-merge.
       bloom_catalog=True        HUGE catalog (too big to broadcast) vs
                                 10^12 refs: build a Bloom filter over
@@ -195,6 +197,14 @@ def check_referential_integrity(
                                 reach the exact join. The result is
                                 bit-identical to the plain join — the
                                 fpp only sizes the residual join input.
+                                In this mode the residual join defaults
+                                to NON-broadcast (the catalog is huge by
+                                premise); pass broadcast_catalog=True to
+                                override.
+
+    ``bloom`` accepts a prebuilt (bitmap, m_bits, k) from
+    functions.bloom.build_bloom so per-batch callers (run_validation's
+    loop) build the filter ONCE per run, not once per batch.
 
     Null media_ref on a text span is NOT a violation (kind-conditional
     nullability per FIXTURES F1).
@@ -213,20 +223,31 @@ def check_referential_integrity(
         F.col("s.media_ref").alias("media_ref"),
     )
     refs = spans.filter(F.col("media_ref").isNotNull())
-    cat = catalog.select("media_ref").distinct()
     if bloom_catalog:
         from ..functions.bloom import build_bloom, might_contain_udf
 
-        n_cat = bloom_expected_items or max(cat.count(), 1)  # one dimension pass
-        bits, m_bits, k = build_bloom(cat, "media_ref", n_cat, bloom_bits_per_key)
-        mc = might_contain_udf(docs.sparkSession, bits, m_bits, k)
+        if bloom is None:
+            # sizing: raw count (no distinct shuffle — an overestimate
+            # only makes the filter sparser); build: raw keys (bit-set
+            # is idempotent, distinct unnecessary)
+            n_cat = bloom_expected_items or max(catalog.count(), 1)
+            bloom = build_bloom(
+                catalog.select("media_ref"), "media_ref", n_cat, bloom_bits_per_key
+            )
+        mc = might_contain_udf(docs.sparkSession, *bloom)
         tagged = refs.withColumn("__maybe", mc("media_ref"))
         residual = tagged.filter(F.col("__maybe")).drop("__maybe")
         definite = tagged.filter(~F.col("__maybe")).drop("__maybe")
-        join_cat = F.broadcast(cat) if broadcast_catalog else cat
+        # an anti-join is insensitive to duplicate right-side rows, so
+        # distinct only pays off when shrinking an explicit broadcast
+        if broadcast_catalog is True:
+            join_cat = F.broadcast(catalog.select("media_ref").distinct())
+        else:  # huge catalog by premise — never implicitly broadcast
+            join_cat = catalog.select("media_ref")
         dangling = definite.unionByName(residual.join(join_cat, "media_ref", "left_anti"))
     else:
-        if broadcast_catalog:
+        cat = catalog.select("media_ref").distinct()
+        if broadcast_catalog is not False:  # plain-path default: broadcast
             cat = F.broadcast(cat)
         dangling = refs.join(cat, on="media_ref", how="left_anti")
 

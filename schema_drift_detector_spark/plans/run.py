@@ -163,6 +163,21 @@ def run_validation(
             uq_spec.get("bucketed", False),
         ).cache()
 
+    # like dups: the RI bloom filter is a RUN-scoped artifact — build it
+    # once over the catalog here, not once per batch inside the loop
+    # (each build is a catalog scan + a bitmap shuffle)
+    ri_spec = dict(spec["referential_integrity"])
+    if batches and ri_spec.get("bloom_catalog") and "bloom" not in ri_spec:
+        from ..functions.bloom import build_bloom
+
+        n_cat = ri_spec.get("bloom_expected_items") or max(catalog.count(), 1)
+        ri_spec["bloom"] = build_bloom(
+            catalog.select("media_ref"),
+            "media_ref",
+            n_cat,
+            ri_spec.get("bloom_bits_per_key", 10),
+        )
+
     # partitions present in a drift baseline but ABSENT from the current
     # table "vanished" — that is drift, and the fail-closed verdict the
     # checks emit for them must not be lost to the per-batch partition
@@ -206,7 +221,7 @@ def run_validation(
                 },
             )
             ri_v, ri_viol = C.check_referential_integrity(
-                subset, catalog, run_id, **spec["referential_integrity"]
+                subset, catalog, run_id, **ri_spec
             )
             verdicts = uq_v.unionByName(ri_v)
             violations = uq_viol.unionByName(ri_viol)

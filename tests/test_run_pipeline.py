@@ -286,3 +286,37 @@ def test_quantile_drift_in_pipeline(spark, docs0, catalog, tmp_path_factory):
     }
     failing = {p for p, r in qd.items() if not r.passed}
     assert failing == set(CFG.drift_partitions)
+
+
+def test_pipeline_with_bloom_ri(spark, tmp_path):
+    """spec {'referential_integrity': {'bloom_catalog': True}} runs the
+    whole pipeline with the bloom-prefiltered RI path (filter built once
+    per run, before the batch loop) and produces the same verdicts as
+    the default broadcast join — incl. the injected danglers in
+    partition 3."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.plans.run import read_verdicts, run_validation
+    from schema_drift_detector_spark.sources.synth import (
+        SynthConfig,
+        synth_asset_catalog,
+        synth_documents,
+    )
+
+    cfg = SynthConfig(n_docs=1_200, n_partitions=8, n_assets=2_000)
+    docs = synth_documents(spark, cfg, epoch=0)
+    cat = synth_asset_catalog(spark, cfg)
+
+    def ri_verdicts(out, run_id, spec):
+        run_validation(spark, docs, cat, str(out), run_id=run_id, partition_batches=2, spec=spec)
+        v = read_verdicts(spark, str(out), run_id)
+        return {
+            r.partition_id: r.passed
+            for r in v.filter(F.col("constraint") == "referential_integrity").collect()
+        }
+
+    plain = ri_verdicts(tmp_path / "plain", "rp", None)
+    bloom = ri_verdicts(
+        tmp_path / "bloom", "rb", {"referential_integrity": {"bloom_catalog": True}}
+    )
+    assert plain == bloom and bloom[3] is False and bloom[0] is True
