@@ -321,3 +321,28 @@ def test_bucketed_uniqueness_agg_zero_exchange(spark):
         assert got == ref == {"DUP": 50}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_kmeans_iteration_shuffle_volume(spark):
+    """Measured (not just plan-shape) evidence for the trainer rewrite:
+    one Lloyd iteration's total shuffle-write records must be bounded by
+    partials (tasks x k), which is >=4x fewer rows than the N x dim
+    exploded rows the round-2 formulation shuffled."""
+    import numpy as np
+
+    from schema_drift_detector_spark.functions.similarity import normalize
+    from schema_drift_detector_spark.operators.ann import _lloyd_iteration
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select(normalize("embedding").alias("nv"))
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    k = 8
+    step = _lloyd_iteration(v, np.eye(k, dim), list(range(k)))
+    stats = _task_stats(
+        spark, lambda: step.write.format("noop").mode("overwrite").save()
+    )
+    shuffled = sum(sum(s["writes"]) for s in stats)
+    n_tasks = max(len(s["durations"]) for s in stats)
+    assert 0 < shuffled <= n_tasks * k, (shuffled, n_tasks, k)
+    assert n * dim >= 4 * shuffled, f"want >=4x fewer than N*dim: {shuffled} vs {n * dim}"
