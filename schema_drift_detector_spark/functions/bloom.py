@@ -89,22 +89,42 @@ def build_bloom(
             # m_bits < 2^62 in practice → int64-safe
             yield pd.DataFrame({"idx": idx.astype(np.int64)})
 
-    def band_bitmap(pdf: pd.DataFrame) -> pd.DataFrame:
-        band = int(pdf["band"].iloc[0])
-        lo = band * band_bits
-        size = min(band_bytes, n_bytes - band * band_bytes)
-        bits = np.zeros(size, dtype=np.uint8)
-        local = pdf["idx"].to_numpy(dtype=np.int64) - lo
-        np.bitwise_or.at(
-            bits, local >> 3, np.left_shift(np.uint8(1), (local & 7).astype(np.uint8))
-        )
-        return pd.DataFrame({"band": [band], "bits": [bits.tobytes()]})
+    n_bands = (n_bytes + band_bytes - 1) // band_bytes
+
+    def band_fold(batches):
+        # STREAMING fold over Arrow batches — never materializes a
+        # band's full index group (a full 32 MB band is ~1.9e8 index
+        # rows; applyInPandas would load them as one pandas frame).
+        # repartition("band") guarantees a band never splits across
+        # partitions; a partition may hold several bands (hash
+        # collisions), each owning one band_bytes-sized slice here.
+        maps: dict[int, np.ndarray] = {}
+        for b in batches:
+            if not len(b):
+                continue
+            bands_arr = b["band"].to_numpy(dtype=np.int64)
+            idx = b["idx"].to_numpy(dtype=np.int64)
+            for band in np.unique(bands_arr):
+                size = min(band_bytes, n_bytes - int(band) * band_bytes)
+                bits = maps.setdefault(int(band), np.zeros(size, dtype=np.uint8))
+                local = idx[bands_arr == band] - int(band) * band_bits
+                np.bitwise_or.at(
+                    bits,
+                    local >> 3,
+                    np.left_shift(np.uint8(1), (local & 7).astype(np.uint8)),
+                )
+        for band, bits in maps.items():
+            yield pd.DataFrame({"band": [band], "bits": [bits.tobytes()]})
 
     bands = (
         h.mapInPandas(indices, schema="idx long")
-        .withColumn("band", (F.col("idx") / F.lit(band_bits)).cast("long"))
-        .groupBy("band")
-        .applyInPandas(band_bitmap, schema="band long, bits binary")
+        # integer division: a double division would lose exactness for
+        # idx >= 2^53 and could route an index to the wrong band (a
+        # silent false negative — the one failure mode a bloom RI
+        # filter must never have)
+        .withColumn("band", F.expr(f"idx div {band_bits}"))
+        .repartition(max(n_bands, 1), "band")
+        .mapInPandas(band_fold, schema="band long, bits binary")
         .collect()
     )
     merged = np.zeros(n_bytes, dtype=np.uint8)
@@ -142,3 +162,20 @@ def might_contain_udf(spark, bitmap: bytes, m_bits: int, k: int):
         return might(F.xxhash64(c.cast("string")))
 
     return apply
+
+
+def bloom_probe_for(
+    spark,
+    keys: DataFrame,
+    col: str,
+    bits_per_key: int = 10,
+    expected_items: int | None = None,
+):
+    """Build + wrap in one step: the SINGLE sizing/build/broadcast rule
+    shared by check_referential_integrity's in-check fallback and
+    run_validation's run-scoped prebuild — two call sites encoding the
+    rule independently would drift. Returns the probe column function
+    (one broadcast, reusable across any number of checks/batches)."""
+    n = expected_items or max(keys.count(), 1)  # raw count: overestimating
+    # vs distinct only makes the filter sparser — no distinct shuffle
+    return might_contain_udf(spark, *build_bloom(keys.select(col), col, n, bits_per_key))

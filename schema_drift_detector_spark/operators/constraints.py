@@ -178,7 +178,7 @@ def check_referential_integrity(
     bloom_catalog: bool = False,
     bloom_bits_per_key: int = 10,
     bloom_expected_items: int | None = None,
-    bloom: tuple[bytes, int, int] | None = None,
+    bloom: object | None = None,  # probe callable or (bitmap, m_bits, k)
 ) -> tuple[DataFrame, DataFrame]:
     """media_ref of every non-text span must exist in the asset catalog.
 
@@ -202,8 +202,10 @@ def check_referential_integrity(
                                 premise); pass broadcast_catalog=True to
                                 override.
 
-    ``bloom`` accepts a prebuilt (bitmap, m_bits, k) from
-    functions.bloom.build_bloom so per-batch callers (run_validation's
+    ``bloom`` accepts a prebuilt probe — either the column function from
+    functions.bloom.bloom_probe_for/might_contain_udf (preferred: ONE
+    broadcast reused across batches) or a raw (bitmap, m_bits, k) tuple
+    (re-broadcast per call) — so per-batch callers (run_validation's
     loop) build the filter ONCE per run, not once per batch.
 
     Null media_ref on a text span is NOT a violation (kind-conditional
@@ -224,17 +226,20 @@ def check_referential_integrity(
     )
     refs = spans.filter(F.col("media_ref").isNotNull())
     if bloom_catalog:
-        from ..functions.bloom import build_bloom, might_contain_udf
+        from ..functions.bloom import bloom_probe_for, might_contain_udf
 
         if bloom is None:
-            # sizing: raw count (no distinct shuffle — an overestimate
-            # only makes the filter sparser); build: raw keys (bit-set
-            # is idempotent, distinct unnecessary)
-            n_cat = bloom_expected_items or max(catalog.count(), 1)
-            bloom = build_bloom(
-                catalog.select("media_ref"), "media_ref", n_cat, bloom_bits_per_key
+            mc = bloom_probe_for(
+                docs.sparkSession,
+                catalog,
+                "media_ref",
+                bloom_bits_per_key,
+                bloom_expected_items,
             )
-        mc = might_contain_udf(docs.sparkSession, *bloom)
+        elif callable(bloom):
+            mc = bloom  # prebuilt probe — broadcast already live
+        else:
+            mc = might_contain_udf(docs.sparkSession, *bloom)
         tagged = refs.withColumn("__maybe", mc("media_ref"))
         residual = tagged.filter(F.col("__maybe")).drop("__maybe")
         definite = tagged.filter(~F.col("__maybe")).drop("__maybe")

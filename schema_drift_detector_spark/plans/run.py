@@ -41,7 +41,11 @@ from . import policy, store
 
 DEFAULT_SPEC: dict[str, Any] = {
     "uniqueness": {"key": "doc_id", "salt_buckets": 16},
-    "referential_integrity": {"broadcast_catalog": True},
+    # broadcast_catalog None = per-mode default (plain join: broadcast;
+    # bloom mode: NON-broadcast residual). Pinning True here would leak
+    # a full-catalog broadcast into bloom runs via the section merge —
+    # the exact thing bloom_catalog exists to avoid.
+    "referential_integrity": {"broadcast_catalog": None},
     "distribution_drift": {
         "column": "offset",
         "lo": 0.0,
@@ -163,19 +167,20 @@ def run_validation(
             uq_spec.get("bucketed", False),
         ).cache()
 
-    # like dups: the RI bloom filter is a RUN-scoped artifact — build it
-    # once over the catalog here, not once per batch inside the loop
-    # (each build is a catalog scan + a bitmap shuffle)
+    # like dups: the RI bloom filter is a RUN-scoped artifact — build and
+    # BROADCAST it once here, not once per batch inside the loop (each
+    # build is a catalog scan + a bitmap shuffle; each broadcast pins a
+    # bitmap copy until GC)
     ri_spec = dict(spec["referential_integrity"])
     if batches and ri_spec.get("bloom_catalog") and "bloom" not in ri_spec:
-        from ..functions.bloom import build_bloom
+        from ..functions.bloom import bloom_probe_for
 
-        n_cat = ri_spec.get("bloom_expected_items") or max(catalog.count(), 1)
-        ri_spec["bloom"] = build_bloom(
-            catalog.select("media_ref"),
+        ri_spec["bloom"] = bloom_probe_for(
+            spark,
+            catalog,
             "media_ref",
-            n_cat,
             ri_spec.get("bloom_bits_per_key", 10),
+            ri_spec.get("bloom_expected_items"),
         )
 
     # partitions present in a drift baseline but ABSENT from the current
