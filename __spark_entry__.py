@@ -254,6 +254,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus carving, certified end-to-end: per-language
+    hash-rate downsample (en 50%, zh 100%, others 20%) composed with a
+    leakage-free 70/15/15 split — both pure portable-md5 expressions,
+    so DuckDB reproduces the EXACT member set and split labels (not
+    just counts)."""
+    from schema_drift_detector_spark.operators.sampling import (
+        split_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample_by_hash(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.2
+    )
+    return split_by_hash(sampled, "doc_id", [0.7, 0.15, 0.15]).select(
+        "doc_id", "lang", "split"
+    )
+
+
+ORACLE_STRATIFIED_SPLIT = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 1000000 AS b
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN b < 700000 THEN 'train'
+            WHEN b < 850000 THEN 'validation'
+            ELSE 'test' END AS split
+FROM h
+WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
+          ELSE 200000 END
+"""
+
+
 def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key detection (the input to the salting decision) without
     shuffling the key universe: frequent-items sketch pass → broadcast
@@ -1746,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "profile_events": q_profile_events,
         "heavy_hitter_users": q_heavy_hitter_users,
+        "stratified_split": q_stratified_split,
         "totalprice_histogram": q_totalprice_histogram,
         "distribution_drift_events": q_distribution_drift_events,
         "exact_dedup_props": q_exact_dedup_props,
@@ -1794,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": ORACLE_SESSIONIZE,
         "profile_events": ORACLE_PROFILE_EVENTS,
         "heavy_hitter_users": ORACLE_HEAVY_HITTER_USERS,
+        "stratified_split": ORACLE_STRATIFIED_SPLIT,
         "totalprice_histogram": ORACLE_HISTOGRAM,
         "distribution_drift_events": ORACLE_DRIFT_EVENTS,
         "exact_dedup_props": ORACLE_EXACT_DEDUP,

@@ -100,3 +100,46 @@ def test_connected_components_chains_and_convergence(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iters=1)
+
+
+def test_hash_sampling_deterministic_and_leakage_free(spark):
+    """sample_by_hash: same member set at any parallelism and rerun,
+    fraction approximately honored; split_by_hash: every row of a key
+    gets the same label, weights partition the space."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.sampling import (
+        sample_by_hash,
+        split_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.range(20_000).select(F.format_string("doc-%07d", F.col("id") % 5_000).alias("k"))
+
+    s1 = {r.k for r in sample_by_hash(df, "k", 0.3).distinct().collect()}
+    s2 = {r.k for r in sample_by_hash(df.repartition(13), "k", 0.3).distinct().collect()}
+    assert s1 == s2  # parallelism-independent member set
+    assert 0.25 <= len(s1) / 5_000 <= 0.35
+    # supersample property: a smaller rate is a subset of a larger one
+    s_small = {r.k for r in sample_by_hash(df, "k", 0.1).distinct().collect()}
+    assert s_small <= s1
+
+    split = split_by_hash(df, "k", [0.7, 0.15, 0.15])
+    per_key = split.groupBy("k").agg(F.count_distinct("split").alias("n")).collect()
+    assert all(r.n == 1 for r in per_key)  # leakage-free
+    shares = {r.split: r["count"] for r in split.groupBy("split").count().collect()}
+    assert set(shares) == {"train", "validation", "test"}
+    assert shares["train"] / sum(shares.values()) > 0.6
+
+    strat = stratified_sample_by_hash(
+        df.withColumn("s", F.when(F.col("k") < "doc-0002500", "a").otherwise("b")),
+        "k", "s", {"a": 1.0}, default_fraction=0.0,
+    )
+    got = {r.s for r in strat.select("s").distinct().collect()}
+    assert got == {"a"} and strat.count() == 10_000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_by_hash(df, "k", 1.5)
+    with _pytest.raises(ValueError):
+        split_by_hash(df, "k", [0.9, 0.3])
