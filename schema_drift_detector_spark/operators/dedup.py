@@ -492,6 +492,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 50,
+    driver_max_edges: int = 100_000,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components and name each by its
     minimum member — the step between pair detection (MinHash/SimHash/
@@ -520,6 +521,12 @@ def connected_components(
     changing supersteps without convergence instead of returning
     partial labels.
 
+    HYBRID: when the symmetrized edge set has at most
+    ``driver_max_edges`` rows, a driver-side union-find replaces the
+    BSP loop — identical output, one collect instead of O(diameter)
+    Spark jobs (per-superstep fixed costs dominate on sparse LSH
+    candidate graphs). Set driver_max_edges=0 to force the BSP path.
+
     Output: doc, cluster (cluster = min doc id of the component).
     """
     # one-pass symmetrize: referencing `pairs` twice in a union would
@@ -535,6 +542,39 @@ def connected_components(
         ).alias("e")
     ).select("e.src", "e.dst")
     edges = sym.distinct().persist()
+    n_edges = edges.count()  # materializes the persist either way
+    if n_edges <= driver_max_edges:
+        # HYBRID FAST PATH: near-dup edge sets are usually tiny relative
+        # to the corpus (LSH candidates, not all-pairs). When the edges
+        # fit comfortably on the driver, a union-find finishes in one
+        # collect instead of O(diameter) Spark supersteps — identical
+        # output (min member names the component), metadata-scale data
+        # movement. The BSP path below remains the big-graph route.
+        try:
+            rows_e = edges.collect()
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows_e:
+                ra, rb = find(r.src), find(r.dst)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            verts = {r.src for r in rows_e} | {r.dst for r in rows_e}
+            out_schema = edges.select(
+                F.col("src").alias("doc"), F.col("dst").alias("cluster")
+            ).schema
+            return edges.sparkSession.createDataFrame(
+                [(v, find(v)) for v in sorted(verts)], out_schema
+            )
+        finally:
+            edges.unpersist()
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()

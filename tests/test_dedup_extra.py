@@ -96,10 +96,17 @@ def test_connected_components_chains_and_convergence(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
         ["doc_a", "doc_b"],
     )
-    got = {r.doc: r.cluster for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # driver union-find fast path (default) and distributed BSP path
+    # (forced via driver_max_edges=0) must agree exactly
+    fast = {r.doc: r.cluster for r in connected_components(pairs).collect()}
+    bsp = {
+        r.doc: r.cluster
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == bsp == want
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, max_iters=1)
+        connected_components(pairs, max_iters=1, driver_max_edges=0)
 
 
 def test_hash_sampling_deterministic_and_leakage_free(spark):
