@@ -274,20 +274,26 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# two INDEPENDENT salted buckets: bs (unsalted) gates the sample, bsp
+# (':split'-salted) assigns the split — a single shared bucket would
+# make the composition degenerate (every stratum sampled at <= 0.7
+# would land 100% in 'train')
 ORACLE_STRATIFIED_SPLIT = """
 WITH h AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-           % 1000000 AS b
+           % 1000000 AS bs,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15) AS BIGINT)
+           % 1000000 AS bsp
   FROM documents
 )
 SELECT doc_id, lang,
-       CASE WHEN b < 700000 THEN 'train'
-            WHEN b < 850000 THEN 'validation'
+       CASE WHEN bsp < 700000 THEN 'train'
+            WHEN bsp < 850000 THEN 'validation'
             ELSE 'test' END AS split
 FROM h
-WHERE b < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
-          ELSE 200000 END
+WHERE bs < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
+           ELSE 200000 END
 """
 
 

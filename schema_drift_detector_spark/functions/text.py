@@ -114,6 +114,17 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(c)
 
 
+def portable_hash60(value: Column | str) -> Column:
+    """THE engine's portable 60-bit hash: the first 15 md5 hex chars as
+    an int64. Reproducible in ANSI SQL as
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`` — every operator
+    whose oracle replays hashing (minhash, simhash, sampling buckets)
+    must use this ONE helper so the expression can never desynchronize
+    across call sites."""
+    c = F.col(value) if isinstance(value, str) else value
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint_normalized(text: Column | str) -> Column:
     """Order-insensitive fingerprint: md5 of the sorted distinct token
     multiset — catches token-permuted duplicates."""

@@ -131,9 +131,9 @@ def _md5_h31(col: Column) -> Column:
     """60-bit int from the md5 hex prefix, folded into GF(2^31-1).
     Portable across engines: DuckDB computes the identical value as
     CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 2147483647."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(MERSENNE31)
-    )
+    from ..functions.text import portable_hash60
+
+    return F.pmod(portable_hash60(col), F.lit(MERSENNE31))
 
 
 def minhash_signatures(
@@ -286,10 +286,10 @@ def simhash_signature60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     chunk buckets are shift/mask, hamming is bit_count(xor) — instead of
     array zip_with, which is the interpreted slow path.
     Output: (doc, sig: long)."""
+    from ..functions.text import portable_hash60
+
     tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
-    tok = tok.withColumn(
-        "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-    )
+    tok = tok.withColumn("h", portable_hash60("t"))
     sums = tok.groupBy("doc").agg(
         *[
             F.sum(
@@ -533,6 +533,11 @@ def connected_components(
     # execute the whole upstream pair-generation plan (LSH band
     # self-join + signature joins) TWICE — Spark does not dedupe common
     # subplans
+    # a pair with a null endpoint is meaningless as an edge; dropping it
+    # up front keeps the driver and BSP paths behaviorally identical
+    # (the union-find would TypeError on None, the BSP path would carry
+    # a null-label row through)
+    pairs = pairs.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     sym = pairs.select(
         F.explode(
             F.array(

@@ -7,15 +7,28 @@ and (c) free — a pure filter/projection over the scan, no shuffle, no
 state, no RNG seed plumbing. `df.sample`/`sampleBy` give none of that
 (partition-order-dependent RNG).
 
-The primitive is the engine's portable 60-bit hash (same kit as the
-MinHash oracle path): ``conv(substring(md5(key), 1, 15), 16, 10)``,
-reproducible in ANSI SQL as ``CAST('0x' || substr(md5(key), 1, 15) AS
-BIGINT)`` — so every operator here is DuckDB-certifiable, and a sample
-drawn by any other engine with the same rule is identical.
+The primitive is the engine's portable 60-bit hash
+(functions.text.portable_hash60 — first 15 md5 hex chars as int64),
+reproducible in ANSI SQL as ``CAST('0x' || substr(md5(key || salt),
+1, 15) AS BIGINT)`` — so every operator here is DuckDB-certifiable,
+and a sample drawn by any other engine with the same rule is
+identical.
+
+SALTS (independence): each purpose hashes a different salted key, so
+composed decisions are independent. An unsalted shared bucket would
+make sample-then-split fully correlated — a stratum sampled at rate
+<= the train weight would land 100% in 'train'. Defaults: sampling
+uses the unsalted key (so a smaller rate stays a subset of a larger
+one), splitting salts with ':split'.
+
+NULL KEYS: hash of NULL is NULL, so null-key rows are EXCLUDED from
+samples at any fraction (even 1.0) and fall into the remainder label
+in splits — a null key cannot be consistently routed; validate
+upstream (uniqueness check) if nulls matter.
 
 Scale shape: all pure whole-stage-codegen expressions; selectivity
-reaches the scan as an ordinary filter. At 10^12 docs a 1% sample costs
-one scan, zero shuffles.
+reaches the scan as an ordinary filter. At 10^12 docs a 1% sample
+costs one scan, zero shuffles.
 """
 
 from __future__ import annotations
@@ -25,23 +38,29 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import portable_hash60
+
 _DENOM = 1_000_000  # rate resolution: 1e-6
 
 
-def hash_bucket(key: Column | str, buckets: int = _DENOM) -> Column:
+def hash_bucket(key: Column | str, buckets: int = _DENOM, salt: str = "") -> Column:
     """Uniform deterministic bucket in [0, buckets) from the portable
-    60-bit md5 hash of the key's string form."""
+    60-bit hash of the key's string form (+ optional purpose salt)."""
     c = F.col(key) if isinstance(key, str) else key
-    h60 = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
-    return F.pmod(h60, F.lit(buckets))
+    s = c.cast("string")
+    if salt:
+        s = F.concat(s, F.lit(salt))
+    return F.pmod(portable_hash60(s), F.lit(buckets))
 
 
-def sample_by_hash(df: DataFrame, key: str, fraction: float) -> DataFrame:
+def sample_by_hash(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
     """Deterministic ``fraction`` sample: keep rows whose key bucket
-    falls below fraction·1e6. Same key → same decision, always."""
+    falls below fraction·1e6. Same key (and salt) → same decision,
+    always; with the same salt, a smaller fraction's sample is a
+    SUBSET of a larger fraction's."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return df.filter(hash_bucket(key) < int(round(fraction * _DENOM)))
+    return df.filter(hash_bucket(key, salt=salt) < int(round(fraction * _DENOM)))
 
 
 def stratified_sample_by_hash(
@@ -50,6 +69,7 @@ def stratified_sample_by_hash(
     strata_col: str,
     fractions: Mapping[str, float],
     default_fraction: float = 0.0,
+    salt: str = "",
 ) -> DataFrame:
     """Per-stratum deterministic rates (e.g. downsample dominant
     languages, keep all of rare ones). Strata absent from ``fractions``
@@ -63,7 +83,7 @@ def stratified_sample_by_hash(
         threshold = F.when(
             F.col(strata_col) == s, F.lit(int(round(f * _DENOM)))
         ).otherwise(threshold)
-    return df.filter(hash_bucket(key) < threshold)
+    return df.filter(hash_bucket(key, salt=salt) < threshold)
 
 
 def split_by_hash(
@@ -72,16 +92,19 @@ def split_by_hash(
     weights: Sequence[float],
     labels: Sequence[str] = ("train", "validation", "test"),
     split_col: str = "split",
+    salt: str = ":split",
 ) -> DataFrame:
     """Leakage-free dataset split: every row of a key gets the SAME
-    label (the split is a function of the key alone), weights need not
-    sum to 1 (the remainder falls into the last label). Adds
-    ``split_col``; order of ``weights`` matches ``labels``."""
+    label (the split is a function of the key alone). Weights map
+    positionally to labels; if they sum below 1, the remainder gets the
+    FIRST label without a weight (or the last label when every label is
+    weighted). The default salt decorrelates the split from any
+    upstream hash sample on the same key. Adds ``split_col``."""
     if len(weights) > len(labels):
         raise ValueError(f"{len(weights)} weights but only {len(labels)} labels")
     if any(w < 0 for w in weights) or sum(weights) > 1.0 + 1e-9:
         raise ValueError(f"weights must be non-negative and sum to <= 1, got {weights}")
-    b = hash_bucket(key)
+    b = hash_bucket(key, salt=salt)
     expr = F.lit(labels[min(len(weights), len(labels) - 1)])
     hi = 0
     bounds = []

@@ -150,3 +150,24 @@ def test_hash_sampling_deterministic_and_leakage_free(spark):
         sample_by_hash(df, "k", 1.5)
     with _pytest.raises(ValueError):
         split_by_hash(df, "k", [0.9, 0.3])
+
+
+def test_sample_then_split_not_degenerate(spark):
+    """Review regression: the split salt must decorrelate it from an
+    upstream hash sample on the same key — with a shared unsalted
+    bucket, a 50% sample would land 100% in 'train' (sample buckets
+    [0,500k) are a subset of train's [0,700k))."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.sampling import sample_by_hash, split_by_hash
+
+    df = spark.range(8_000).select(F.format_string("doc-%07d", F.col("id")).alias("k"))
+    sampled = sample_by_hash(df, "k", 0.5)
+    labels = {
+        r.split: r["count"]
+        for r in split_by_hash(sampled, "k", [0.7, 0.15, 0.15])
+        .groupBy("split").count().collect()
+    }
+    assert set(labels) == {"train", "validation", "test"}, labels
+    n = sum(labels.values())
+    assert 0.6 < labels["train"] / n < 0.8
