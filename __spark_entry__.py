@@ -297,6 +297,30 @@ WHERE bs < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
 """
 
 
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hard cap (corpus balancing): keep at most 10 docs per
+    source, chosen by smallest (hash, doc_id) — deterministic, not
+    file-order-biased. The cap BINDS on every source at sf0.01 (each has
+    25 docs), so the certification covers a non-vacuous selection, and
+    DuckDB replays the exact QUALIFY rule — the member set itself is
+    certified."""
+    from schema_drift_detector_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", 10).select("doc_id", "source")
+
+
+ORACLE_SOURCE_QUOTA = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 1000000 ASC,
+           doc_id ASC
+) <= 10
+"""
+
+
 def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key detection (the input to the salting decision) without
     shuffling the key universe: frequent-items sketch pass → broadcast
@@ -1790,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "heavy_hitter_users": q_heavy_hitter_users,
         "stratified_split": q_stratified_split,
+        "source_quota": q_source_quota,
         "totalprice_histogram": q_totalprice_histogram,
         "distribution_drift_events": q_distribution_drift_events,
         "exact_dedup_props": q_exact_dedup_props,
@@ -1839,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": ORACLE_PROFILE_EVENTS,
         "heavy_hitter_users": ORACLE_HEAVY_HITTER_USERS,
         "stratified_split": ORACLE_STRATIFIED_SPLIT,
+        "source_quota": ORACLE_SOURCE_QUOTA,
         "totalprice_histogram": ORACLE_HISTOGRAM,
         "distribution_drift_events": ORACLE_DRIFT_EVENTS,
         "exact_dedup_props": ORACLE_EXACT_DEDUP,

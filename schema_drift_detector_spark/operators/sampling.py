@@ -114,3 +114,35 @@ def split_by_hash(
     for label, bound in zip(reversed(labels[: len(weights)]), reversed(bounds)):
         expr = F.when(b < bound, F.lit(label)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    max_rows: int,
+) -> DataFrame:
+    """Deterministic per-group quota (corpus balancing: cap any one
+    source/domain's contribution). Keeps the ``max_rows`` rows of each
+    group with the smallest (hash_bucket(key), key) — a uniform,
+    reproducible choice, NOT head-of-file order (which would bias
+    toward whatever happened to sort first upstream).
+
+    One window over (group, hash-ordered) — a single shuffle on
+    group_col; AQE's skew handling splits oversized groups' sort. For
+    quotas at extreme scale prefer pre-aggregated per-group counts +
+    rate sampling (sample_by_hash with fraction quota/count), which
+    avoids the sort entirely; this exact-k form is for hard caps.
+    """
+    from pyspark.sql import Window
+
+    if max_rows <= 0:
+        raise ValueError(f"max_rows must be positive, got {max_rows}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(key).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

@@ -171,3 +171,23 @@ def test_sample_then_split_not_degenerate(spark):
     assert set(labels) == {"train", "validation", "test"}, labels
     n = sum(labels.values())
     assert 0.6 < labels["train"] / n < 0.8
+
+
+def test_cap_per_group_deterministic_quota(spark):
+    """cap_per_group: exact per-group quota, identical member set at any
+    parallelism, unbiased by input order."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.sampling import cap_per_group
+
+    df = spark.range(5_000).select(
+        F.format_string("doc-%05d", F.col("id")).alias("k"),
+        (F.col("id") % 7).alias("g"),
+    )
+    capped = cap_per_group(df, "g", "k", 100)
+    sizes = {r.g: r["count"] for r in capped.groupBy("g").count().collect()}
+    assert all(v == 100 for v in sizes.values()) and len(sizes) == 7
+    a = {(r.g, r.k) for r in capped.collect()}
+    b = {(r.g, r.k) for r in cap_per_group(df.repartition(17), "g", "k", 100).collect()}
+    c = {(r.g, r.k) for r in cap_per_group(df.orderBy(F.desc("k")), "g", "k", 100).collect()}
+    assert a == b == c  # parallelism- and input-order-independent
