@@ -312,9 +312,10 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SOURCE_QUOTA = """
 SELECT doc_id, source FROM documents
+WHERE doc_id IS NOT NULL
 QUALIFY row_number() OVER (
   PARTITION BY source
-  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':quota'), 1, 15) AS BIGINT)
              % 1000000 ASC,
            doc_id ASC
 ) <= 10

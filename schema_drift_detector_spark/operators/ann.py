@@ -128,12 +128,27 @@ def kmeans_centroids(
     # huge-magnitude member must not dominate its cell's direction.
     # Cached because every iteration rescans it (iters× otherwise).
     v = corpus.select(normalize(vec_col).alias("nv")).filter(F.col("nv").isNotNull()).persist()
-    init = deterministic_centroids(corpus, k, id_col, vec_col).collect()
-    cent_ids = [int(r.centroid_id) for r in sorted(init, key=lambda r: r.centroid_id)]
-    cents_np = np.asarray(
-        [r.centroid_vec for r in sorted(init, key=lambda r: r.centroid_id)],
+    # init sampling sees only fully-finite vectors — picking a vector
+    # with a null/NaN element would silently shrink k (the pick gets
+    # sanitized away below) even though k valid vectors exist
+    clean = corpus.filter(
+        ~F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x))
+    )
+    init = deterministic_centroids(clean, k, id_col, vec_col).collect()
+    init.sort(key=lambda r: r.centroid_id)
+    cents_np = np.array(
+        [[np.nan if x is None else x for x in r.centroid_vec] for r in init],
         dtype=np.float64,
     )
+    # a sampled init centroid with a null/NaN ELEMENT would poison every
+    # similarity against it (argmax propagates NaN as max → all vectors
+    # collapse into the poisoned cell); drop such picks, like the
+    # training pass drops such members
+    ok = ~np.isnan(cents_np).any(axis=1)
+    cents_np = cents_np[ok]
+    cent_ids = [int(r.centroid_id) for r, good in zip(init, ok) if good]
+    if not len(cents_np):
+        raise ValueError("no finite vectors available to initialize centroids")
     # unit-normalize so dot(nv, centroid) IS the cosine
     nrm = np.linalg.norm(cents_np, axis=1, keepdims=True)
     cents_np = np.where(nrm > 0, cents_np / np.where(nrm == 0, 1.0, nrm), cents_np)
@@ -187,6 +202,16 @@ def _lloyd_iteration(v: DataFrame, cents, cent_ids: list[int]) -> DataFrame:
             if not len(b):
                 continue
             mat = np.asarray(b["nv"].to_list(), dtype=np.float64)
+            # drop vectors with null/NaN ELEMENTS (Arrow surfaces null
+            # array elements as NaN; the isNotNull filter upstream only
+            # removes fully-null arrays) — one poisoned vector would
+            # otherwise NaN every centroid it touches via add.at, and
+            # argmax over NaN rows is meaningless
+            valid = ~np.isnan(mat).any(axis=1)
+            if not valid.all():
+                mat = mat[valid]
+            if not len(mat):
+                continue
             # argmax returns the FIRST max → lowest-cell tie-break
             cell = np.argmax(mat @ C.T, axis=1)
             np.add.at(sums, cell, mat)

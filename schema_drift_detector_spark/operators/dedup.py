@@ -614,10 +614,18 @@ def connected_components(
             labels.unpersist()  # superseded generation — successor is live
             labels = new_labels
             if changed == 0:
-                return labels.select("doc", F.col("label").alias("cluster"))
+                # hand the caller a self-owned snapshot: localCheckpoint
+                # blocks are freed when the returned frame is GC'd,
+                # while the internal persist is released in the finally
+                # below — no generation outlives this call unowned
+                return labels.select(
+                    "doc", F.col("label").alias("cluster")
+                ).localCheckpoint(eager=True)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} supersteps "
             f"(component diameter exceeds max_iters?)"
         )
     finally:
         edges.unpersist()
+        labels.unpersist()  # final/failed generation — returned frame is
+        # its own localCheckpoint, so this cache has no further owner

@@ -78,6 +78,8 @@ def stratified_sample_by_hash(
     for s, f in fractions.items():
         if not (0.0 <= f <= 1.0):
             raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
     threshold = F.lit(int(round(default_fraction * _DENOM)))
     for s, f in fractions.items():
         threshold = F.when(
@@ -121,12 +123,21 @@ def cap_per_group(
     group_col: str,
     key: str,
     max_rows: int,
+    salt: str = ":quota",
 ) -> DataFrame:
     """Deterministic per-group quota (corpus balancing: cap any one
     source/domain's contribution). Keeps the ``max_rows`` rows of each
-    group with the smallest (hash_bucket(key), key) — a uniform,
+    group with the smallest (hash_bucket(key, salt), key) — a uniform,
     reproducible choice, NOT head-of-file order (which would bias
-    toward whatever happened to sort first upstream).
+    toward whatever happened to sort first upstream). The default salt
+    keeps the quota independent of hash samples on the same key (module
+    SALTS rule — an unsalted quota's survivors would be exactly the
+    low-bucket keys a subsequent sample_by_hash keeps).
+
+    Null-key rows are dropped (module NULL KEYS contract): a null key
+    has no hash, so tied null rows would make the selection
+    irreproducible and diverge from SQL replays (Spark sorts nulls
+    first, DuckDB last).
 
     One window over (group, hash-ordered) — a single shuffle on
     group_col; AQE's skew handling splits oversized groups' sort. For
@@ -139,10 +150,11 @@ def cap_per_group(
     if max_rows <= 0:
         raise ValueError(f"max_rows must be positive, got {max_rows}")
     w = Window.partitionBy(group_col).orderBy(
-        hash_bucket(key).asc(), F.col(key).asc()
+        hash_bucket(key, salt=salt).asc(), F.col(key).asc()
     )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )

@@ -193,3 +193,22 @@ def test_kmeans_ivf_beats_stride_centroids(spark, emb):
     r_stride, r_trained = recall(stride), recall(trained)
     assert r_trained >= r_stride - 0.05, (r_trained, r_stride)
     assert r_trained >= 0.5
+
+
+def test_kmeans_survives_null_element_vectors(spark):
+    """Review regression: a vector with a NULL ELEMENT (Arrow surfaces
+    it as NaN) must neither poison centroids into NaN nor silently
+    shrink k via a poisoned init pick — it is simply excluded from
+    init and training."""
+    import math
+
+    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]),
+         (3, [0.1, 0.9, 0.0]), (4, [0.5, None, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = kmeans_centroids(emb, 2, iters=2).collect()
+    assert len(rows) == 2
+    assert all(all(not math.isnan(x) for x in r.centroid_vec) for r in rows)
