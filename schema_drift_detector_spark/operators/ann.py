@@ -135,20 +135,12 @@ def kmeans_centroids(
         ~F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x))
     )
     init = deterministic_centroids(clean, k, id_col, vec_col).collect()
-    init.sort(key=lambda r: r.centroid_id)
-    cents_np = np.array(
-        [[np.nan if x is None else x for x in r.centroid_vec] for r in init],
-        dtype=np.float64,
-    )
-    # a sampled init centroid with a null/NaN ELEMENT would poison every
-    # similarity against it (argmax propagates NaN as max → all vectors
-    # collapse into the poisoned cell); drop such picks, like the
-    # training pass drops such members
-    ok = ~np.isnan(cents_np).any(axis=1)
-    cents_np = cents_np[ok]
-    cent_ids = [int(r.centroid_id) for r, good in zip(init, ok) if good]
-    if not len(cents_np):
+    if not init:
         raise ValueError("no finite vectors available to initialize centroids")
+    init.sort(key=lambda r: r.centroid_id)
+    # rows come from `clean`, so every element is finite by construction
+    cents_np = np.asarray([r.centroid_vec for r in init], dtype=np.float64)
+    cent_ids = [int(r.centroid_id) for r in init]
     # unit-normalize so dot(nv, centroid) IS the cosine
     nrm = np.linalg.norm(cents_np, axis=1, keepdims=True)
     cents_np = np.where(nrm > 0, cents_np / np.where(nrm == 0, 1.0, nrm), cents_np)

@@ -249,17 +249,18 @@ def check_referential_integrity(
             join_cat = F.broadcast(catalog.select("media_ref").distinct())
         else:  # huge catalog by premise — never implicitly broadcast
             join_cat = catalog.select("media_ref")
-        # persist: this union references the probed scan TWICE (Spark
-        # does not dedupe common subplans) and BOTH outputs (violations,
-        # verdict counts) aggregate it — without the cache the full
-        # refs scan + probe UDF would run 4x per materialization. The
-        # frame is dangler-sized (danglers + fpp·refs); the blocks are
-        # released by ContextCleaner when the returned frames are
-        # dropped. Even un-cached, N probe scans beat ONE shuffle join
-        # of 10^12 refs — the cache just removes the redundancy.
+        # lazy localCheckpoint: this union references the probed scan
+        # TWICE (Spark does not dedupe common subplans) and BOTH outputs
+        # (violations, verdict counts) aggregate it — uncached, the full
+        # refs scan + probe UDF would run 4x per materialization. A
+        # DataFrame.persist would register a CacheManager entry nothing
+        # here could ever unpersist (the function returns lazy frames);
+        # localCheckpoint caches at the RDD level, which ContextCleaner
+        # reclaims once the returned frames are garbage collected. The
+        # materialized frame is dangler-sized (danglers + fpp·refs).
         dangling = definite.unionByName(
             residual.join(join_cat, "media_ref", "left_anti")
-        ).persist()
+        ).localCheckpoint(eager=False)
     else:
         cat = catalog.select("media_ref").distinct()
         if broadcast_catalog is not False:  # plain-path default: broadcast

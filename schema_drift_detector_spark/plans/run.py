@@ -140,6 +140,25 @@ def run_validation(
         "detected_by": "schema_drift_detector_spark",
     }
 
+    # layout guard (once, before any batch work or persists): profiles
+    # moved from [snapshot_id, partition_id] to [run_id, snapshot_id,
+    # partition_id]; writing the new layout into a directory holding the
+    # old one would leave EVERY read failing with 'Conflicting directory
+    # structures'. Fail loud with a migration hint instead. (Local-path
+    # check — remote stores predate the old layout in this engine's
+    # history.)
+    import os as _os
+
+    _prof_dir = f"{out_dir}/profiles"
+    if _os.path.isdir(_prof_dir) and any(
+        d.startswith("snapshot_id=") for d in _os.listdir(_prof_dir)
+    ):
+        raise RuntimeError(
+            f"{_prof_dir} uses the pre-run_id partition layout "
+            f"(snapshot_id=...); move it aside or point out_dir at a fresh "
+            f"location — mixing layouts makes the directory unreadable"
+        )
+
     # ---- partition plan with resume ------------------------------------
     universe = docs.select("partition_id").distinct()
     pending = M.pending_partitions(spark, universe, out_dir, run_id)
@@ -288,24 +307,6 @@ def run_validation(
             # never see duplicated verdict/violation/profile rows.
             from concurrent.futures import ThreadPoolExecutor
 
-            # layout guard: profiles moved from [snapshot_id, partition_id]
-            # to [run_id, snapshot_id, partition_id]; writing the new layout
-            # into a directory holding the old one would leave EVERY read
-            # failing with 'Conflicting directory structures'. Fail loud
-            # with a migration hint instead. (Local-path check — remote
-            # stores predate the old layout in this engine's history.)
-            import os as _os
-
-            _prof_dir = f"{out_dir}/profiles"
-            if _os.path.isdir(_prof_dir) and any(
-                d.startswith("snapshot_id=") for d in _os.listdir(_prof_dir)
-            ):
-                raise RuntimeError(
-                    f"{_prof_dir} uses the pre-run_id partition layout "
-                    f"(snapshot_id=...); move it aside or point out_dir at a "
-                    f"fresh location — mixing layouts makes the directory "
-                    f"unreadable"
-                )
             targets = [
                 # run_id leads the partition key: snapshot_id is deduplicated
                 # by schema (get_or_create_snapshot), so two runs over the
