@@ -310,6 +310,10 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "source", "doc_id", 10).select("doc_id", "source")
 
 
+# null-key rows pass through unchanged (exempt from the quota) — the
+# UNION ALL branch mirrors cap_per_group's passthrough contract even
+# though sf-synth documents have no null doc_id (the branch is empty
+# here; the unit test exercises it with real nulls)
 ORACLE_SOURCE_QUOTA = """
 SELECT doc_id, source FROM documents
 WHERE doc_id IS NOT NULL
@@ -319,6 +323,8 @@ QUALIFY row_number() OVER (
              % 1000000 ASC,
            doc_id ASC
 ) <= 10
+UNION ALL
+SELECT doc_id, source FROM documents WHERE doc_id IS NULL
 """
 
 
@@ -326,7 +332,8 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key detection (the input to the salting decision) without
     shuffling the key universe: frequent-items sketch pass → broadcast
     exact recount of candidates only. The output is EXACT (keys with
-    count ≥ ceil(phi·N)), so the oracle is a plain HAVING filter —
+    count·1000 ≥ 7·N — phi=0.007 as the rational 7/1000, integer
+    arithmetic both sides), so the oracle is a plain integer filter —
     equality certifies the sketch's recall guarantee end-to-end."""
     from schema_drift_detector_spark.operators.skew import heavy_hitters
 
@@ -334,10 +341,10 @@ def q_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "user_id", phi=0.007)
 
 
-# CAST(0.007 AS DOUBLE): the bare literal is DECIMAL in DuckDB, and
-# decimal·bigint is exact (70.000) where Spark's double math gives
-# 70.00000000000001 → ceil 71 vs 70. Matching IEEE math on both sides
-# is the contract, not a rounding accident.
+# Exact rational threshold on BOTH sides: phi=0.007 is snapped to
+# 7/1000 (skew.py Fraction.limit_denominator), so the filter is
+# n*1000 >= 7*N in integers — no IEEE boundary flip (70.000...01 →
+# ceil 71) on either engine. ADVICE r3.
 ORACLE_HEAVY_HITTER_USERS = """
 WITH t AS (SELECT CAST(count(*) AS BIGINT) AS N FROM events WHERE user_id IS NOT NULL),
 c AS (
@@ -346,7 +353,7 @@ c AS (
 )
 SELECT c.user_id, c.n_occurrences, c.n_occurrences / t.N AS share
 FROM c, t
-WHERE c.n_occurrences >= ceil(CAST(0.007 AS DOUBLE) * t.N)
+WHERE c.n_occurrences * 1000 >= 7 * t.N
 """
 
 

@@ -61,13 +61,33 @@ def build_bloom(
     expected_items: int,
     bits_per_key: int = 10,
     band_bytes: int = 32 << 20,
+    max_bytes: int = 2 << 30,
 ) -> tuple[bytes, int, int]:
     """One pass over ``keys`` → (bitmap bytes, m_bits, k). Nulls are
     skipped (a null key is never 'present'). Duplicate keys are fine —
-    bit-setting is idempotent, so callers need NOT pre-distinct."""
+    bit-setting is idempotent, so callers need NOT pre-distinct.
+
+    PRACTICAL CEILING (ADVICE r3): the banded build keeps any single
+    TASK under ``band_bytes``, but the assembled bitmap still lives on
+    the driver and ships as ONE broadcast object — so the usable size
+    is bounded by driver memory and Spark's broadcast limit, NOT by the
+    build. expected_items·bits_per_key/8 must fit under ``max_bytes``
+    (default 2 GiB): ~1.7e9 keys at 10 bits/key. Beyond that, partition
+    the catalog and build one filter per shard (probe = OR of shards),
+    or lower bits_per_key and accept a higher FP rate (the residual
+    exact join still corrects it)."""
     if expected_items <= 0:
         raise ValueError(f"expected_items must be positive, got {expected_items}")
     m_bits = max(64, expected_items * bits_per_key)
+    if (m_bits + 7) // 8 > max_bytes:
+        raise ValueError(
+            f"bloom bitmap would be {(m_bits + 7) // 8 / 2**30:.1f} GiB "
+            f"({expected_items} keys × {bits_per_key} bits/key), over the "
+            f"{max_bytes / 2**30:.1f} GiB driver/broadcast ceiling (max_bytes). "
+            f"Shard the catalog into {math.ceil(((m_bits + 7) // 8) / max_bytes)} "
+            f"filters, lower bits_per_key, or raise max_bytes if the driver "
+            f"and spark broadcast limits allow it"
+        )
     k = max(1, round(bits_per_key * math.log(2)))
     m = np.uint64(m_bits)
     n_bytes = (m_bits + 7) // 8

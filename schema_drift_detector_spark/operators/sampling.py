@@ -134,10 +134,12 @@ def cap_per_group(
     SALTS rule — an unsalted quota's survivors would be exactly the
     low-bucket keys a subsequent sample_by_hash keeps).
 
-    Null-key rows are dropped (module NULL KEYS contract): a null key
-    has no hash, so tied null rows would make the selection
-    irreproducible and diverge from SQL replays (Spark sorts nulls
-    first, DuckDB last).
+    Null-key rows PASS THROUGH unchanged, exempt from the quota (they
+    do not consume slots and are never dropped): a null key has no
+    hash, so ranking them would make the selection irreproducible
+    (Spark sorts nulls first, DuckDB last) — and a balancing operator
+    must not silently delete rows it cannot judge (ADVICE r3). Filter
+    nulls upstream (uniqueness check) if they should not survive.
 
     One window over (group, hash-ordered) — a single shuffle on
     group_col; AQE's skew handling splits oversized groups' sort. For
@@ -152,9 +154,10 @@ def cap_per_group(
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(key, salt=salt).asc(), F.col(key).asc()
     )
-    return (
+    capped = (
         df.filter(F.col(key).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+    return capped.unionByName(df.filter(F.col(key).isNull()))

@@ -11,6 +11,8 @@ lives in constraints.duplicate_keys; this is the join-side counterpart.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,9 +63,16 @@ def heavy_hitters(
     phi: float,
     support: float | None = None,
 ) -> DataFrame:
-    """EXACT φ-heavy-hitters (keys with frequency ≥ ceil(φ·N)) without
-    ever shuffling the key universe — the hot-key detector that decides
-    which doc_id ranges need explicit salting.
+    """EXACT φ-heavy-hitters (keys with frequency ≥ φ·N, i.e.
+    ≥ ceil(φ·N) for integer frequencies) without ever shuffling the key
+    universe — the hot-key detector that decides which doc_id ranges
+    need explicit salting. The threshold is computed in exact integer
+    arithmetic: φ's double is first snapped to the nearest small
+    rational num/denom (denom ≤ 1e6, so 0.007 means 7/1000 — not its
+    binary neighbor 0.00700000000000000014 whose ceil would exclude a
+    key sitting exactly on the threshold), then the filter is
+    n_occurrences·denom ≥ num·N over DECIMAL(38,0) products, exact at
+    any N.
 
     Two passes, both with metadata-scale shuffles:
       1. candidate sketch: Spark's single-pass frequent-items
@@ -84,6 +93,13 @@ def heavy_hitters(
     """
     if not (0 < phi < 1):
         raise ValueError(f"phi must be in (0,1), got {phi}")
+    if phi <= 1e-4:
+        # support must satisfy 1e-4 <= support < phi — for phi <= 1e-4
+        # that interval is empty, so no explicit support can help
+        raise ValueError(
+            f"phi ({phi}) at or below the Spark freqItems support floor "
+            f"(1e-4) is unsupported: no valid support exists"
+        )
     support = phi / 2 if support is None else support
     if support >= phi:
         # freqItems guarantees recall only for counts STRICTLY above
@@ -114,10 +130,17 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
     total = buckets.agg(F.sum("n_occurrences").alias("__N"))
+    # exact threshold: freq >= phi*N  <=>  freq*denom >= num*N (integer
+    # frequencies); DECIMAL(38,0) products stay exact at N ~ 10^12
+    # where double math can flip a boundary key (ADVICE r3)
+    frac = Fraction(phi).limit_denominator(1_000_000)
     return (
         buckets.filter(F.col("__k").isNotNull())
         .crossJoin(F.broadcast(total))
-        .filter(F.col("n_occurrences") >= F.ceil(F.lit(float(phi)) * F.col("__N")))
+        .filter(
+            F.col("n_occurrences").cast("decimal(38,0)") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("__N").cast("decimal(38,0)")
+        )
         .select(
             F.col("__k").alias(key),
             "n_occurrences",

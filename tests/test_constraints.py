@@ -209,3 +209,11 @@ def test_ri_bloom_catalog_matches_plain_join(spark):
     # every present ref probes true; absent refs mostly probe false
     assert stats.n_maybe >= stats.n - dang
     assert stats.n_maybe - (stats.n - dang) <= max(3, 0.03 * dang + 0.02 * stats.n)
+
+    # ADVICE r3: the assembled bitmap lives on the driver and ships as
+    # one broadcast — sizes past the ceiling fail loud with guidance,
+    # before any Spark job runs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="GiB.*ceiling"):
+        build_bloom(cat, "media_ref", expected_items=10**10, bits_per_key=10)

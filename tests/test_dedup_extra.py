@@ -191,3 +191,14 @@ def test_cap_per_group_deterministic_quota(spark):
     b = {(r.g, r.k) for r in cap_per_group(df.repartition(17), "g", "k", 100).collect()}
     c = {(r.g, r.k) for r in cap_per_group(df.orderBy(F.desc("k")), "g", "k", 100).collect()}
     assert a == b == c  # parallelism- and input-order-independent
+
+    # null-key rows pass through unchanged, exempt from the quota
+    # (ADVICE r3: a balancing op must not delete rows outside its rule)
+    with_nulls = df.unionByName(
+        spark.range(5).select(
+            F.lit(None).cast("string").alias("k"), F.lit(3).alias("g")
+        )
+    )
+    capped_n = cap_per_group(with_nulls, "g", "k", 100)
+    assert capped_n.filter(F.col("k").isNull()).count() == 5
+    assert capped_n.filter(F.col("k").isNotNull() & (F.col("g") == 3)).count() == 100

@@ -295,3 +295,23 @@ def test_heavy_hitters_nulls_do_not_dilute_recall(spark):
         heavy_hitters(df, "k", phi=0.01, support=0.01)
     with _pytest.raises(ValueError, match="1e-4"):
         heavy_hitters(df, "k", phi=1e-4)
+
+
+def test_heavy_hitters_exact_at_ieee_boundary(spark):
+    """ADVICE r3: a key with frequency EXACTLY phi*N must qualify even
+    when the double product rounds up in binary (0.007*10000 →
+    70.00000000000001 → ceil 71 would wrongly exclude a 70-count key).
+    The rational-arithmetic threshold (7/1000) keeps it."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.skew import heavy_hitters
+
+    # N=10000 non-null rows; 'B' has exactly 70 = 0.007*10000 rows
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 70, F.lit("B"))
+        .when(F.col("id") < 2_070, F.lit("HOT"))
+        .otherwise(F.format_string("k-%09d", F.col("id")))
+        .alias("k")
+    )
+    got = {r.k: r.n_occurrences for r in heavy_hitters(df, "k", phi=0.007).collect()}
+    assert got == {"B": 70, "HOT": 2_000}, got
