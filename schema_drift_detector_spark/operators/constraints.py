@@ -80,7 +80,12 @@ def duplicate_keys(
     Bucketing also bounds skew by construction (a hot key lives in one
     bucket file, counted by map-side combine within its scan tasks).
     """
-    if assume_bucketed:
+    if assume_bucketed or salt_buckets <= 1:
+        # bucketed: the layout co-locates keys — zero Exchange.
+        # salt_buckets <= 1: caller (e.g. choose_salt_buckets' data-
+        # driven decision) established no key is hot — a plain one-phase
+        # aggregation (one Exchange, map-side combine) beats paying the
+        # two-phase salt plumbing for nothing.
         return (
             df.groupBy(key)
             .agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -11,6 +11,7 @@ lives in constraints.duplicate_keys; this is the join-side counterpart.
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 
 from pyspark.sql import DataFrame
@@ -147,3 +148,42 @@ def heavy_hitters(
             (F.col("n_occurrences") / F.col("__N")).alias("share"),
         )
     )
+
+
+def choose_salt_buckets(
+    df: DataFrame,
+    key: str,
+    phi: float = 0.002,
+    max_buckets: int | None = None,
+) -> int:
+    """Data-driven salting decision — closes the loop from hot-key
+    DETECTION (heavy_hitters above) to the uniqueness aggregation's
+    ``salt_buckets`` knob, replacing a static guess.
+
+    Sizing rule: with P shuffle partitions, a fair reducer holds ~N/P
+    rows; a key of share s funnels s·N rows into one reducer unless it
+    is split across ceil(s·P) salt buckets. The hottest key sets the
+    requirement: buckets = clamp(ceil(max_share·P), 1, max_buckets).
+    1 means "no key is hot enough to matter — skip salting entirely"
+    (duplicate_keys then runs the plain one-phase aggregation, saving
+    the second shuffle stage).
+
+    Cost: one heavy_hitters pass — a freqItems sketch scan plus a
+    broadcast recount scan, both metadata-scale shuffles (the key
+    universe never shuffles), amortized over every batch of the run
+    that reuses the decision.
+    """
+    spark = df.sparkSession
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" under some AQE configs
+        p = spark.sparkContext.defaultParallelism
+    max_buckets = max_buckets or p
+    top = (
+        heavy_hitters(df, key, phi)
+        .agg(F.max("share").alias("s"))
+        .first()[0]
+    )
+    if top is None:
+        return 1
+    return max(1, min(max_buckets, math.ceil(float(top) * p)))

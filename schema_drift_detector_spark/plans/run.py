@@ -173,12 +173,25 @@ def run_validation(
     # one key-only scan + salted aggregation for the whole run, reused
     # by every batch via the cached (tiny) dup-key set
     dups = None
+    uq_spec = dict(spec["uniqueness"])
     if batches:
-        uq_spec = dict(spec["uniqueness"])
         # spec {'uniqueness': {'bucketed': True}} opts into the zero-
         # Exchange one-phase aggregation for tables pre-bucketed on the
         # key (see duplicate_keys); the salt path is the default for
         # arbitrary layouts
+        if uq_spec.get("auto_salt") and not uq_spec.get("bucketed"):
+            # close the detection→decision loop (r3 verdict #2): measure
+            # the hottest key's share ONCE per run (heavy_hitters —
+            # metadata-scale shuffles only) and size the salt from it;
+            # 1 means no hot key → duplicate_keys skips salting and its
+            # second shuffle stage entirely
+            from ..operators.skew import choose_salt_buckets
+
+            uq_spec["salt_buckets"] = choose_salt_buckets(
+                docs,
+                uq_spec.get("key", "doc_id"),
+                phi=uq_spec.get("auto_salt_phi", 0.002),
+            )
         dups = C.duplicate_keys(
             docs,
             uq_spec.get("key", "doc_id"),
@@ -235,13 +248,17 @@ def run_validation(
             # manifest counts, so the batch is not rescanned for bookkeeping
             profiles = profile_columns(subset, snapshot_id=snapshot_id, entity=entity).persist()
             span_prof = profile_spans(subset)
+            # uq_spec, not spec["uniqueness"]: carries the auto_salt
+            # decision; the auto_* knobs themselves are run-level and
+            # not check_uniqueness parameters
             uq_v, uq_viol = C.check_uniqueness(
                 subset,
                 run_id,
                 dups=dups,
                 **{
                     ("assume_bucketed" if k == "bucketed" else k): v
-                    for k, v in spec["uniqueness"].items()
+                    for k, v in uq_spec.items()
+                    if k not in ("auto_salt", "auto_salt_phi")
                 },
             )
             ri_v, ri_viol = C.check_referential_integrity(
@@ -437,6 +454,11 @@ def run_validation(
         "partitions_pending_before": pending,
         "batches_executed": executed,
         "out_dir": out_dir,
+        # effective salting decision (auto_salt may have overridden the
+        # spec): 1 = unsalted one-phase path, None = bucketed layout
+        "uniqueness_salt_buckets": (
+            None if uq_spec.get("bucketed") else uq_spec.get("salt_buckets", 16)
+        ),
     }
     return envelope
 

@@ -349,3 +349,28 @@ def test_kmeans_iteration_shuffle_volume(spark):
     n_tasks = max(len(s["durations"]) for s in writers)
     assert 0 < shuffled <= n_tasks * k, (shuffled, n_tasks, k)
     assert n * dim >= 4 * shuffled, f"want >=4x fewer than N*dim: {shuffled} vs {n * dim}"
+
+
+def test_choose_salt_buckets_decision_and_unsalted_plan(spark):
+    """choose_salt_buckets: 1 on a uniform key (no hot key at phi),
+    ceil(max_share·P) on a 40%-hot key; salt_buckets=1 routes
+    duplicate_keys onto the plain one-phase aggregation (no __salt
+    column, no second aggregation pair in the plan)."""
+    from schema_drift_detector_spark.operators.constraints import duplicate_keys
+    from schema_drift_detector_spark.operators.skew import choose_salt_buckets
+
+    uniform = spark.range(50_000).select(
+        F.format_string("u-%09d", F.col("id")).alias("k")
+    )
+    assert choose_salt_buckets(uniform, "k") == 1
+    hot = spark.range(50_000).select(
+        F.when(F.col("id") % 5 < 2, F.lit("HOT"))
+        .otherwise(F.format_string("u-%09d", F.col("id")))
+        .alias("k")
+    )
+    # 40% share × 8 test shuffle partitions → 4 salt buckets
+    assert choose_salt_buckets(hot, "k") == 4
+    unsalted = _plan(duplicate_keys(uniform, "k", salt_buckets=1))
+    assert "__salt" not in unsalted
+    salted = _plan(duplicate_keys(uniform, "k", salt_buckets=8))
+    assert "__salt" in salted

@@ -320,3 +320,48 @@ def test_pipeline_with_bloom_ri(spark, tmp_path):
         tmp_path / "bloom", "rb", {"referential_integrity": {"bloom_catalog": True}}
     )
     assert plain == bloom and bloom[3] is False and bloom[0] is True
+
+
+def test_auto_salt_decision_in_pipeline(spark, docs0, catalog, tmp_path_factory):
+    """r3 verdict #2: spec {'uniqueness': {'auto_salt': True}} closes
+    the loop from heavy_hitters to the salt_buckets knob inside
+    run_validation. On synth docs (no hot doc_id — the injected dups are
+    a few 2x keys, far under phi) the decision SKIPS the salt
+    (buckets == 1, one-phase aggregation); on a 40%-hot-key table it
+    sizes the salt from the measured share (ceil(0.4·P) with P=8 test
+    shuffle partitions → 4). Verdicts must match the static-salt run in
+    both cases."""
+    out = str(tmp_path_factory.mktemp("run_autosalt"))
+    env = run_validation(
+        spark, docs0, catalog, out, run_id="as0", epoch=0,
+        spec={"uniqueness": {"auto_salt": True}},
+    )
+    assert env["run"]["uniqueness_salt_buckets"] == 1
+    v = read_verdicts(spark, out, "as0")
+    by = {(r.constraint, r.partition_id): r.passed for r in v.collect()}
+    assert by[("uniqueness", 2)] is False and by[("uniqueness", 5)] is False
+    assert by[("uniqueness", 0)] is True
+
+    # 40% of rows collapse onto one doc_id → the decision fires
+    hot = docs0.withColumn(
+        "doc_id",
+        F.when(
+            F.pmod(F.xxhash64("doc_id"), F.lit(5)) < 2, F.lit("HOT")
+        ).otherwise(F.col("doc_id")),
+    )
+    out2 = str(tmp_path_factory.mktemp("run_autosalt_hot"))
+    env2 = run_validation(
+        spark, hot, catalog, out2, run_id="as1", epoch=0,
+        spec={"uniqueness": {"auto_salt": True}},
+    )
+    assert env2["run"]["uniqueness_salt_buckets"] > 1, env2["run"]
+    # the hot key is a duplicate everywhere — every partition holding it fails
+    v2 = read_verdicts(spark, out2, "as1")
+    hot_fails = {r.partition_id for r in v2.collect()
+                 if r.constraint == "uniqueness" and not r.passed}
+    assert len(hot_fails) == 8  # HOT appears in every partition
+
+    # default (no auto_salt) still reports the static knob
+    out3 = str(tmp_path_factory.mktemp("run_static"))
+    env3 = run_validation(spark, docs0, catalog, out3, run_id="as2", epoch=0)
+    assert env3["run"]["uniqueness_salt_buckets"] == 16
