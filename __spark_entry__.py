@@ -902,6 +902,147 @@ QUALIFY rank <= 5
 """
 
 
+def _kmeans_sql_replay(emb: DataFrame, k: int, iters: int) -> DataFrame:
+    """Exact SQL-formula replay of the spherical Lloyd loop — the
+    independent reference the fused mapInPandas trainer
+    (operators/ann.py kmeans_centroids) is attested against. Mirrors
+    ORACLE_KMEANS_CENTROIDS term by term: unit-normalize, init = k
+    smallest (md5(vec_id), vec_id) rows, per iteration argmax-dot cell
+    (ties → lowest centroid_id, the engine's first-max rule), per-cell
+    per-dim mean, renormalize. Fixture-scale only (global row_number
+    window, interpreted higher-order folds): it IS the oracle formula,
+    not the engine. → centroid_id, pos, ref_val (unrounded)."""
+    from pyspark.sql import Window
+
+    def unit(col):
+        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+        return F.transform(col, lambda x: x / n)
+
+    nv = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", unit(F.col("embedding").cast("array<double>")).alias("nv")
+    )
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+    cents = (
+        nv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).alias("centroid_id"), F.col("nv").alias("cvec"))
+    )
+    for _ in range(iters):
+        dot = F.aggregate(
+            F.zip_with("nv", "cvec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        ww = Window.partitionBy("vec_id").orderBy(
+            F.col("__dot").desc(), F.col("centroid_id").asc()
+        )
+        assign = (
+            nv.crossJoin(F.broadcast(cents))
+            .withColumn("__dot", dot)
+            .withColumn("__rn", F.row_number().over(ww))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "nv", F.col("centroid_id").alias("cell"))
+        )
+        means = (
+            assign.select("cell", F.posexplode("nv").alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.avg("v").alias("m"))
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("l")
+            )
+            .select(F.col("cell").alias("centroid_id"), unit(F.col("l")).alias("cvec"))
+        )
+    return cents.select("centroid_id", F.posexplode("cvec").alias("pos", "ref_val"))
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means trainer certified via the tolerance-contract
+    pattern (like quantile_drift_spans): the engine's fused
+    assign+partial-sum mapInPandas trainer runs 2 Lloyd iterations
+    (k=8) and each resulting centroid component is attested within
+    eps=1e-9 of an exact SQL-formula replay of the same deterministic
+    algorithm (md5-sample init, lowest-cell argmax tie-break, per-cell
+    mean, renormalize). DuckDB recomputes the replay independently, so
+    the hash certifies init pick, every assignment round, the partial-
+    sum merge, and renormalization. eps context: FP summation-order
+    noise is ~1e-14; a single wrong assignment moves a component by
+    ~1/cell_count ≈ 2e-2 — the gate sits 5 orders of magnitude from
+    both."""
+    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k, iters, eps = 8, 2, 1e-9
+    eng = kmeans_centroids(emb, k, iters=iters).select(
+        "centroid_id", F.posexplode("centroid_vec").alias("pos", "ev")
+    )
+    ref = _kmeans_sql_replay(emb, k, iters)
+    return eng.join(ref, ["centroid_id", "pos"]).select(
+        "centroid_id",
+        "pos",
+        F.round("ref_val", 5).alias("ref_val"),
+        (F.abs(F.col("ev") - F.col("ref_val")) <= eps).alias("engine_within_eps"),
+    )
+
+
+ORACLE_KMEANS_CENTROIDS = """
+WITH nv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))) AS nv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+           AS centroid_id,
+         nv AS cvec
+  FROM nv
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT 8
+),
+a1 AS (
+  SELECT v.vec_id, v.nv, c.centroid_id AS cell
+  FROM nv v CROSS JOIN c0 c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY list_inner_product(v.nv, c.cvec) DESC, c.centroid_id ASC) = 1
+),
+m1 AS (
+  SELECT cell, i, avg(val) AS m
+  FROM (SELECT cell, unnest(nv) AS val, generate_subscripts(nv, 1) AS i FROM a1)
+  GROUP BY cell, i
+),
+c1 AS (
+  SELECT cell AS centroid_id,
+         list_transform(l, x -> x / sqrt(list_inner_product(l, l))) AS cvec
+  FROM (SELECT cell, list(m ORDER BY i) AS l FROM m1 GROUP BY cell)
+),
+a2 AS (
+  SELECT v.vec_id, v.nv, c.centroid_id AS cell
+  FROM nv v CROSS JOIN c1 c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY list_inner_product(v.nv, c.cvec) DESC, c.centroid_id ASC) = 1
+),
+m2 AS (
+  SELECT cell, i, avg(val) AS m
+  FROM (SELECT cell, unnest(nv) AS val, generate_subscripts(nv, 1) AS i FROM a2)
+  GROUP BY cell, i
+),
+c2 AS (
+  SELECT cell AS centroid_id,
+         list_transform(l, x -> x / sqrt(list_inner_product(l, l))) AS cvec
+  FROM (SELECT cell, list(m ORDER BY i) AS l FROM m2 GROUP BY cell)
+)
+SELECT centroid_id,
+       generate_subscripts(cvec, 1) - 1 AS pos,
+       round(unnest(cvec), 5) AS ref_val,
+       TRUE AS engine_within_eps
+FROM c2
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH embedding near-dup (the scale path: only
     signature-equal docs are candidates). Oracle replicates the plane
@@ -1835,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
+        "kmeans_centroids": q_kmeans_centroids,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1885,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": ORACLE_CORPUS_PREP,
         "ann_topk": ORACLE_ANN_TOPK,
         "ivf_assign": ORACLE_IVF_ASSIGN,
+        "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
