@@ -1099,10 +1099,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_parts() -> tuple[str, str]:
+def _minhash_oracle_parts(table: str = "documents") -> tuple[str, str]:
     """(ctes, pair_select) — the md5-affine signature CTEs and the
-    banded candidate-pair SELECT, shared by the pair oracle and the
-    connected-components oracle so both certify the same arithmetic."""
+    banded candidate-pair SELECT, shared by the pair oracle, the
+    connected-components oracle, and the composed-pipeline oracle
+    (which runs them over a derived CTE instead of the raw table) so
+    all certify the same arithmetic."""
     from schema_drift_detector_spark.operators.dedup import (
         MERSENNE31,
         minhash_permutation_params,
@@ -1119,7 +1121,7 @@ def _minhash_oracle_parts() -> tuple[str, str]:
     est = " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(64))
     ctes = f"""sh AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
-  FROM documents, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
+  FROM {table}, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
 ), hashed AS (
   SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MERSENNE31} AS h31
   FROM sh
@@ -1197,6 +1199,97 @@ cl AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
 drops AS (SELECT doc FROM cl WHERE doc <> cluster)
 SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
 FROM documents d LEFT JOIN drops ON d.doc_id = drops.doc
+WHERE drops.doc IS NULL
+"""
+
+
+def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data prep job (r3 verdict #4): exact dedup
+    → per-source quota cap → near-dup drop (MinHash-LSH + connected
+    components) → leakage-free train/validation split. Every stage
+    BINDS on this fixture: deterministic 20% clones (doc_id 'dup-'+id,
+    identical text) make exact dedup drop real rows; the 20-doc cap
+    binds on every 25-doc source; the LSH graph drops non-canonical
+    members; the split labels all survivors. Certifies the stages'
+    COMPOSITION — in particular that the per-purpose salts (:clone,
+    :quota, :split) keep the three hash decisions independent — against
+    a single DuckDB replay of the whole chain."""
+    from schema_drift_detector_spark.operators.dedup import (
+        connected_components,
+        drop_exact_duplicates,
+        minhash_near_duplicates,
+    )
+    from schema_drift_detector_spark.operators.sampling import (
+        cap_per_group,
+        sample_by_hash,
+        split_by_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    clones = sample_by_hash(docs, "doc_id", 0.2, salt=":clone").withColumn(
+        "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
+    )
+    base = docs.unionByName(clones)
+    exact = drop_exact_duplicates(base, "doc_id", "text")
+    capped = cap_per_group(exact, "source", "doc_id", 20)
+    pairs = minhash_near_duplicates(
+        capped, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
+    )
+    drops = connected_components(pairs).filter(F.col("doc") != F.col("cluster"))
+    surv = capped.join(
+        drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
+    )
+    out = split_by_hash(surv, "doc_id", [0.8], labels=("train", "validation"))
+    return out.select("doc_id", "source", "split")
+
+
+def _oracle_corpus_prep_full() -> str:
+    ctes, pair_select = _minhash_oracle_parts(table="capped")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, n_chars
+  FROM documents
+  UNION ALL
+  SELECT 'dup-' || CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, n_chars
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':clone'), 1, 15) AS BIGINT)
+          % 1000000 < 200000
+),
+exact AS (
+  SELECT * FROM base
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+),
+capped AS (
+  SELECT * FROM exact
+  WHERE doc_id IS NOT NULL
+  QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY CAST('0x' || substr(md5(doc_id || ':quota'), 1, 15) AS BIGINT)
+               % 1000000 ASC,
+             doc_id ASC
+  ) <= 20
+),
+{ctes},
+pairs AS ({pair_select}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+),
+cl AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+drops AS (SELECT doc FROM cl WHERE doc <> cluster)
+SELECT c.doc_id, c.source,
+       CASE WHEN CAST('0x' || substr(md5(c.doc_id || ':split'), 1, 15) AS BIGINT)
+                   % 1000000 < 800000
+            THEN 'train' ELSE 'validation' END AS split
+FROM capped c LEFT JOIN drops ON c.doc_id = drops.doc
 WHERE drops.doc IS NULL
 """
 
@@ -1977,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
         "kmeans_centroids": q_kmeans_centroids,
+        "corpus_prep_full": q_corpus_prep_full,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2028,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ORACLE_ANN_TOPK,
         "ivf_assign": ORACLE_IVF_ASSIGN,
         "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
+        "corpus_prep_full": _oracle_corpus_prep_full(),
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
