@@ -1678,6 +1678,156 @@ GROUP BY 1, 2
 """
 
 
+_STREAM_DD_DIR = f"{_ARTIFACTS}/stream_dedup_wm"
+# watermark-delay minutes and the per-batch fixture rows (minute offsets
+# are relative to a +1-day base — a row AT epoch 0 would sit on Spark's
+# INITIAL watermark and be dropped as late before any data arrives).
+# Semantics pinned empirically on Spark 4.1 dropDuplicatesWithinWatermark
+# and mirrored in the oracle: a row is late iff ts < wm(start of its
+# batch); state is matched during a batch even when already expired, and
+# evicted at batch END using that batch's own start-of-batch watermark —
+# so a kept row from batch b' blocks duplicates in batch b iff
+# ts' + delay >= wm(during batch b-1). No fixture row sits on an
+# eviction/lateness boundary, so the contract is rounding-free.
+_STREAM_DD_DELAY_MIN = 10
+_STREAM_DD_BASE_MIN = 1440
+_STREAM_DD_BATCHES = [
+    # batch 0 (wm = initial 0): all first occurrences -> kept
+    [("A", "ta", 0), ("B", "tb", 5), ("C", "tc", 30)],
+    # batch 1 (wm = 30-10 = 20): A2 dup of A — A's state EXPIRED
+    # (0+10 < 20) but not yet evicted -> still dropped; C2 dup of live C
+    # -> dropped; L (ts 12 < wm 20) -> late-dropped; D new -> kept
+    [("A2", "ta", 21), ("C2", "tc", 31), ("L", "tb", 12), ("D", "td", 35)],
+    # batch 2 (wm = 35-10 = 25): A was evicted at end of batch 1
+    # (10 < 20) and A2 never created state -> A3 KEPT (re-admission);
+    # C3 dup of still-live C (40 >= 20) -> dropped; E new -> kept
+    [("C3", "tc", 36), ("A3", "ta", 45), ("E", "te", 26)],
+]
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup (r3 verdict #5) on the
+    certified board: stream_dedup_exact (md5 fingerprint +
+    dropDuplicatesWithinWatermark) fed 3 deterministic single-file
+    micro-batches containing out-of-order rows, a sub-watermark LATE
+    row, duplicates of live state, a duplicate of expired-but-unevicted
+    state, and a post-eviction re-admission. The oracle replays the
+    batch/watermark timeline in plain SQL over the same persisted batch
+    files — certifying lateness filtering, state lifetime, and eviction
+    order, not just row counts."""
+    import os
+    import shutil
+
+    from schema_drift_detector_spark.streaming.epochs import stream_dedup_exact
+
+    for i, rows in enumerate(_STREAM_DD_BATCHES):
+        df = spark.createDataFrame(rows, "doc_id string, text string, mins int")
+        _write_once(
+            df.select(
+                "doc_id",
+                "text",
+                F.timestamp_seconds(
+                    (F.col("mins") + _STREAM_DD_BASE_MIN) * 60
+                ).alias("ingest_ts"),
+            ).coalesce(1),
+            f"{_STREAM_DD_DIR}/src/b{i}",
+        )
+    # mtime ORDER defines batch order for the file source — force it on
+    # every run (a fresh git checkout stamps all files with checkout
+    # time, which would scramble the sequence)
+    for i in range(len(_STREAM_DD_BATCHES)):
+        t = 1_000_000 + 100 * i
+        d = f"{_STREAM_DD_DIR}/src/b{i}"
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+    out, ckpt = f"{_STREAM_DD_DIR}/out", f"{_STREAM_DD_DIR}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{_STREAM_DD_DIR}/src/b*")
+    )
+    dd = stream_dedup_exact(
+        stream,
+        ts_col="ingest_ts",
+        content_col="text",
+        watermark=f"{_STREAM_DD_DELAY_MIN} minutes",
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id).cast("int")).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        dd.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dedup_watermark did not finish within 300s")
+    kept = spark.read.parquet(out)
+    n_kept = kept.count()
+    n_in = sum(len(b) for b in _STREAM_DD_BATCHES)
+    if n_kept == 0 or n_kept >= n_in:
+        # every row kept => no dedup/lateness decision ever fired and
+        # the hash would certify nothing
+        raise RuntimeError(f"vacuous stream dedup: {n_kept}/{n_in} rows kept")
+    return kept.select(
+        "doc_id",
+        "batch_id",
+        (F.unix_timestamp("ingest_ts") / 60).cast("bigint").alias("ts_mins"),
+    )
+
+
+def _oracle_stream_dedup_watermark() -> str:
+    d = _STREAM_DD_DELAY_MIN
+    return f"""
+WITH b0 AS (SELECT doc_id, text, ingest_ts
+            FROM read_parquet('{_STREAM_DD_DIR}/src/b0/*.parquet')),
+b1 AS (SELECT doc_id, text, ingest_ts
+       FROM read_parquet('{_STREAM_DD_DIR}/src/b1/*.parquet')),
+b2 AS (SELECT doc_id, text, ingest_ts
+       FROM read_parquet('{_STREAM_DD_DIR}/src/b2/*.parquet')),
+wm1 AS (SELECT max(ingest_ts) - INTERVAL {d} MINUTE AS wm FROM b0),
+wm2 AS (SELECT max(ingest_ts) - INTERVAL {d} MINUTE AS wm
+        FROM (SELECT ingest_ts FROM b0 UNION ALL SELECT ingest_ts FROM b1)),
+-- batch 0: initial watermark is epoch 0, far below the +1-day fixture
+-- base -> nothing late, no prior state -> all kept
+k0 AS (SELECT doc_id, text, ingest_ts, 0 AS batch_id FROM b0),
+-- batch 1: late iff ts < wm1; batch-0 state survived its end-of-batch-0
+-- eviction (watermark DURING batch 0 was epoch 0), so every kept batch-0
+-- row still blocks duplicates here even when already expired
+k1 AS (
+  SELECT r.doc_id, r.text, r.ingest_ts, 1 AS batch_id
+  FROM b1 r, wm1
+  WHERE r.ingest_ts >= wm1.wm
+    AND NOT EXISTS (SELECT 1 FROM k0 s WHERE s.text = r.text)
+),
+-- batch 2: late iff ts < wm2; state from batches 0/1 survives the
+-- end-of-batch-1 eviction iff its expiry (ts + delay) >= wm1
+k2 AS (
+  SELECT r.doc_id, r.text, r.ingest_ts, 2 AS batch_id
+  FROM b2 r, wm2
+  WHERE r.ingest_ts >= wm2.wm
+    AND NOT EXISTS (
+      SELECT 1
+      FROM (SELECT text, ingest_ts FROM k0
+            UNION ALL SELECT text, ingest_ts FROM k1) s, wm1
+      WHERE s.text = r.text
+        AND s.ingest_ts + INTERVAL {d} MINUTE >= wm1.wm
+    )
+)
+SELECT doc_id, batch_id, CAST(epoch(ingest_ts) / 60 AS BIGINT) AS ts_mins
+FROM (SELECT * FROM k0 UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2)
+"""
+
+
 def q_quantile_drift_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest-derived per-partition quantiles under a tolerance
     contract (hll_rollup pattern): for each partition/epoch/probability
@@ -2071,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_full": q_corpus_prep_full,
+        "stream_dedup_watermark": q_stream_dedup_watermark,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2123,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": ORACLE_IVF_ASSIGN,
         "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
         "corpus_prep_full": _oracle_corpus_prep_full(),
+        "stream_dedup_watermark": _oracle_stream_dedup_watermark(),
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
