@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "dedup_clusters",
+    "corpus_prep_full",
 ]
 
 
@@ -237,6 +238,16 @@ def main() -> None:
         # hypervisor steal, not an engine change
         "host_probe_pre": probe_pre,
         "host_probe_post": probe_post,
+        # self-normalized headline (r3 verdict housekeeping): docs/sec per
+        # host-probe M ops/s, using the mean of the bracketing aggregate
+        # probes — directly comparable across rounds without manual
+        # steal arithmetic
+        "docs_per_sec_per_mops": round(
+            N_DOCS
+            / elapsed
+            / ((probe_pre[f"mops_{CPUS}w"] + probe_post[f"mops_{CPUS}w"]) / 2),
+            2,
+        ),
     }
     print(json.dumps(out))
     spark.stop()
