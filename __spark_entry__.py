@@ -918,8 +918,24 @@ def _kmeans_sql_replay(emb: DataFrame, k: int, iters: int) -> DataFrame:
         n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
         return F.transform(col, lambda x: x / n)
 
-    nv = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", unit(F.col("embedding").cast("array<double>")).alias("nv")
+    # mirror the engine's vector hygiene: kmeans_centroids excludes
+    # null/NaN-ELEMENT vectors from the init pick (clean filter) and
+    # from every Lloyd sum (the partials NaN mask), and a zero-norm
+    # vector normalizes to NaN there and drops the same way — without
+    # this filter a single partially-null fixture vector would poison
+    # the replay's cell means while the engine ignores it
+    nv = (
+        emb.filter(F.col("embedding").isNotNull())
+        .filter(~F.exists(F.col("embedding"), lambda x: x.isNull() | F.isnan(x)))
+        .filter(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+            > 0
+        )
+        .select("vec_id", unit(F.col("embedding").cast("array<double>")).alias("nv"))
     )
     w = Window.orderBy(F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
     cents = (
@@ -992,7 +1008,11 @@ _KMEANS_ORACLE_CTES = """nv AS (
          list_transform(CAST(embedding AS DOUBLE[]),
            x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
                                             CAST(embedding AS DOUBLE[])))) AS nv
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND NOT list_contains(list_transform(embedding, x -> x IS NULL OR isnan(x)), true)
+    AND list_inner_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
 ),
 c0 AS (
   SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
@@ -1285,8 +1305,14 @@ def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_by_hash,
     )
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "doc_id", F.col("doc_id").cast("string")
+    # null doc_ids are excluded UP FRONT (a null key cannot be cloned,
+    # capped, clustered, or split deterministically) so the engine and
+    # the oracle share one explicit contract instead of relying on
+    # cap_per_group's passthrough vs the SQL replay's WHERE to agree
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
     )
     clones = sample_by_hash(docs, "doc_id", 0.2, salt=":clone").withColumn(
         "doc_id", F.concat(F.lit("dup-"), F.col("doc_id"))
@@ -1311,10 +1337,12 @@ def _oracle_corpus_prep_full() -> str:
 WITH RECURSIVE base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, n_chars
   FROM documents
+  WHERE doc_id IS NOT NULL
   UNION ALL
   SELECT 'dup-' || CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, n_chars
   FROM documents
-  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':clone'), 1, 15) AS BIGINT)
+  WHERE doc_id IS NOT NULL
+    AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':clone'), 1, 15) AS BIGINT)
           % 1000000 < 200000
 ),
 exact AS (

@@ -79,12 +79,14 @@ def build_bloom(
     if expected_items <= 0:
         raise ValueError(f"expected_items must be positive, got {expected_items}")
     m_bits = max(64, expected_items * bits_per_key)
-    if (m_bits + 7) // 8 > max_bytes:
+    need = (m_bits + 7) // 8
+    if need > max_bytes:
+        fmt = lambda b: f"{b / 2**30:.1f} GiB" if b >= 1 << 28 else f"{b:,} bytes"
         raise ValueError(
-            f"bloom bitmap would be {(m_bits + 7) // 8 / 2**30:.1f} GiB "
+            f"bloom bitmap would be {fmt(need)} "
             f"({expected_items} keys × {bits_per_key} bits/key), over the "
-            f"{max_bytes / 2**30:.1f} GiB driver/broadcast ceiling (max_bytes). "
-            f"Shard the catalog into {math.ceil(((m_bits + 7) // 8) / max_bytes)} "
+            f"{fmt(max_bytes)} driver/broadcast ceiling (max_bytes). "
+            f"Shard the catalog into {math.ceil(need / max_bytes)} "
             f"filters, lower bits_per_key, or raise max_bytes if the driver "
             f"and spark broadcast limits allow it"
         )
@@ -190,12 +192,19 @@ def bloom_probe_for(
     col: str,
     bits_per_key: int = 10,
     expected_items: int | None = None,
+    max_bytes: int | None = None,
 ):
     """Build + wrap in one step: the SINGLE sizing/build/broadcast rule
     shared by check_referential_integrity's in-check fallback and
     run_validation's run-scoped prebuild — two call sites encoding the
     rule independently would drift. Returns the probe column function
-    (one broadcast, reusable across any number of checks/batches)."""
+    (one broadcast, reusable across any number of checks/batches).
+    ``max_bytes`` raises build_bloom's driver/broadcast ceiling for
+    deployments whose driver is sized for a bigger bitmap (None = the
+    build_bloom default)."""
     n = expected_items or max(keys.count(), 1)  # raw count: overestimating
     # vs distinct only makes the filter sparser — no distinct shuffle
-    return might_contain_udf(spark, *build_bloom(keys.select(col), col, n, bits_per_key))
+    kw = {} if max_bytes is None else {"max_bytes": max_bytes}
+    return might_contain_udf(
+        spark, *build_bloom(keys.select(col), col, n, bits_per_key, **kw)
+    )

@@ -183,6 +183,7 @@ def check_referential_integrity(
     bloom_catalog: bool = False,
     bloom_bits_per_key: int = 10,
     bloom_expected_items: int | None = None,
+    bloom_max_bytes: int | None = None,  # raise the driver/broadcast ceiling
     bloom: object | None = None,  # probe callable or (bitmap, m_bits, k)
 ) -> tuple[DataFrame, DataFrame]:
     """media_ref of every non-text span must exist in the asset catalog.
@@ -240,6 +241,7 @@ def check_referential_integrity(
                 "media_ref",
                 bloom_bits_per_key,
                 bloom_expected_items,
+                bloom_max_bytes,
             )
         elif callable(bloom):
             mc = bloom  # prebuilt probe — broadcast already live

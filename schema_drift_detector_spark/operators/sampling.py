@@ -151,13 +151,15 @@ def cap_per_group(
 
     if max_rows <= 0:
         raise ValueError(f"max_rows must be positive, got {max_rows}")
-    w = Window.partitionBy(group_col).orderBy(
+    # single pass: nulls get their own window partition per group (the
+    # extra isNull partition key), so they rank only among themselves,
+    # never consume a real row's quota slot, and pass unconditionally —
+    # a separate filter+union branch would scan the source twice
+    w = Window.partitionBy(group_col, F.col(key).isNull()).orderBy(
         hash_bucket(key, salt=salt).asc(), F.col(key).asc()
     )
-    capped = (
-        df.filter(F.col(key).isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_rows)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col(key).isNull() | (F.col("__rn") <= max_rows))
         .drop("__rn")
     )
-    return capped.unionByName(df.filter(F.col(key).isNull()))

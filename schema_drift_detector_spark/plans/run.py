@@ -213,6 +213,7 @@ def run_validation(
             "media_ref",
             ri_spec.get("bloom_bits_per_key", 10),
             ri_spec.get("bloom_expected_items"),
+            ri_spec.get("bloom_max_bytes"),
         )
 
     # partitions present in a drift baseline but ABSENT from the current
@@ -455,9 +456,14 @@ def run_validation(
         "batches_executed": executed,
         "out_dir": out_dir,
         # effective salting decision (auto_salt may have overridden the
-        # spec): 1 = unsalted one-phase path, None = bucketed layout
+        # spec): 1 = unsalted one-phase path; None = no uniqueness
+        # aggregation ran this invocation (bucketed layout, or a fully
+        # resumed run with nothing pending — reporting the static spec
+        # there would fake a decision that was never made)
         "uniqueness_salt_buckets": (
-            None if uq_spec.get("bucketed") else uq_spec.get("salt_buckets", 16)
+            None
+            if uq_spec.get("bucketed") or not batches
+            else uq_spec.get("salt_buckets", 16)
         ),
     }
     return envelope

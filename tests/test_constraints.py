@@ -213,7 +213,5 @@ def test_ri_bloom_catalog_matches_plain_join(spark):
     # ADVICE r3: the assembled bitmap lives on the driver and ships as
     # one broadcast — sizes past the ceiling fail loud with guidance,
     # before any Spark job runs
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="GiB.*ceiling"):
+    with pytest.raises(ValueError, match="GiB.*ceiling"):
         build_bloom(cat, "media_ref", expected_items=10**10, bits_per_key=10)

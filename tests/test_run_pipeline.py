@@ -365,3 +365,12 @@ def test_auto_salt_decision_in_pipeline(spark, docs0, catalog, tmp_path_factory)
     out3 = str(tmp_path_factory.mktemp("run_static"))
     env3 = run_validation(spark, docs0, catalog, out3, run_id="as2", epoch=0)
     assert env3["run"]["uniqueness_salt_buckets"] == 16
+
+    # fully-resumed re-invocation: no aggregation runs, so no decision
+    # is reported (a static 16 here would fake one)
+    env_resumed = run_validation(
+        spark, docs0, catalog, out3, run_id="as2", epoch=0,
+        spec={"uniqueness": {"auto_salt": True}},
+    )
+    assert env_resumed["run"]["batches_executed"] == 0
+    assert env_resumed["run"]["uniqueness_salt_buckets"] is None
