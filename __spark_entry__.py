@@ -974,6 +974,35 @@ def _kmeans_sql_replay(emb: DataFrame, k: int, iters: int) -> DataFrame:
     return cents.select("centroid_id", F.posexplode("cvec").alias("pos", "ref_val"))
 
 
+def q_salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join result-equivalence on the certified board: the
+    per-row-salt + right-side-replication plumbing must produce EXACTLY
+    the rows of the plain equi-join it replaces (the salt only changes
+    the reducer layout, never the result). The oracle is the plain SQL
+    join — any salt-path row loss/duplication hash-mismatches."""
+    from schema_drift_detector_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return salted_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust.select("o_custkey", "c_name", "c_nationkey"),
+        "o_custkey",
+        salt_buckets=8,
+        how="left",
+    ).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_name", "c_nationkey",
+    )
+
+
+ORACLE_SALTED_JOIN_ORDERS = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS o_totalprice,
+       c.c_name, c.c_nationkey
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means trainer certified via the tolerance-contract
     pattern (like quantile_drift_spans): the engine's fused
@@ -2311,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_full": q_corpus_prep_full,
         "stream_dedup_watermark": q_stream_dedup_watermark,
         "ann_topk_ivf_kmeans": q_ann_topk_ivf_kmeans,
+        "salted_join_orders": q_salted_join_orders,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2365,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_full": _oracle_corpus_prep_full(),
         "stream_dedup_watermark": _oracle_stream_dedup_watermark(),
         "ann_topk_ivf_kmeans": ORACLE_ANN_TOPK_IVF_KMEANS,
+        "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
