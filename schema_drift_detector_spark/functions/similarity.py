@@ -62,9 +62,16 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 def normalize(a: Column | str) -> Column:
     """Unit-normalize once upstream so pairwise cosine becomes a plain
     dot product — the standard trick to keep the O(n·k) ANN inner loop
-    multiply-add only."""
+    multiply-add only.
+
+    try_divide, not `/`: under Spark 4's default ANSI mode a plain
+    double division by zero THROWS, so one zero-norm vector anywhere in
+    the corpus would abort the whole job. try_divide yields NULL
+    elements instead, which Arrow surfaces as NaN — exactly the
+    poisoned-row shape every downstream consumer (Lloyd partials, ANN
+    scoring) already masks out."""
     n = norm(a)
-    return F.transform(_c(a), lambda x: x.cast("double") / n)
+    return F.transform(_c(a), lambda x: F.try_divide(x.cast("double"), n))
 
 
 def cosine_arrow(a: Column | str, b: Column | str) -> Column:

@@ -128,11 +128,21 @@ def kmeans_centroids(
     # huge-magnitude member must not dominate its cell's direction.
     # Cached because every iteration rescans it (iters× otherwise).
     v = corpus.select(normalize(vec_col).alias("nv")).filter(F.col("nv").isNotNull()).persist()
-    # init sampling sees only fully-finite vectors — picking a vector
-    # with a null/NaN element would silently shrink k (the pick gets
-    # sanitized away below) even though k valid vectors exist
+    # init sampling sees only fully-finite, nonzero vectors — picking a
+    # vector with a null/NaN element would silently shrink k (the pick
+    # gets sanitized away below) even though k valid vectors exist, and
+    # a zero-norm (or empty) vector would become a dead unnormalizable
+    # centroid the Lloyd loop itself excludes from every sum (its nv is
+    # NaN) — init must not admit what the trainer will discard
     clean = corpus.filter(
         ~F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x))
+    ).filter(
+        F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+        > 0
     )
     init = deterministic_centroids(clean, k, id_col, vec_col).collect()
     if not init:

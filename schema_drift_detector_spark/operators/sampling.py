@@ -151,15 +151,24 @@ def cap_per_group(
 
     if max_rows <= 0:
         raise ValueError(f"max_rows must be positive, got {max_rows}")
-    # single pass: nulls get their own window partition per group (the
-    # extra isNull partition key), so they rank only among themselves,
-    # never consume a real row's quota slot, and pass unconditionally —
-    # a separate filter+union branch would scan the source twice
-    w = Window.partitionBy(group_col, F.col(key).isNull()).orderBy(
+    # single pass: null-key rows get their own window partitions (the
+    # extra __spread key: constant -1 for real rows, a per-row value in
+    # [0, 1024) for nulls), so they rank only among themselves, never
+    # consume a real row's quota slot, and pass unconditionally — a
+    # separate filter+union branch would scan the source twice, and a
+    # single shared null partition per group would funnel every null
+    # row of a null-heavy source into one straggling reducer (their
+    # rank is never used, so spreading them is free and result-neutral)
+    spread = F.when(
+        F.col(key).isNull(),
+        F.pmod(F.monotonically_increasing_id(), F.lit(1024)),
+    ).otherwise(F.lit(-1))
+    w = Window.partitionBy(group_col, "__spread").orderBy(
         hash_bucket(key, salt=salt).asc(), F.col(key).asc()
     )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__spread", spread)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col(key).isNull() | (F.col("__rn") <= max_rows))
-        .drop("__rn")
+        .drop("__rn", "__spread")
     )

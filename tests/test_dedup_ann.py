@@ -212,3 +212,26 @@ def test_kmeans_survives_null_element_vectors(spark):
     rows = kmeans_centroids(emb, 2, iters=2).collect()
     assert len(rows) == 2
     assert all(all(not math.isnan(x) for x in r.centroid_vec) for r in rows)
+
+
+def test_kmeans_zero_norm_vector_never_picked_as_init(spark):
+    """Review regression (r4): a zero-norm vector must be excluded from
+    the INIT pick, not only from the Lloyd sums — otherwise the engine
+    trains around a dead zero centroid while the SQL replay (which
+    filters zero-norm rows up front) picks a different seed and the
+    certification diverges. k valid vectors exist, so k centroids come
+    back, all unit-norm."""
+    import math
+
+    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]),
+         (3, [0.1, 0.9, 0.0]), (4, [1.0, 0.0, 0.1])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = kmeans_centroids(emb, 2, iters=2).collect()
+    assert len(rows) == 2
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r.centroid_vec))
+        assert abs(n - 1.0) < 1e-9, r  # no dead zero centroid

@@ -25,8 +25,17 @@ import time
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PAIRS = [(2, 8), (4, 16), (8, 32)]
+# pin against the cpuset this process is actually ALLOWED to use — on a
+# host with <32 CPUs or a restricted/non-contiguous container cpuset,
+# hardcoded ids 0..N-1 would EINVAL; levels beyond the available core
+# count are skipped rather than oversubscribed
+AVAIL_CPUS = sorted(os.sched_getaffinity(0))
+PAIRS = [(a, b) for a, b in [(2, 8), (4, 16), (8, 32)] if b <= len(AVAIL_CPUS)]
 LEVELS = sorted({c for p in PAIRS for c in p})
+
+
+def cpus_for(n: int) -> list[int]:
+    return AVAIL_CPUS[:n]
 
 RUNNER = r"""
 import json, os, sys, time
@@ -64,10 +73,15 @@ def hardware_probe() -> dict[int, float]:
     so the ceiling and the engine measurement see identical hardware."""
     out = {}
     full = os.sched_getaffinity(0)
+    # fork explicitly: the affinity-inheritance trick requires workers
+    # forked AFTER the setaffinity call; a forkserver (Python 3.14+
+    # Linux default) would be spawned inside the FIRST pinned region
+    # and silently corrupt every later level's mask
+    ctx = mp.get_context("fork")
     for procs in LEVELS:
-        os.sched_setaffinity(0, set(range(procs)))  # children inherit
+        os.sched_setaffinity(0, set(cpus_for(procs)))  # children inherit
         try:
-            with mp.Pool(procs) as p:
+            with ctx.Pool(procs) as p:
                 p.map(_burn, [200_000] * procs)  # warm the pool, excluded
                 t0 = time.time()
                 p.map(_burn, [20_000_000] * procs * 2)
@@ -86,8 +100,9 @@ def run(cores: int) -> dict:
     # measured N→4N efficiency — "a cluster of N executors" means N
     # cores total, including their overhead, on both cluster sizes.
     # (The JVM respects the affinity mask: availableProcessors == N.)
+    cpu_list = ",".join(str(c) for c in cpus_for(cores))
     out = subprocess.run(
-        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code, str(cores)],
+        ["taskset", "-c", cpu_list, sys.executable, "-c", code, str(cores)],
         capture_output=True, text=True, timeout=2400, cwd=REPO,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -100,6 +115,11 @@ def run(cores: int) -> dict:
 
 
 def main() -> None:
+    if not PAIRS:
+        raise SystemExit(
+            f"need at least 8 available CPUs for the smallest N->4N pair; "
+            f"host allows {len(AVAIL_CPUS)}"
+        )
     hw = hardware_probe()
     runs = {c: run(c) for c in LEVELS}
     n = runs[LEVELS[0]]["n_docs"]
@@ -107,6 +127,7 @@ def main() -> None:
     eff = {f"{a}->{b}": (thr[b] / thr[a]) / (b / a) for a, b in PAIRS}
     hw_eff = {f"{a}->{b}": (hw[b] / hw[a]) / (b / a) for a, b in PAIRS}
     stamp = datetime.now(timezone.utc).isoformat()
+    gate_pair = f"{PAIRS[0][0]}->{PAIRS[0][1]}"
 
     rows = "\n".join(
         f"| local[{c}] | {', '.join(f'{t:.2f}' for t in runs[c]['times'])} "
@@ -137,7 +158,7 @@ Cluster deployment: `spark-submit --py-files engine.zip job.py`.
 
 This VM advertises 32 CPUs, but `/proc/stat` shows substantial
 hypervisor **steal time**, and a Spark-free multiprocessing busy-loop
-probe (below) delivers only ~{hw[32]/ (hw[2]/2):,.0f} effective cores —
+probe (below) delivers only ~{hw[max(LEVELS)] / (hw[min(LEVELS)] / min(LEVELS)):,.0f} effective cores —
 pure CPU work cannot scale 8→32 at ≥0.8 on this host. The honest
 in-capacity reading of the N→4N rule here is the 2→8 pair; 4→16 and
 8→32 are reported with the hardware ceiling alongside.
@@ -162,8 +183,8 @@ means N cores total — JVM GC/shuffle/IO helper threads included — on
 both cluster sizes, and the ceiling measures the same hardware the
 engine ran on.
 
-**Result: {eff['2->8']:.3f} efficiency at N=2→4N=8 (within host
-capacity) — {"meets" if eff['2->8'] >= 0.8 else "FALLS SHORT of"} the
+**Result: {eff[gate_pair]:.3f} efficiency at the smallest in-capacity
+pair ({gate_pair}) — {"meets" if eff[gate_pair] >= 0.8 else "FALLS SHORT of"} the
 ≥0.8 criterion; at larger N the engine tracks
 {min(eff[k]/hw_eff[k] for k in eff):.0%}+ of what the host itself can
 deliver.**
