@@ -148,12 +148,6 @@ def with_previous_snapshot(snapshots: DataFrame) -> DataFrame:
     return snapshots.withColumn("previous_snapshot_id", F.lag("snapshot_id").over(w))
 
 
-def impacted_pipelines(catalog: DataFrame, snapshots: DataFrame) -> DataFrame:
-    """R13: pipelines covering a snapshotted component — equi-join +
-    distinct. The catalog is a small dimension → broadcast."""
-    return (
-        catalog.join(F.broadcast(snapshots.select("entity").distinct()),
-                     catalog["source_component"] == F.col("entity"), "inner")
-        .select("pipeline")
-        .distinct()
-    )
+# R13 (impacted pipelines) lives in plans/catalog.py::
+# impacted_pipelines_for — left_semi against the broadcast entity list;
+# a second inner-join+distinct variant here was dead duplication.

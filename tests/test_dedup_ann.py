@@ -235,3 +235,22 @@ def test_kmeans_zero_norm_vector_never_picked_as_init(spark):
     for r in rows:
         n = math.sqrt(sum(x * x for x in r.centroid_vec))
         assert abs(n - 1.0) < 1e-9, r  # no dead zero centroid
+
+
+def test_similarity_expression_forms(spark):
+    """l2_distance / cosine expression forms: exact values on known
+    vectors (the Arrow cosine path is covered by the ANN tests; these
+    are the fallback expression forms on the public surface)."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.functions.similarity import cosine, l2_distance
+
+    df = spark.createDataFrame(
+        [([3.0, 0.0], [0.0, 4.0]), ([1.0, 0.0], [1.0, 0.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(
+        F.round(l2_distance("a", "b"), 9).alias("l2"),
+        F.round(cosine("a", "b"), 9).alias("cos"),
+    ).collect()
+    assert (got[0].l2, got[0].cos) == (5.0, 0.0)
+    assert (got[1].l2, got[1].cos) == (0.0, 1.0)
