@@ -229,3 +229,62 @@ def test_stateful_running_profiles(spark, tmp_path_factory):
         assert r.n_spans == expected[p].ns
         assert r.offset_max == expected[p].om
         assert abs(r.text_null_ratio - batch_prof[p].text_null_ratio) < 1e-9
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path_factory):
+    """Checkpoint recovery of the dedup state: stop after the first two
+    micro-batches, add a third file with duplicates of already-seen
+    (live) content, restart against the SAME checkpoint — the restored
+    state must still drop them, and the combined output must equal a
+    one-shot run over all three files."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.streaming.epochs import stream_dedup_exact
+
+    base = str(tmp_path_factory.mktemp("sdedup_restart"))
+    schema = "doc_id string, text string, ingest_ts timestamp"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "doc_id string, text string, mins int")
+        df.select(
+            "doc_id", "text",
+            F.timestamp_seconds((F.col("mins") + 1440) * 60).alias("ingest_ts"),
+        ).coalesce(1).write.parquet(f"{base}/in/{name}")
+        for root, _, files in os.walk(f"{base}/in/{name}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+
+    # generous 60-min watermark: every key stays live across the run
+    write_file("a", [("A", "ta", 0), ("B", "tb", 5)], 1_000_000)
+    write_file("b", [("C", "tc", 10), ("A2", "ta", 12)], 1_000_100)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in/*")
+        )
+        q = (
+            stream_dedup_exact(
+                stream, ts_col="ingest_ts", content_col="text", watermark="60 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/_ckpt")
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()  # processes a, b; keeps A, B, C; drops A2
+    first = {r.doc_id for r in spark.read.parquet(f"{base}/out").collect()}
+    assert first == {"A", "B", "C"}
+
+    # new file: duplicates of state the restart must REMEMBER + one new
+    write_file("c", [("B2", "tb", 20), ("C2", "tc", 22), ("D", "td", 25)], 1_000_200)
+    run_once()  # restart from checkpoint: only file c is new
+    final = {r.doc_id for r in spark.read.parquet(f"{base}/out").collect()}
+    assert final == {"A", "B", "C", "D"}, final
