@@ -217,3 +217,63 @@ def test_diff_matches_reference_fallback_semantics(spark, data):
     assert got == ref_changes, f"changes mismatch\n got={got}\n ref={ref_changes}"
     assert rep.summary == ref_summary
     assert rep.severity == ref_overall
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=20, max_size=120),
+    st.floats(min_value=0.05, max_value=0.5),
+)
+def test_heavy_hitters_matches_brute_force(spark, keys, phi):
+    """Property: heavy_hitters == the brute-force groupBy answer (keys
+    with freq*denom >= num*N under the same rational snap of phi) for
+    arbitrary multisets — including keys exactly on the threshold."""
+    from fractions import Fraction
+
+    from schema_drift_detector_spark.operators.skew import heavy_hitters
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {(r.k, r.n_occurrences) for r in heavy_hitters(df, "k", phi).collect()}
+    frac = Fraction(phi).limit_denominator(1_000_000)
+    from collections import Counter
+
+    counts = Counter(keys)
+    n = len(keys)
+    want = {
+        (k, c)
+        for k, c in counts.items()
+        if c * frac.denominator >= frac.numerator * n
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200)),
+        min_size=1,
+        max_size=150,
+    ),
+    st.integers(1, 12),
+)
+def test_cap_per_group_properties(spark, rows, max_rows):
+    """Properties of the quota: (1) no group exceeds max_rows non-null
+    survivors; (2) a group at-or-under quota keeps every row; (3) the
+    survivor set is a subset of the input and deterministic across
+    repartitioning."""
+    from collections import Counter
+
+    from schema_drift_detector_spark.operators.sampling import cap_per_group
+
+    data = [(g, f"k-{g}-{i}") for g, i in rows]
+    df = spark.createDataFrame(data, "g int, k string")
+    out = cap_per_group(df, "g", "k", max_rows)
+    got = [(r.g, r.k) for r in out.collect()]
+    in_counts = Counter(g for g, _ in set(data))
+    out_counts = Counter(g for g, _ in set(got))
+    for g, c in out_counts.items():
+        assert c <= max_rows
+        assert c == min(in_counts[g], max_rows)
+    assert set(got) <= set(data)
+    again = {(r.g, r.k) for r in cap_per_group(df.repartition(7), "g", "k", max_rows).collect()}
+    assert set(got) == again
