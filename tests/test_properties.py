@@ -265,7 +265,10 @@ def test_cap_per_group_properties(spark, rows, max_rows):
 
     from schema_drift_detector_spark.operators.sampling import cap_per_group
 
-    data = [(g, f"k-{g}-{i}") for g, i in rows]
+    # dedupe: the quota caps ROWS, so a duplicated (g, i) tuple would
+    # consume two slots while the distinct-count assertions below see
+    # one key — unique inputs keep rows == keys
+    data = sorted({(g, f"k-{g}-{i}") for g, i in rows})
     df = spark.createDataFrame(data, "g int, k string")
     out = cap_per_group(df, "g", "k", max_rows)
     got = [(r.g, r.k) for r in out.collect()]
