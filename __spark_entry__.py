@@ -1795,6 +1795,75 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (overlapping) windowed streaming aggregation — the cell
+    the tumbling entry above cannot cover: window=2 days, slide=1 day,
+    so EVERY event feeds exactly two concurrently-open windows and the
+    state store holds overlapping window rows across micro-batches.
+    Same complete-mode final-batch protocol; the oracle replays the
+    overlap by emitting each event into both of its slide-aligned
+    window starts (floor_day(ts) and floor_day(ts) − 1 day)."""
+    import shutil
+
+    from schema_drift_detector_spark.streaming.epochs import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
+    _write_once(ev.repartition(4), src)
+    out = f"{_ARTIFACTS}/stream_windows/out_sliding_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(stream, window="2 days", slide="1 day", watermark="2 days")
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_sliding_counts did not finish within 300s")
+    rows = spark.read.parquet(out)
+    last = rows.agg(F.max("batch_id")).first()[0]
+    if last is None or last < 1:
+        raise RuntimeError("expected >1 micro-batch — window state never folded")
+    return rows.filter(F.col("batch_id") == last).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+ORACLE_STREAM_SLIDING_COUNTS = """
+WITH ex AS (
+  SELECT date_trunc('day', ts) AS win_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('day', ts) - INTERVAL 1 DAY, event_type, value FROM events
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM ex
+GROUP BY 1, 2
+"""
+
+
 _STREAM_DD_DIR = f"{_ARTIFACTS}/stream_dedup_wm"
 # watermark-delay minutes and the per-batch fixture rows (minute offsets
 # are relative to a +1-day base — a row AT epoch 0 would sit on Spark's
@@ -2341,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_watermark": q_stream_dedup_watermark,
         "ann_topk_ivf_kmeans": q_ann_topk_ivf_kmeans,
         "salted_join_orders": q_salted_join_orders,
+        "stream_sliding_counts": q_stream_sliding_counts,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2396,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_watermark": _oracle_stream_dedup_watermark(),
         "ann_topk_ivf_kmeans": ORACLE_ANN_TOPK_IVF_KMEANS,
         "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
+        "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "span_validation": ORACLE_SPAN_VALIDATION,
