@@ -124,6 +124,7 @@ def cap_per_group(
     key: str,
     max_rows: int,
     salt: str = ":quota",
+    keep_null_keys: bool = True,
 ) -> DataFrame:
     """Deterministic per-group quota (corpus balancing: cap any one
     source/domain's contribution). Keeps the ``max_rows`` rows of each
@@ -134,12 +135,15 @@ def cap_per_group(
     SALTS rule — an unsalted quota's survivors would be exactly the
     low-bucket keys a subsequent sample_by_hash keeps).
 
-    Null-key rows PASS THROUGH unchanged, exempt from the quota (they
-    do not consume slots and are never dropped): a null key has no
-    hash, so ranking them would make the selection irreproducible
-    (Spark sorts nulls first, DuckDB last) — and a balancing operator
-    must not silently delete rows it cannot judge (ADVICE r3). Filter
-    nulls upstream (uniqueness check) if they should not survive.
+    Null-key rows PASS THROUGH unchanged by default, exempt from the
+    quota (they do not consume slots and are never dropped): a null key
+    has no hash, so ranking them would make the selection
+    irreproducible (Spark sorts nulls first, DuckDB last) — and a
+    balancing operator must not silently delete rows it cannot judge
+    (ADVICE r3). CONTRACT CHANGE (round 4): before this, null-key rows
+    were dropped; callers that relied on that set
+    ``keep_null_keys=False`` to restore the old behavior (a plain
+    pre-filter — nulls never enter the window).
 
     One window over (group, hash-ordered) — a single shuffle on
     group_col; AQE's skew handling splits oversized groups' sort. For
@@ -151,6 +155,8 @@ def cap_per_group(
 
     if max_rows <= 0:
         raise ValueError(f"max_rows must be positive, got {max_rows}")
+    if not keep_null_keys:
+        df = df.filter(F.col(key).isNotNull())
     # single pass: null-key rows get their own window partitions (the
     # extra __spread key: constant -1 for real rows, a per-row value in
     # [0, 1024) for nulls), so they rank only among themselves, never
@@ -158,10 +164,18 @@ def cap_per_group(
     # separate filter+union branch would scan the source twice, and a
     # single shared null partition per group would funnel every null
     # row of a null-heavy source into one straggling reducer (their
-    # rank is never used, so spreading them is free and result-neutral)
+    # rank is never used, so spreading them is free and result-neutral).
+    # The spread MUST be deterministic per row CONTENT: it feeds hash
+    # partitioning, and a speculative/fetch-failure re-execution of a
+    # map task re-evaluates it — monotonically_increasing_id would
+    # assign the retried row a different reducer (row duplicated or
+    # lost; Spark's indeterminate-stage rollback does not cover
+    # arbitrary nondeterministic exprs feeding Exchange). Content-equal
+    # null rows colliding into one spread cell is fine — spread is
+    # load balancing only, never part of the result.
     spread = F.when(
         F.col(key).isNull(),
-        F.pmod(F.monotonically_increasing_id(), F.lit(1024)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1024)),
     ).otherwise(F.lit(-1))
     w = Window.partitionBy(group_col, "__spread").orderBy(
         hash_bucket(key, salt=salt).asc(), F.col(key).asc()

@@ -12,6 +12,7 @@ lives in constraints.duplicate_keys; this is the join-side counterpart.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 from fractions import Fraction
 
 from pyspark.sql import DataFrame
@@ -24,36 +25,69 @@ def salted_join(
     key: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Skew-resilient equi-join: a hot key on the LEFT no longer funnels
     into one reducer.
 
-    Left rows get a PER-ROW salt (monotonically_increasing_id mod
-    buckets — consecutive rows of the same key land in different
-    buckets, so a hot key spreads across ``salt_buckets`` reducers even
-    when it is clustered into one input partition, e.g. after a
-    key-partitioned read or groupBy); the RIGHT side is replicated
-    ``salt_buckets`` times so every (key, salt) bucket finds its match.
-    Output columns = left columns + right's non-key columns, exactly as
-    ``left.join(right, key, how)`` would produce. Supported how:
-    inner / left / left_outer.
+    Left rows get a PER-ROW salt (a deterministic content hash mod
+    buckets — rows of the same key spread across ``salt_buckets``
+    reducers even when the key is clustered into one input partition,
+    e.g. after a key-partitioned read or groupBy); the RIGHT side is
+    replicated ``salt_buckets`` times so every (key, salt) bucket finds
+    its match. Output columns = left columns + right's non-key columns,
+    exactly as ``left.join(right, key, how)`` would produce. Supported
+    how: inner / left / left_outer.
 
-    Cost model: right side is shuffled ×salt_buckets — use for big-big
-    joins where the right side is far smaller than the skewed left but
-    too big (or not allowed) to broadcast.
+    ``hot_keys`` (the r4-verdict refinement, fed from the certified
+    ``heavy_hitters`` — a small list of the measured hot key values):
+    salt ONLY rows whose key is hot and replicate ONLY the right rows
+    of hot keys; every cold key joins plainly in the same single join
+    (constant salt 0 on both sides). Right-side shuffle volume drops
+    from total×buckets to cold + hot×buckets — at 100-TB scale the cold
+    fraction dominates, so this is ~a buckets-fold reduction of the
+    replication shuffle. One scan per side, one join either way; the
+    hot list compiles to a codegen isin filter, no extra shuffle.
+
+    DETERMINISM: the salt feeds the join's hash Exchange, so it must be
+    reproducible under task retries — a speculative re-execution that
+    re-salted a row differently would route it to two reducers (dup) or
+    none (loss). Hence xxhash64 over the row's columns, NOT
+    monotonically_increasing_id. Content-identical rows of one hot key
+    collide into one bucket; fully-duplicated hot rows are the one
+    shape this cannot spread (and exactly what duplicate_keys flags).
+
+    Cost model: use for big-big joins where the right side is far
+    smaller than the skewed left but too big (or not allowed) to
+    broadcast; pass ``hot_keys`` whenever a heavy_hitters pass is
+    affordable (it shuffles only metadata-scale sketches).
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     # NOT spark_partition_id + hash(key): that is constant per
     # (partition, key), so a hot key clustered in one input partition
-    # would still funnel into one reducer. monotonically_increasing_id
-    # is per-row (contiguous within a partition) — join RESULTS are
-    # identical for any salt assignment, only the balance varies.
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
-    lhs = left.withColumn("__salt", salt)
-    rhs = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    )
+    # would still funnel into one reducer. xxhash64 over all columns is
+    # per-row-content — join RESULTS are identical for any salt
+    # assignment, only the balance varies.
+    row_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    all_salts = F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    if hot_keys is None:
+        lhs = left.withColumn("__salt", row_salt)
+        rhs = right.withColumn("__salt", F.explode(all_salts))
+    else:
+        hot = list(hot_keys)
+        if not hot:
+            # measured skew says no hot key: plain join, zero replication
+            return left.join(right, on=key, how=how)
+        lhs = left.withColumn(
+            "__salt", F.when(F.col(key).isin(hot), row_salt).otherwise(F.lit(0))
+        )
+        rhs = right.withColumn(
+            "__salt",
+            F.explode(
+                F.when(F.col(key).isin(hot), all_salts).otherwise(F.array(F.lit(0)))
+            ),
+        )
     joined = lhs.join(rhs, on=[key, "__salt"], how=how)
     return joined.drop("__salt")
 
@@ -91,9 +125,21 @@ def heavy_hitters(
 
     Null keys are not candidates (a null doc_id is a constraint
     violation, not a hot range). Output: key, n_occurrences, share.
+
+    Raises ValueError when: phi outside (0,1); the SNAPPED phi (the
+    num/denom rational actually used by the filter) is at or below the
+    1e-4 freqItems support floor; support >= snapped phi (recall
+    guarantee would not cover threshold keys); or support < 1e-4. All
+    guards validate against the snapped value, so the guard and the
+    filter always agree on the effective threshold.
     """
     if not (0 < phi < 1):
         raise ValueError(f"phi must be in (0,1), got {phi}")
+    # snap FIRST, then validate against the snapped value — the filter
+    # below uses frac, so guards on the raw double could pass a phi
+    # whose effective (snapped) threshold violates the support interval
+    frac = Fraction(phi).limit_denominator(1_000_000)
+    phi = float(frac)
     if phi <= 1e-4:
         # support must satisfy 1e-4 <= support < phi — for phi <= 1e-4
         # that interval is empty, so no explicit support can help
@@ -133,8 +179,8 @@ def heavy_hitters(
     total = buckets.agg(F.sum("n_occurrences").alias("__N"))
     # exact threshold: freq >= phi*N  <=>  freq*denom >= num*N (integer
     # frequencies); DECIMAL(38,0) products stay exact at N ~ 10^12
-    # where double math can flip a boundary key (ADVICE r3)
-    frac = Fraction(phi).limit_denominator(1_000_000)
+    # where double math can flip a boundary key (ADVICE r3); frac was
+    # snapped above so every guard validated the same effective phi
     return (
         buckets.filter(F.col("__k").isNotNull())
         .crossJoin(F.broadcast(total))

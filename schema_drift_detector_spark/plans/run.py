@@ -118,27 +118,47 @@ def run_validation(
     }
 
     # ---- schema snapshot + drift detection (metadata-scale) ------------
+    # chain resolution is ONE collect of the tiny snapshots meta table
+    # (r4 verdict #1: the old get_or_create + previous_snapshot pair
+    # cost two parquet reads + three collect jobs of serial driver
+    # latency); the persist + before-fields read + diff then run on a
+    # BACKGROUND thread, overlapped with the batch body's scans — they
+    # share no lineage with the batch work, and SparkSession job
+    # submission is thread-safe (same pattern as the concurrent output
+    # writes below). The future is joined before the first manifest
+    # commit, preserving write-ahead ordering: the snapshot row is
+    # durable before any externally-visible commit references its id.
     fields = fields_from_schema(spark, docs.schema)
-    snapshot_id = store.get_or_create_snapshot(
-        spark, f"{out_dir}/store", entity, epoch, fields, run_id
+    snapshot_id, prev_id, needs_persist = store.resolve_snapshot_chain(
+        spark, f"{out_dir}/store", entity, epoch, run_id
     )
-    prev_id = store.previous_snapshot(spark, f"{out_dir}/store", entity, snapshot_id)
-    if prev_id:
-        before = store.fields_of(spark, f"{out_dir}/store", prev_id)
-    else:
-        before = spark.createDataFrame([], fields.schema)  # first snapshot → all adds
-    changes_df = diff_fields(before, fields)
-    report_row = drift_report(changes_df).first()  # single-row metadata frame
-    schema_report = {
-        "request_id": run_id,
-        "drift_detected": report_row.drift_detected,
-        "drift_report": {
-            "changes": [c.asDict(recursive=True) for c in report_row.changes],
-            "summary": report_row.summary,
-            "severity": report_row.severity,
-        },
-        "detected_by": "schema_drift_detector_spark",
-    }
+
+    def _metadata_phase():
+        if needs_persist:
+            store.persist_snapshot(
+                spark,
+                f"{out_dir}/store",
+                entity,
+                epoch,
+                fields,
+                source_path=run_id,
+                snapshot_id=snapshot_id,
+            )
+        if prev_id:
+            before = store.fields_of(spark, f"{out_dir}/store", prev_id)
+        else:
+            before = spark.createDataFrame([], fields.schema)  # first snapshot → all adds
+        report_row = drift_report(diff_fields(before, fields)).first()
+        return {
+            "request_id": run_id,
+            "drift_detected": report_row.drift_detected,
+            "drift_report": {
+                "changes": [c.asDict(recursive=True) for c in report_row.changes],
+                "summary": report_row.summary,
+                "severity": report_row.severity,
+            },
+            "detected_by": "schema_drift_detector_spark",
+        }
 
     # layout guard (once, before any batch work or persists): profiles
     # moved from [snapshot_id, partition_id] to [run_id, snapshot_id,
@@ -158,6 +178,11 @@ def run_validation(
             f"(snapshot_id=...); move it aside or point out_dir at a fresh "
             f"location — mixing layouts makes the directory unreadable"
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _meta_pool = ThreadPoolExecutor(max_workers=1)
+    meta_future = _meta_pool.submit(_metadata_phase)
 
     # ---- partition plan with resume ------------------------------------
     universe = docs.select("partition_id").distinct()
@@ -399,6 +424,11 @@ def run_validation(
                 }
             finally:
                 profiles.unpersist()
+            # join the metadata phase before the FIRST commit: the
+            # manifest row is the externally-visible promise that this
+            # batch (and its lineage snapshot_id) exists — the snapshot
+            # store row must be durable first (write-ahead ordering)
+            meta_future.result()
             M.commit_partitions(
                 spark,
                 out_dir,
@@ -423,8 +453,10 @@ def run_validation(
     finally:
         if dups is not None:
             dups.unpersist()
+        _meta_pool.shutdown(wait=True)
 
     # ---- policy: heal → notify → decide (driver-side, tiny) ------------
+    schema_report = meta_future.result()
     pol = spec.get("policy", {})
     heal = policy.healing_plan(
         schema_report["drift_detected"],

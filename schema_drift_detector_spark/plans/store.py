@@ -35,10 +35,14 @@ def persist_snapshot(
     profiles: DataFrame | None = None,
     created_by: str = "schema_drift_detector_spark",
     source_path: str | None = None,
+    snapshot_id: str | None = None,
 ) -> str:
     """Append an immutable snapshot; returns its uuid
-    (≙ snapshot_persistence_agent.py:116 identity semantics)."""
-    snapshot_id = new_snapshot_id()
+    (≙ snapshot_persistence_agent.py:116 identity semantics).
+    ``snapshot_id`` lets a caller that minted the id up front (see
+    resolve_snapshot_chain) persist under it; default mints a fresh
+    uuid."""
+    snapshot_id = snapshot_id or new_snapshot_id()
     # write-ahead ordering: fields/profiles land FIRST, the snapshot
     # meta row LAST — the meta row is the commit point every reader
     # discovers snapshots through (previous_snapshot, get_or_create).
@@ -95,6 +99,50 @@ def get_or_create_snapshot(
     if existing:
         return existing[0].snapshot_id
     return persist_snapshot(spark, store_dir, entity, epoch, fields, source_path=run_id)
+
+
+def resolve_snapshot_chain(
+    spark: SparkSession,
+    store_dir: str,
+    entity: str,
+    epoch: int,
+    run_id: str,
+) -> tuple[str, str | None, bool]:
+    """Resolve (snapshot_id, previous_snapshot_id, needs_persist) with
+    ONE collect of the (tiny) snapshots meta table, instead of the
+    get_or_create + previous_snapshot pair's two separate parquet
+    reads + three collect jobs. The meta table is metadata-scale by
+    construction (one row per snapshot), so driver-side resolution is
+    the right altitude — each avoided Spark job is ~0.5-1 s of serial
+    driver latency that Amdahls short runs (BENCH/BASELINE.md phase
+    decomposition; r4 verdict #1).
+
+    Matches get_or_create_snapshot (reuse iff a snapshot with this
+    entity/epoch/source_path==run_id exists) and previous_snapshot
+    (most recent OTHER snapshot for the entity; timestamp desc,
+    snapshot_id as a deterministic tie-break). When ``needs_persist``
+    is True the caller owns writing the snapshot via
+    persist_snapshot(..., snapshot_id=...) — and must do so before
+    anything downstream becomes externally visible (manifest commit),
+    preserving the write-ahead chain discipline.
+    """
+    rows = read_snapshots(spark, store_dir).filter(F.col("entity") == entity).collect()
+    existing = [
+        r
+        for r in rows
+        if r.epoch == int(epoch) and r.source_path == run_id
+    ]
+    if existing:
+        snapshot_id, created = existing[0].snapshot_id, False
+    else:
+        snapshot_id, created = new_snapshot_id(), True
+    others = sorted(
+        (r for r in rows if r.snapshot_id != snapshot_id),
+        key=lambda r: (r.timestamp, r.snapshot_id),
+        reverse=True,
+    )
+    prev_id = others[0].snapshot_id if others else None
+    return snapshot_id, prev_id, created
 
 
 def read_snapshots(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -288,3 +288,74 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path_factory):
     run_once()  # restart from checkpoint: only file c is new
     final = {r.doc_id for r in spark.read.parquet(f"{base}/out").collect()}
     assert final == {"A", "B", "C", "D"}, final
+
+
+def test_drop_duplicates_within_watermark_pinned_semantics(spark, tmp_path_factory):
+    """Pins the UNDOCUMENTED Spark internals the certified
+    stream_dedup_watermark oracle (__spark_entry__.py) relies on, so a
+    Spark upgrade that changes them fails HERE with a named assumption
+    instead of a confusing oracle hash mismatch (ADVICE r4). Pinned on
+    Spark 4.1 dropDuplicatesWithinWatermark:
+      (1) a row is late iff ts < watermark at the START of its batch;
+      (2) expired-but-unevicted state still MATCHES during the batch;
+      (3) eviction happens at batch END using that batch's
+          start-of-batch watermark -> later re-admission is possible.
+    Timeline mirrors the certified entry's fixture (delay 10 min)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("ddww_pin"))
+    batches = [
+        [("A", "ta", 0), ("B", "tb", 5), ("C", "tc", 30)],
+        [("A2", "ta", 21), ("C2", "tc", 31), ("L", "tb", 12), ("D", "td", 35)],
+        [("C3", "tc", 36), ("A3", "ta", 45), ("E", "te", 26)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id string, text string, mins int")
+        df.select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds((F.col("mins") + 1440) * 60).alias("ingest_ts"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{base}/src/b{i}")
+        t = 1_000_000 + 100 * i
+        for root, _, files in os.walk(f"{base}/src/b{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/b*")
+    )
+    dd = (
+        stream.withWatermark("ingest_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["text"])
+    )
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(f"{base}/out").collect()}
+    assert "A2" not in kept, (
+        "assumption (2) broke: expired-but-unevicted state no longer "
+        "matches duplicates during the batch (A ts=0 expired at wm=20 "
+        "but must still block A2 in batch 1)"
+    )
+    assert "L" not in kept, (
+        "assumption (1) broke: lateness is no longer ts < start-of-batch "
+        "watermark (L ts=12 < wm=20 must be dropped as late)"
+    )
+    assert "A3" in kept, (
+        "assumption (3) broke: state is no longer evicted at batch END "
+        "with the start-of-batch watermark (A evicted after batch 1, so "
+        "A3 in batch 2 must be re-admitted)"
+    )
+    assert kept == {"A", "B", "C", "D", "A3", "E"}, (
+        f"pinned dropDuplicatesWithinWatermark timeline changed: {kept} "
+        "- update the stream_dedup_watermark oracle to the new semantics"
+    )

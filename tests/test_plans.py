@@ -374,3 +374,100 @@ def test_choose_salt_buckets_decision_and_unsalted_plan(spark):
     assert "__salt" not in unsalted
     salted = _plan(duplicate_keys(uniform, "k", salt_buckets=8))
     assert "__salt" in salted
+
+
+def test_resolve_snapshot_chain_matches_legacy_pair(spark, tmp_path_factory):
+    """The one-collect resolve_snapshot_chain (r4 verdict #1) must agree
+    with the legacy get_or_create_snapshot + previous_snapshot pair on:
+    empty store, reuse of an existing run's snapshot, and previous-id
+    selection across entities and epochs."""
+    from schema_drift_detector_spark.operators.snapshot import fields_from_schema
+    from schema_drift_detector_spark.plans import store
+
+    d = str(tmp_path_factory.mktemp("chain"))
+    fields = fields_from_schema(
+        spark, spark.range(1).select(F.col("id").alias("doc_id")).schema
+    )
+
+    # empty store: new id, no previous, needs persist
+    sid, prev, created = store.resolve_snapshot_chain(spark, d, "docs", 0, "run-a")
+    assert created and prev is None
+    store.persist_snapshot(
+        spark, d, "docs", 0, fields, source_path="run-a", snapshot_id=sid
+    )
+
+    # same run resumes: same id back, nothing to persist
+    sid2, prev2, created2 = store.resolve_snapshot_chain(spark, d, "docs", 0, "run-a")
+    assert sid2 == sid and not created2 and prev2 is None
+    assert store.get_or_create_snapshot(spark, d, "docs", 0, fields, "run-a") == sid
+
+    # a later epoch of the same entity: fresh id, previous = first
+    sid3, prev3, created3 = store.resolve_snapshot_chain(spark, d, "docs", 1, "run-b")
+    assert created3 and sid3 != sid and prev3 == sid
+    store.persist_snapshot(
+        spark, d, "docs", 1, fields, source_path="run-b", snapshot_id=sid3
+    )
+    assert store.previous_snapshot(spark, d, "docs", sid3) == sid
+
+    # other entities never leak into the chain
+    store.persist_snapshot(spark, d, "other", 0, fields, source_path="run-c")
+    sid4, prev4, _ = store.resolve_snapshot_chain(spark, d, "docs", 2, "run-d")
+    assert prev4 == sid3 == store.previous_snapshot(spark, d, "docs", sid4)
+
+
+def test_salted_join_hot_keys_equivalence_and_shuffle_volume(spark):
+    """r4 verdict #2: hot-key-only salting must (a) return exactly the
+    plain join's rows and (b) shuffle right-side records ≈ cold +
+    hot×buckets instead of total×buckets — proven from task metrics."""
+    from schema_drift_detector_spark.operators.skew import salted_join
+
+    n_left, n_cold, buckets = 200_000, 40_000, 16
+    left = spark.range(n_left).select(
+        F.when(F.col("id") % 5 < 2, F.lit("HOT"))
+        .otherwise(F.format_string("k-%06d", F.col("id") % n_cold))
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(n_cold).select(
+        F.format_string("k-%06d", F.col("id")).alias("k"),
+        F.col("id").alias("rv"),
+    ).union(spark.createDataFrame([("HOT", -1)], ["k", "rv"]))
+
+    expected = sorted(
+        (r.k, r.lv, r.rv) for r in left.join(right, "k", "inner").collect()
+    )
+    got = sorted(
+        (r.k, r.lv, r.rv)
+        for r in salted_join(
+            left, right, "k", buckets, "inner", hot_keys=["HOT"]
+        ).collect()
+    )
+    assert got == expected
+    # measured-no-hot-key shortcut: empty list → plain join, same rows
+    got_plain = sorted(
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", buckets, "inner", hot_keys=[]).collect()
+    )
+    assert got_plain == expected
+
+    def total_writes(df) -> int:
+        stats = _task_stats(
+            spark, lambda: df.write.format("noop").mode("overwrite").save()
+        )
+        return sum(sum(s["writes"]) for s in stats)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        full = total_writes(salted_join(left, right, "k", buckets))
+        hot = total_writes(
+            salted_join(left, right, "k", buckets, hot_keys=["HOT"])
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # exact record accounting (noop sink: the join's two map sides are
+    # the only shuffle writes): full replicates every right row ×buckets,
+    # hot-only replicates just the one hot key's row
+    assert full == n_left + (n_cold + 1) * buckets, full
+    assert hot == n_left + n_cold + 1 * buckets, hot
