@@ -1045,6 +1045,122 @@ FROM events e LEFT JOIN per_user p ON e.user_id = p.user_id
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-epoch dedup (r4 verdict #6): epoch 0 ingests
+    the even-doc_id half of the corpus; epoch 1 ingests the odd half
+    PLUS exact clones (new ids, same text) of every doc_id%10==0 doc
+    already accepted in epoch 0 — the clones must be rejected by the
+    PERSISTED fingerprint index, not by anything in epoch 1's own
+    batch. The oracle replays both epochs' survivor rules (min-id per
+    md5 fingerprint with the null-content sentinel, then
+    earlier-epochs-win anti-join) in plain SQL. Non-vacuous by
+    construction: at least the clones are cross-epoch rejections
+    (asserted)."""
+    import tempfile
+
+    from schema_drift_detector_spark.operators.incremental import ingest_epoch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(clones)
+    idx = tempfile.mkdtemp(prefix="fpidx_entry_")
+    a0 = ingest_epoch(spark, idx, b0, 0)
+    a1 = ingest_epoch(spark, idx, b1, 1)
+    n_clones_in = clones.count()
+    n_clones_accepted = a1.filter(F.col("doc_id") >= 1_000_000).count()
+    if n_clones_in == 0 or n_clones_accepted > 0:
+        raise RuntimeError(
+            f"vacuous incremental dedup: {n_clones_accepted}/{n_clones_in} "
+            f"cross-epoch clones leaked through the persisted index"
+        )
+    return a0.select("doc_id", F.lit(0).cast("int").alias("ingest_epoch")).unionByName(
+        a1.select("doc_id", F.lit(1).cast("int").alias("ingest_epoch"))
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH b0 AS (
+  SELECT doc_id, coalesce(md5(text), '__null_content__') AS fp
+  FROM documents WHERE doc_id % 2 = 0
+),
+b1 AS (
+  SELECT doc_id, coalesce(md5(text), '__null_content__') AS fp FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  )
+),
+a0 AS (SELECT fp, min(doc_id) AS doc_id FROM b0 GROUP BY 1),
+s1 AS (SELECT fp, min(doc_id) AS doc_id FROM b1 GROUP BY 1),
+a1 AS (SELECT s1.fp, s1.doc_id FROM s1
+       WHERE NOT EXISTS (SELECT 1 FROM a0 WHERE a0.fp = s1.fp))
+SELECT doc_id, CAST(0 AS INTEGER) AS ingest_epoch FROM a0
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS ingest_epoch FROM a1
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (r4 verdict #5): flag corpus docs
+    sharing any normalized 8-word-gram with a held-out eval set. The
+    eval set is derived deterministically from the same documents table
+    (a 4% hash sample, texts truncated to their first 200 chars — the
+    'benchmark quotes a prefix of a crawled page' shape), so the oracle
+    can re-derive it bit-for-bit: DuckDB recomputes tokenization,
+    gram windows, the portable 60-bit gram hashes, the eval gram set,
+    and the per-doc distinct-hit counts. Every sampled doc overlaps
+    itself, so the result is non-vacuous by construction (asserted)."""
+    from schema_drift_detector_spark.operators.decontam import contamination_hits, eval_gram_hashes
+    from schema_drift_detector_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(hash_bucket("doc_id", salt=":eval") < 40_000).select(
+        F.substring("text", 1, 200).alias("text")
+    )
+    hits = contamination_hits(
+        docs, eval_gram_hashes(eval_df, "text", n=8), "doc_id", "text", n=8
+    )
+    n = hits.count()
+    if n == 0:
+        raise RuntimeError("vacuous decontamination: no contaminated doc flagged")
+    return hits.select("doc_id", F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"))
+
+
+ORACLE_DECONTAMINATE = """
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+eval_tok AS (
+  SELECT list_filter(string_split_regex(lower(substr(text, 1, 200)), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 15) AS BIGINT)
+        % 1000000 < 40000
+),
+eval_grams AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS gh
+  FROM eval_tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+doc_grams AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS gh
+  FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM doc_grams d JOIN eval_grams e ON d.gh = e.gh
+GROUP BY 1
+"""
+
+
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means trainer certified via the tolerance-contract
     pattern (like quantile_drift_spans): the engine's fused
@@ -2453,6 +2569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_kmeans": q_ann_topk_ivf_kmeans,
         "salted_join_orders": q_salted_join_orders,
         "salted_join_hot_events": q_salted_join_hot_events,
+        "decontaminate": q_decontaminate,
+        "incremental_dedup": q_incremental_dedup,
         "stream_sliding_counts": q_stream_sliding_counts,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2510,6 +2628,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_kmeans": ORACLE_ANN_TOPK_IVF_KMEANS,
         "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
         "salted_join_hot_events": ORACLE_SALTED_JOIN_HOT_EVENTS,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),

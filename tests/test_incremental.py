@@ -1,0 +1,70 @@
+"""Incremental cross-epoch dedup (operators/incremental.py): survivor
+semantics, cross-epoch rejection through the persisted index, resume
+idempotency, and partition pruning of the history read."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from schema_drift_detector_spark.operators.incremental import (
+    ingest_epoch,
+    read_fingerprint_index,
+)
+
+
+def test_ingest_epoch_semantics(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fpidx"))
+    b0 = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, None)], ["doc_id", "text"]
+    )
+    a0 = ingest_epoch(spark, d, b0, 0)
+    # within-batch: min id per fingerprint; one null-content survivor
+    assert sorted(r.doc_id for r in a0.collect()) == [1, 2, 4]
+
+    b1 = spark.createDataFrame(
+        [(10, "bbb"), (11, "ccc"), (12, "ccc"), (13, None)], ["doc_id", "text"]
+    )
+    a1 = ingest_epoch(spark, d, b1, 1)
+    # bbb and the null row are cross-epoch dups via the PERSISTED index;
+    # ccc dedups within the batch to its min id
+    assert sorted(r.doc_id for r in a1.collect()) == [11]
+
+    idx = read_fingerprint_index(spark, d)
+    got = {(r.id, r.ingest_epoch) for r in idx.collect()}
+    assert got == {(1, 0), (2, 0), (4, 0), (11, 1)}
+
+
+def test_ingest_epoch_resume_idempotent(spark, tmp_path_factory):
+    """Re-running an epoch (crash/resume) must neither duplicate index
+    rows nor change the accepted set — the epoch partition is
+    dynamic-overwritten in place."""
+    d = str(tmp_path_factory.mktemp("fpidx_r"))
+    b0 = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    ingest_epoch(spark, d, b0, 0)
+    b1 = spark.createDataFrame([(5, "y"), (6, "z")], ["doc_id", "text"])
+    first = sorted(r.doc_id for r in ingest_epoch(spark, d, b1, 1).collect())
+    again = sorted(r.doc_id for r in ingest_epoch(spark, d, b1, 1).collect())
+    assert first == again == [6]
+    idx = read_fingerprint_index(spark, d)
+    assert idx.count() == 3  # no duplicated epoch-1 rows
+    assert idx.filter(F.col("ingest_epoch") == 1).count() == 1
+
+
+def test_history_read_is_partition_pruned(spark, tmp_path_factory):
+    """The anti-join's history scan must prune later/self epoch
+    partitions at the source (ingest_epoch is the parquet partition
+    key): an epoch-1 ingest reads only the epoch-0 partition."""
+    d = str(tmp_path_factory.mktemp("fpidx_p"))
+    ingest_epoch(
+        spark, d, spark.createDataFrame([(1, "x")], ["doc_id", "text"]), 0
+    )
+    ingest_epoch(
+        spark, d, spark.createDataFrame([(2, "y")], ["doc_id", "text"]), 1
+    )
+    hist = read_fingerprint_index(spark, d, before_epoch=1)
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "ingest_epoch" in plan  # partition filter present
+    assert {r.ingest_epoch for r in hist.collect()} == {0}
+    # pruning is structural: the filtered scan touches 1 of 2 partitions
+    n_parts = hist._jdf.queryExecution().executedPlan().toString().count("PartitionFilters")
+    assert n_parts >= 1
