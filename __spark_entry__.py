@@ -1045,6 +1045,80 @@ FROM events e LEFT JOIN per_user p ON e.user_id = p.user_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic next-fit sequence packing (context packing for
+    pretraining): docs sharded by portable id hash, ordered by (hash,
+    id) within the shard, appended to a bin until the 90-token cap
+    would overflow; oversize docs get flagged solo bins. The oracle
+    replays the IDENTICAL fold with a per-shard lockstep recursive CTE
+    — certifying shard routing, fold order, every bin boundary, and
+    the truncation flags, not just totals. Non-vacuous: asserts both a
+    multi-doc bin and >= 1 oversize doc exist at this SF."""
+    from schema_drift_detector_spark.functions.text import token_count
+    from schema_drift_detector_spark.operators.packing import pack_next_fit
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    )
+    out = pack_next_fit(docs, "doc_id", "n_tokens", cap_tokens=90, n_shards=8)
+    agg = out.agg(
+        F.max("truncated").alias("any_trunc"),
+        (F.count(F.lit(1)) > F.countDistinct("shard", "bin")).alias("any_multi"),
+    ).first()
+    if not (agg.any_trunc and agg.any_multi):
+        raise RuntimeError(
+            f"vacuous packing fixture: truncated={agg.any_trunc}, "
+            f"multi-doc bins={agg.any_multi}"
+        )
+    return out
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15) AS BIGINT)
+           % 1000000 AS h
+  FROM documents WHERE text IS NOT NULL
+),
+o AS (
+  SELECT doc_id, n_tokens, h, CAST(h % 8 AS INTEGER) AS shard,
+         row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS rn
+  FROM t
+),
+fold AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin,
+         n_tokens > 90 AS truncated,
+         -- state AFTER this row: (cur_bin, cur_fill, started)
+         CASE WHEN n_tokens > 90 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS cur_bin,
+         CASE WHEN n_tokens > 90 THEN CAST(0 AS BIGINT) ELSE n_tokens END AS cur_fill,
+         n_tokens <= 90 AS started
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN o.n_tokens > 90
+              THEN f.cur_bin + CASE WHEN f.started THEN 1 ELSE 0 END
+              WHEN f.started AND f.cur_fill + o.n_tokens > 90
+              THEN f.cur_bin + 1
+              ELSE f.cur_bin END AS bin,
+         o.n_tokens > 90 AS truncated,
+         CASE WHEN o.n_tokens > 90
+              THEN f.cur_bin + CASE WHEN f.started THEN 1 ELSE 0 END + 1
+              WHEN f.started AND f.cur_fill + o.n_tokens > 90
+              THEN f.cur_bin + 1
+              ELSE f.cur_bin END AS cur_bin,
+         CASE WHEN o.n_tokens > 90 THEN CAST(0 AS BIGINT)
+              WHEN f.started AND f.cur_fill + o.n_tokens > 90 THEN o.n_tokens
+              ELSE f.cur_fill + o.n_tokens END AS cur_fill,
+         o.n_tokens <= 90 AS started
+  FROM fold f JOIN o ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT doc_id, shard, bin, n_tokens, truncated FROM fold
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-epoch dedup (r4 verdict #6): epoch 0 ingests
     the even-doc_id half of the corpus; epoch 1 ingests the odd half
@@ -2571,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_hot_events": q_salted_join_hot_events,
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
+        "pack_sequences": q_pack_sequences,
         "stream_sliding_counts": q_stream_sliding_counts,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2630,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_hot_events": ORACLE_SALTED_JOIN_HOT_EVENTS,
         "decontaminate": ORACLE_DECONTAMINATE,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
         "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),

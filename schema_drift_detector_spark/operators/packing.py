@@ -1,0 +1,113 @@
+"""Sequence packing: assign documents to fixed-token-budget bins (the
+pretraining "context packing" step — concatenating short documents into
+max_seq_len windows so padding doesn't waste compute).
+
+The packing rule is deterministic NEXT-FIT over a deterministic order:
+docs are sharded by the portable hash of their id, ordered within the
+shard by (hash, id), and appended to the shard's current bin until the
+next doc would exceed ``cap_tokens``; then a new bin starts. Next-fit
+(not first-fit/best-fit) because it is the rule a one-pass streaming
+packer actually implements, it needs O(1) state, and — unlike
+first-fit — it is replayable in ANSI SQL (a recursive scan), so the
+assignment is certifiable cross-engine and reproducible bit-for-bit
+across runs and cluster sizes.
+
+Scale shape:
+  - Shards are INDEPENDENT: one shuffle to co-locate each shard's
+    (id, n_tokens) rows, then a sequential fold per shard. With
+    ``n_shards`` ~ 10-100× the cluster's cores, each shard holds
+    corpus/n_shards rows; the fold sees only two small columns, never
+    the text. The output is (id, shard, bin, n_tokens) — a metadata
+    frame joined back to content by the caller when materializing
+    packed sequences (broadcast or co-partitioned join on id).
+  - Docs LONGER than the cap get a bin of their own and a
+    ``truncated`` flag (the caller decides split-vs-drop); they must
+    not poison the fold by wedging the current bin forever.
+  - applyInPandas materializes one shard's (id, n_tokens) rows at a
+    time — at 10^12 docs with n_shards = 10^5, a shard is ~10^7 tiny
+    rows, comfortably in executor memory BECAUSE the fold input is
+    projected to the two packing columns first.
+
+Determinism note: the shard hash and in-shard order are pure functions
+of the doc id (portable md5 — sampling.hash_bucket), so a retry/rerun
+repacks identically; no monotonically_increasing_id anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    cap_tokens: int = 2048,
+    n_shards: int = 16,
+    salt: str = ":pack",
+) -> DataFrame:
+    """Deterministic next-fit packing. Returns (id_col, shard, bin,
+    n_tokens, truncated): ``bin`` numbers bins per shard from 0 in fold
+    order; ``truncated`` marks docs whose own token count exceeds the
+    cap (alone in their bin). Null-id rows are rejected (no hash → no
+    deterministic shard); null/negative token counts are rejected —
+    a packing decision over unknown lengths is meaningless.
+    """
+    if cap_tokens <= 0:
+        raise ValueError(f"cap_tokens must be positive, got {cap_tokens}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    bad = df.filter(
+        F.col(id_col).isNull()
+        | F.col(tokens_col).isNull()
+        | (F.col(tokens_col) < 0)
+    ).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"pack_next_fit requires non-null {id_col} and non-null, "
+            f"non-negative {tokens_col}; found violating rows"
+        )
+    slim = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        hash_bucket(id_col, salt=salt).alias("__h"),
+    ).withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+
+    out_schema = (
+        f"{id_col} {slim.schema[id_col].dataType.simpleString()}, "
+        "shard int, bin bigint, n_tokens bigint, truncated boolean"
+    )
+    cap = int(cap_tokens)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", id_col], kind="mergesort").reset_index(drop=True)
+        bins, truncs = [], []
+        cur_bin, cur_fill = 0, 0
+        started = False
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > cap:
+                # oversize doc: own bin, flagged; fold state resets
+                if started:
+                    cur_bin += 1
+                bins.append(cur_bin)
+                truncs.append(True)
+                cur_bin += 1
+                cur_fill, started = 0, False
+                continue
+            if started and cur_fill + n > cap:
+                cur_bin += 1
+                cur_fill = 0
+            bins.append(cur_bin)
+            truncs.append(False)
+            cur_fill += n
+            started = True
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["truncated"] = pd.Series(truncs, dtype="bool")
+        return pdf[[id_col, "shard", "bin", "n_tokens", "truncated"]]
+
+    return slim.groupBy("shard").applyInPandas(fold, out_schema)

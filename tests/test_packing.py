@@ -1,0 +1,78 @@
+"""Sequence packing (operators/packing.py): next-fit semantics, cap
+invariants, oversize handling, determinism across partitionings, and
+input validation."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from schema_drift_detector_spark.operators.packing import pack_next_fit
+
+
+def test_pack_invariants_and_determinism(spark):
+    """Every non-oversize bin fits the cap; oversize docs sit alone and
+    flagged; the assignment is identical regardless of input
+    partitioning (pure function of ids)."""
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(130)) + 1).alias("n_tokens"),
+    )
+    out = pack_next_fit(docs, cap_tokens=100, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 500
+    fills = {}
+    for r in rows:
+        if r.truncated:
+            assert r.n_tokens > 100
+        else:
+            fills.setdefault((r.shard, r.bin), 0)
+            fills[(r.shard, r.bin)] += r.n_tokens
+    assert fills and all(v <= 100 for v in fills.values())
+    # oversize bins contain exactly their one doc
+    from collections import Counter
+
+    per_bin = Counter((r.shard, r.bin) for r in rows)
+    for r in rows:
+        if r.truncated:
+            assert per_bin[(r.shard, r.bin)] == 1
+    # repartitioned input -> identical assignment
+    out2 = pack_next_fit(docs.repartition(13), cap_tokens=100, n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_pack_next_fit_order_is_hash_then_id(spark):
+    """The fold order inside a shard is (hash, id) — a single-shard
+    fixture packs exactly like the hand-computed next-fit walk."""
+    from schema_drift_detector_spark.operators.sampling import hash_bucket
+
+    docs = spark.createDataFrame(
+        [(i, 60) for i in range(6)], ["doc_id", "n_tokens"]
+    )
+    out = {r.doc_id: (r.bin,) for r in pack_next_fit(
+        docs, cap_tokens=100, n_shards=1
+    ).collect()}
+    order = [
+        r.doc_id
+        for r in docs.select(
+            "doc_id", hash_bucket("doc_id", salt=":pack").alias("h")
+        ).orderBy("h", "doc_id").collect()
+    ]
+    # 60-token docs, 100 cap -> one per bin in fold order
+    assert [out[d][0] for d in order] == list(range(6))
+
+
+def test_pack_rejects_bad_rows(spark):
+    with pytest.raises(ValueError, match="non-null"):
+        pack_next_fit(
+            spark.createDataFrame([(None, 5)], "doc_id bigint, n_tokens bigint")
+        )
+    with pytest.raises(ValueError, match="non-null"):
+        pack_next_fit(
+            spark.createDataFrame([(1, -2)], "doc_id bigint, n_tokens bigint")
+        )
+    with pytest.raises(ValueError, match="cap_tokens"):
+        pack_next_fit(
+            spark.createDataFrame([(1, 2)], "doc_id bigint, n_tokens bigint"),
+            cap_tokens=0,
+        )
