@@ -1135,6 +1135,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.incremental import ingest_epoch
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the +1e6 clone-id offset requires a disjoint id domain; guard it
+    # so a larger fixture fails loudly instead of colliding clone ids
+    # with real docs (which would corrupt the min-id tie-break AND make
+    # the leak check below count real docs as clones)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None or max_id >= 1_000_000:
+        raise RuntimeError(
+            f"incremental_dedup fixture assumes doc_id < 1e6 (max={max_id}); "
+            f"raise the clone offset for this fixture"
+        )
     b0 = docs.filter(F.col("doc_id") % 2 == 0)
     clones = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"

@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "dedup_clusters",
     "corpus_prep_full",
+    "decontaminate",
+    "pack_sequences",
+    "incremental_dedup",
+    "salted_join_hot_events",
 ]
 
 

@@ -97,19 +97,24 @@ def ingest_epoch(
     history = read_fingerprint_index(spark, index_dir, before_epoch=epoch).select(
         F.col("fingerprint").alias("__fp")
     )
-    accepted = survivors.join(history, on="__fp", how="left_anti")
-    index_rows = accepted.select(
+    # eager localCheckpoint: (a) the accepted set is computed ONCE — the
+    # index write below and the caller's consumption would otherwise
+    # each replay the dedup joins and a full batch scan; (b) the blocks
+    # are GC-reclaimed when the returned frame is dropped (unlike an
+    # unowned persist). Memory cost is the accepted batch on executor
+    # storage — bounded by one ingest batch, not the index.
+    accepted = survivors.join(history, on="__fp", how="left_anti").localCheckpoint(
+        eager=True
+    )
+    # STATIC overwrite of exactly this epoch's partition directory, NOT
+    # a dynamic partitionBy overwrite: dynamic overwrite with zero
+    # accepted rows writes no partitions at all, so a stale partition
+    # from a prior aborted attempt at this epoch would silently survive
+    # and poison every later anti-join (review r5 #2). Writing the
+    # directory directly replaces it even when empty; partition
+    # discovery re-derives ingest_epoch from the path on read.
+    accepted.select(
         F.col("__fp").alias("fingerprint"),
         F.col(id_col).cast("bigint").alias("id"),
-        F.lit(int(epoch)).cast("int").alias("ingest_epoch"),
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        index_rows.write.mode("overwrite").partitionBy("ingest_epoch").parquet(index_dir)
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        else:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    ).write.mode("overwrite").parquet(f"{index_dir}/ingest_epoch={int(epoch)}")
     return accepted.drop("__fp")

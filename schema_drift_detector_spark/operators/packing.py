@@ -53,24 +53,15 @@ def pack_next_fit(
     """Deterministic next-fit packing. Returns (id_col, shard, bin,
     n_tokens, truncated): ``bin`` numbers bins per shard from 0 in fold
     order; ``truncated`` marks docs whose own token count exceeds the
-    cap (alone in their bin). Null-id rows are rejected (no hash → no
-    deterministic shard); null/negative token counts are rejected —
-    a packing decision over unknown lengths is meaningless.
+    cap (alone in their bin). Null ids (no hash → no deterministic
+    shard) and null/negative token counts fail the job with a
+    ValueError raised FROM THE FOLD (surfacing as PythonException) —
+    validated in-stream, not by a separate pre-scan of the input.
     """
     if cap_tokens <= 0:
         raise ValueError(f"cap_tokens must be positive, got {cap_tokens}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    bad = df.filter(
-        F.col(id_col).isNull()
-        | F.col(tokens_col).isNull()
-        | (F.col(tokens_col) < 0)
-    ).limit(1)
-    if bad.count() > 0:
-        raise ValueError(
-            f"pack_next_fit requires non-null {id_col} and non-null, "
-            f"non-negative {tokens_col}; found violating rows"
-        )
     slim = df.select(
         F.col(id_col),
         F.col(tokens_col).cast("bigint").alias("n_tokens"),
@@ -84,6 +75,20 @@ def pack_next_fit(
     cap = int(cap_tokens)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # validation lives IN the fold: a driver-side pre-scan would
+        # cost a second full pass over clean inputs just to find
+        # nothing (review r5 #7). Null ids hash to a null shard and
+        # still reach a fold group; null/negative counts surface here.
+        if pdf[id_col].isna().any():
+            raise ValueError(
+                f"pack_next_fit requires non-null {id_col}: a null id has "
+                f"no hash, so its shard and fold position are undefined"
+            )
+        if pdf["n_tokens"].isna().any() or (pdf["n_tokens"] < 0).any():
+            raise ValueError(
+                f"pack_next_fit requires non-null, non-negative {tokens_col}: "
+                f"packing over unknown lengths is meaningless"
+            )
         pdf = pdf.sort_values(["__h", id_col], kind="mergesort").reset_index(drop=True)
         bins, truncs = [], []
         cur_bin, cur_fill = 0, 0

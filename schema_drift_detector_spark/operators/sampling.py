@@ -173,9 +173,13 @@ def cap_per_group(
     # arbitrary nondeterministic exprs feeding Exchange). Content-equal
     # null rows colliding into one spread cell is fine — spread is
     # load balancing only, never part of the result.
+    hashable = [c for c, t in df.dtypes if not t.startswith("map")]
     spread = F.when(
         F.col(key).isNull(),
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(1024)),
+        # map columns excluded: Spark's hash exprs reject MapType; an
+        # all-map frame collapses nulls to one spread cell (correct,
+        # just unspread)
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]) if hashable else F.lit(0), F.lit(1024)),
     ).otherwise(F.lit(-1))
     w = Window.partitionBy(group_col, "__spread").orderBy(
         hash_bucket(key, salt=salt).asc(), F.col(key).asc()

@@ -66,10 +66,17 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     # NOT spark_partition_id + hash(key): that is constant per
     # (partition, key), so a hot key clustered in one input partition
-    # would still funnel into one reducer. xxhash64 over all columns is
-    # per-row-content — join RESULTS are identical for any salt
-    # assignment, only the balance varies.
-    row_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    # would still funnel into one reducer. xxhash64 over the row's
+    # hashable columns is per-row-content — join RESULTS are identical
+    # for any salt assignment, only the balance varies. MapType columns
+    # are excluded (Spark's hash expressions reject maps at analysis
+    # time); a frame whose EVERY column is a map degenerates to a
+    # single bucket, which is correct, just unbalanced.
+    hashable = [c for c, t in left.dtypes if not t.startswith("map")]
+    row_salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in hashable]) if hashable else F.lit(0),
+        F.lit(salt_buckets),
+    )
     all_salts = F.sequence(F.lit(0), F.lit(salt_buckets - 1))
     if hot_keys is None:
         lhs = left.withColumn("__salt", row_salt)

@@ -133,7 +133,7 @@ def run_validation(
         spark, f"{out_dir}/store", entity, epoch, run_id
     )
 
-    def _metadata_phase():
+    def _persist_phase():
         if needs_persist:
             store.persist_snapshot(
                 spark,
@@ -144,6 +144,8 @@ def run_validation(
                 source_path=run_id,
                 snapshot_id=snapshot_id,
             )
+
+    def _report_phase():
         if prev_id:
             before = store.fields_of(spark, f"{out_dir}/store", prev_id)
         else:
@@ -181,8 +183,21 @@ def run_validation(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    _meta_pool = ThreadPoolExecutor(max_workers=1)
-    meta_future = _meta_pool.submit(_metadata_phase)
+    # two independent background futures, joined at different barriers:
+    #   persist_future — the snapshot store rows; MUST be durable before
+    #     the first batch OUTPUT WRITE lands, because profile output dirs
+    #     are keyed by snapshot_id: a crash after a profile write but
+    #     before the snapshot row would make resume mint a fresh uuid and
+    #     orphan the old dirs forever (review r5 #1) — the write-ahead
+    #     invariant is snapshot-before-any-output, not just before-commit.
+    #   report_future — before-fields read + diff + drift report; only
+    #     the envelope/policy needs it, so it overlaps the whole batch
+    #     body and joins at the first manifest commit.
+    # The overlap window for the persist is the partition plan below
+    # (universe distinct — a full scan — and the manifest read).
+    _meta_pool = ThreadPoolExecutor(max_workers=2)
+    persist_future = _meta_pool.submit(_persist_phase)
+    meta_future = _meta_pool.submit(_report_phase)
 
     # ---- partition plan with resume ------------------------------------
     universe = docs.select("partition_id").distinct()
@@ -370,6 +385,9 @@ def run_validation(
                 (verdicts, f"{out_dir}/verdicts", ["run_id", "partition_id"]),
                 (violations, f"{out_dir}/violations", ["run_id", "partition_id"]),
             ]
+            # snapshot rows durable BEFORE any snapshot_id-keyed output
+            # dir exists (write-ahead: see the futures comment above)
+            persist_future.result()
             prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             write_ok = False
@@ -424,10 +442,10 @@ def run_validation(
                 }
             finally:
                 profiles.unpersist()
-            # join the metadata phase before the FIRST commit: the
-            # manifest row is the externally-visible promise that this
-            # batch (and its lineage snapshot_id) exists — the snapshot
-            # store row must be durable first (write-ahead ordering)
+            # join the report phase before the FIRST commit: a failed
+            # diff must abort the run before any manifest row promises
+            # the batch exists (the snapshot-durability barrier is the
+            # persist_future join above, before the writes)
             meta_future.result()
             M.commit_partitions(
                 spark,
@@ -456,6 +474,7 @@ def run_validation(
         _meta_pool.shutdown(wait=True)
 
     # ---- policy: heal → notify → decide (driver-side, tiny) ------------
+    persist_future.result()  # zero-batch runs: durable before the envelope
     schema_report = meta_future.result()
     pol = spec.get("policy", {})
     heal = policy.healing_plan(

@@ -63,14 +63,16 @@ def test_pack_next_fit_order_is_hash_then_id(spark):
 
 
 def test_pack_rejects_bad_rows(spark):
-    with pytest.raises(ValueError, match="non-null"):
+    # null id / bad counts raise from the fold (in-stream validation —
+    # no pre-scan), surfacing as PythonException at action time
+    with pytest.raises(Exception, match="non-null doc_id"):
         pack_next_fit(
             spark.createDataFrame([(None, 5)], "doc_id bigint, n_tokens bigint")
-        )
-    with pytest.raises(ValueError, match="non-null"):
+        ).collect()
+    with pytest.raises(Exception, match="non-negative n_tokens"):
         pack_next_fit(
             spark.createDataFrame([(1, -2)], "doc_id bigint, n_tokens bigint")
-        )
+        ).collect()
     with pytest.raises(ValueError, match="cap_tokens"):
         pack_next_fit(
             spark.createDataFrame([(1, 2)], "doc_id bigint, n_tokens bigint"),

@@ -374,3 +374,38 @@ def test_auto_salt_decision_in_pipeline(spark, docs0, catalog, tmp_path_factory)
     )
     assert env_resumed["run"]["batches_executed"] == 0
     assert env_resumed["run"]["uniqueness_salt_buckets"] is None
+
+
+def test_snapshot_durable_before_outputs_and_resume_reuses_id(
+    spark, docs0, catalog, tmp_path_factory
+):
+    """Write-ahead invariant (review r5 #1): by the time ANY
+    snapshot_id-keyed output row is on disk, the snapshot store row must
+    be durable — otherwise a crash in that window makes the resumed run
+    mint a fresh snapshot_id and the old profile dirs are orphaned
+    forever. crash_after_write stops exactly between the batch writes
+    and the manifest commit, the worst point of that window."""
+    from schema_drift_detector_spark.plans import store
+
+    out = str(tmp_path_factory.mktemp("run_wa"))
+    run_validation(
+        spark, docs0, catalog, out, run_id="wa", epoch=0,
+        partition_batches=4, fail_after_batches=1, crash_after_write=True,
+    )
+    # outputs exist for the crashed batch...
+    import os
+    assert os.path.isdir(f"{out}/profiles")
+    # ...and the snapshot row is ALREADY durable
+    snaps = store.read_snapshots(spark, f"{out}/store").collect()
+    assert len(snaps) == 1
+    sid = snaps[0].snapshot_id
+    # resume reuses that id: no second snapshot row, and every profile
+    # dir on disk is keyed by the one snapshot_id
+    run_validation(
+        spark, docs0, catalog, out, run_id="wa", epoch=0, partition_batches=4
+    )
+    snaps2 = store.read_snapshots(spark, f"{out}/store").collect()
+    assert [s.snapshot_id for s in snaps2] == [sid]
+    run_dir = f"{out}/profiles/run_id=wa"
+    sid_dirs = {d for d in os.listdir(run_dir) if d.startswith("snapshot_id=")}
+    assert sid_dirs == {f"snapshot_id={sid}"}
