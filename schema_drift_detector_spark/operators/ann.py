@@ -127,7 +127,15 @@ def kmeans_centroids(
     # nv (unit vectors) is what spherical k-means averages — a single
     # huge-magnitude member must not dominate its cell's direction.
     # Cached because every iteration rescans it (iters× otherwise).
-    v = corpus.select(normalize(vec_col).alias("nv")).filter(F.col("nv").isNotNull()).persist()
+    # size > 0: an EMPTY array normalizes to an empty array (not null)
+    # and would crash the Lloyd fold's matrix build with an
+    # inhomogeneous-shape error; the oracle replay's inner_product > 0
+    # guard already excludes empties, so this also preserves parity
+    v = (
+        corpus.select(normalize(vec_col).alias("nv"))
+        .filter(F.col("nv").isNotNull() & (F.size("nv") > 0))
+        .persist()
+    )
     # init sampling sees only fully-finite, nonzero vectors — picking a
     # vector with a null/NaN element would silently shrink k (the pick
     # gets sanitized away below) even though k valid vectors exist, and

@@ -483,6 +483,102 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_near_duplicates_ivf(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs bucketed by IVF cells — the k-means
+    complement to the random-hyperplane route above, and the standard
+    'semantic dedup' shape (SemDeDup-style: cluster, then compare only
+    within clusters): candidates are pairs sharing at least one of each
+    vector's ``nprobe`` nearest centroids; exact cosine then verifies.
+
+    Multi-assignment (nprobe >= 2) is the recall lever: a near-dup pair
+    split across a cell boundary still collides if either of the
+    second-choice cells agrees — the same trick as IVF search probing.
+    Pairs co-occurring in several cells are emitted once (distinct).
+
+    Scale shape: the centroid table is metadata-scale (k rows) and is
+    COLLECTED + closed over in an Arrow mapInPandas — the assignment is
+    one narrow corpus pass (numpy matmul per batch, top-nprobe via
+    lexsort with centroid-id tie-break), NO shuffle and no N×k exploded
+    rows (a window over the crossJoin would shuffle N×k). The only
+    shuffle is the candidate self-join on cell id over nprobe×N slim
+    rows; within-cell pair counts are bounded by cell sizes, which the
+    k-means trainer balances. Null/empty/NaN vectors are dropped (they
+    have no meaningful cell or cosine).
+
+    Output: doc_a, doc_b, cos_sim (round 6).
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    cent_rows = sorted(
+        (r[0], list(r[1])) for r in centroids.select("centroid_id", "centroid_vec").collect()
+    )
+    if len(cent_rows) < 2:
+        raise ValueError("need >= 2 centroids for cell bucketing")
+    nprobe = min(nprobe, len(cent_rows))
+    cent_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    cmat = np.vstack([v for _, v in cent_rows])
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    v = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+    out_schema = (
+        f"doc {v.schema['doc'].dataType.simpleString()}, "
+        f"cell bigint, vec {v.schema['vec'].dataType.simpleString()}"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            vv = pdf["vec"].to_numpy()
+            keep = []
+            for i, x in enumerate(vv):
+                if x is None or len(x) == 0:
+                    continue
+                ax = np.asarray(x, dtype=np.float64)
+                if np.isnan(ax).any() or not np.linalg.norm(ax) > 0:
+                    continue
+                keep.append(i)
+            if not keep:
+                continue
+            m = np.vstack([np.asarray(vv[i], dtype=np.float64) for i in keep])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cmat.T  # rows × k
+            # top-nprobe per row, ties broken by ascending centroid_id
+            # (lexsort: last key primary)
+            order = np.lexsort((np.broadcast_to(cent_ids, sims.shape), -sims), axis=1)
+            top = order[:, :nprobe]  # column indices into cent_ids
+            docs = pdf["doc"].to_numpy()[keep]
+            vecs = pdf["vec"].to_numpy()[keep]
+            yield pd.DataFrame(
+                {
+                    "doc": np.repeat(docs, nprobe),
+                    "cell": cent_ids[top].ravel(),
+                    "vec": np.repeat(vecs, nprobe),
+                }
+            )
+
+    assigned = v.mapInPandas(assign, out_schema)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(cosine_arrow(F.col("a.vec"), F.col("b.vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # Near-dup clustering (connected components over candidate pairs)
 # --------------------------------------------------------------------------

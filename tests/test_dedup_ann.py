@@ -254,3 +254,68 @@ def test_similarity_expression_forms(spark):
     ).collect()
     assert (got[0].l2, got[0].cos) == (5.0, 0.0)
     assert (got[1].l2, got[1].cos) == (0.0, 1.0)
+
+
+def test_semantic_near_dups_ivf_recall_and_null_safety(spark):
+    """IVF-cell near-dup: multi-probe candidates recover the planted
+    high-cosine pairs exactly (near-dup pairs share a top-2 cell), and
+    null/NaN/zero/empty vectors neither pair nor poison assignment."""
+    import numpy as np
+
+    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+    from schema_drift_detector_spark.operators.dedup import (
+        embedding_near_duplicates,
+        semantic_near_duplicates_ivf,
+    )
+
+    rng = np.random.default_rng(7)
+    # 4 well-separated cluster directions; 50 vectors each, plus planted
+    # near-identical pairs (tiny jitter -> cosine ~0.999)
+    bases = rng.standard_normal((4, 16))
+    rows = []
+    vid = 0
+    for b in bases:
+        for _ in range(50):
+            v = b + 0.3 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    planted = []
+    for i in range(8):
+        v = bases[i % 4] + 0.3 * rng.standard_normal(16)
+        rows.append((vid, [float(x) for x in v]))
+        rows.append((vid + 1, [float(x) for x in (v + 0.001 * rng.standard_normal(16))]))
+        planted.append((vid, vid + 1)); vid += 2
+    rows += [(vid, None), (vid + 1, []), (vid + 2, [0.0] * 16),
+             (vid + 3, [float("nan")] + [1.0] * 15)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = kmeans_centroids(emb, k=4, iters=2)
+    got = semantic_near_duplicates_ivf(emb, cents, threshold=0.99, nprobe=2)
+    pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert set(planted) <= pairs, set(planted) - pairs
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in embedding_near_duplicates(
+            emb, "vec_id", "embedding", threshold=0.99, n_planes=0
+        ).collect()
+    }
+    assert pairs <= exact  # candidates are verified: no false positives
+    bad_ids = {vid, vid + 1, vid + 2, vid + 3}
+    assert not any(a in bad_ids or b in bad_ids for a, b in pairs)
+
+
+def test_semantic_near_dups_ivf_assignment_is_narrow(spark):
+    """The multi-assign stage must be a narrow mapInPandas over the scan
+    — the only Exchange in the pair plan belongs to the candidate join
+    (and its dedup), never an N x k explode/window before it."""
+    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+    from schema_drift_detector_spark.operators.dedup import semantic_near_duplicates_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=4, iters=1)
+    pairs = semantic_near_duplicates_ivf(emb, cents, threshold=0.4, nprobe=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Expand" not in plan
+    # assignment is a MapInPandas over the scan, once per join leg
+    # (Spark does not share the common subplan — same shape as the LSH
+    # signature op); no extra pandas evals beyond the cosine verify
+    assert 1 <= plan.count("MapInPandas") <= 2
+    assert plan.count("ArrowEvalPython") <= 2
