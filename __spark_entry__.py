@@ -1026,7 +1026,11 @@ def q_salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event_id"),
         )
     )
-    hot = [r[0] for r in heavy_hitters(ev, "user_id", phi=0.007).select("user_id").collect()]
+    # phi=0.0008 (8/10000): below sf0.1's hottest-user share (0.00099)
+    # so the hot set is non-empty at every fixture SF; the hot list only
+    # shapes the physical layout — the certified RESULT is the plain
+    # join at any hot set, which is exactly what the oracle pins
+    hot = [r[0] for r in heavy_hitters(ev, "user_id", phi=0.0008).select("user_id").collect()]
     if not hot:
         raise RuntimeError("vacuous fixture: no hot user_id — salting path never exercised")
     return salted_join(

@@ -32,10 +32,9 @@ tokens yield no grams and are never flagged.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from ..functions.text import portable_hash60
 
 
 def word_tokens_normalized(text: Column | str) -> Column:
@@ -48,20 +47,35 @@ def word_tokens_normalized(text: Column | str) -> Column:
 
 def word_ngram_hashes(text: Column | str, n: int) -> Column:
     """Distinct portable 60-bit hashes of the normalized word n-grams
-    of ``text``. Pure Catalyst expression — evaluated in-line with the
-    scan, no shuffle, no Python."""
+    of ``text``. Tokenization (lower + regex split) stays in
+    whole-stage codegen; the per-gram join+md5 runs as ONE Arrow
+    pandas_udf per batch — the expression form (transform over
+    slice/concat_ws/md5 per gram) drops out of codegen into
+    interpreted eval and measured ~6× slower on the bench corpus
+    (the same lesson as winnowing_fingerprint_arrow). Hash identity:
+    int(md5(gram)[:15 hex], 16), bit-identical to
+    functions.text.portable_hash60, so DuckDB oracles are unchanged."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = word_tokens_normalized(text)
-    # guard: sequence(1, 0) would DESCEND ([1, 0]) and fabricate a gram
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(F.transform(grams, portable_hash60))
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _grams(tok_lists: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_lists:
+            if toks is None or len(toks) < n:
+                out.append([])
+                continue
+            seen = set()
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                seen.add(int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16))
+            out.append(sorted(seen))
+        return pd.Series(out)
+
+    return _grams(word_tokens_normalized(text))
 
 
 def eval_gram_hashes(eval_df: DataFrame, text_col: str = "text", n: int = 8) -> DataFrame:
