@@ -1006,8 +1006,9 @@ FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 def q_salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-ONLY salted join (r4 verdict #2), detection loop closed
     end-to-end: the certified heavy_hitters pass measures which user_ids
-    are hot (phi=0.007 — the same rational threshold the
-    heavy_hitter_users entry certifies), and salted_join salts ONLY
+    are hot (phi=0.0008 here — the same OPERATOR the heavy_hitter_users
+    entry certifies at phi=0.007; this entry's lower threshold keeps the
+    hot set non-empty at every fixture SF), and salted_join salts ONLY
     those keys' rows, replicating only their right-side rows ×buckets —
     cold keys join plainly inside the same single join. Right-side
     shuffle volume is cold + hot×buckets instead of total×buckets
@@ -1399,19 +1400,27 @@ QUALIFY rank <= 5
 
 
 def q_semantic_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped semantic near-dup: the certified k-means trainer
-    (2 Lloyd iterations, k=8 — same arithmetic the kmeans_centroids
-    entry attests) buckets vectors into IVF cells with nprobe=2
-    multi-assignment, and only same-cell pairs are cosine-verified.
-    The oracle replays trainer + top-2 assignment + within-cell pairs,
+    """SemDeDup-shaped semantic near-dup: IVF cells bucket the corpus
+    with nprobe=2 multi-assignment, and only same-cell pairs are
+    cosine-verified. The oracle replays assignment + within-cell pairs,
     so the candidate rule itself is certified — recall vs exact
     all-pairs is measured in tests (0.93 at this SF, nprobe=2), not
-    silently assumed. Non-vacuous: asserts pairs exist."""
-    from schema_drift_detector_spark.operators.ann import kmeans_centroids
+    silently assumed. The entry uses the md5-picked DETERMINISTIC
+    centroids (bit-identical in both engines) rather than the trained
+    ones: trained centroids agree cross-engine only to ~1e-5 (the
+    FP-order caveat the kmeans oracle's tolerance contract absorbs),
+    and a top-2 rank comparison through drifting centroids would be
+    certification-fragile at cell boundaries (review r5 #1). The
+    trainer→assignment composition is certified by ann_topk_ivf_kmeans;
+    production callers pass kmeans_centroids output for better cells.
+    Non-vacuous: asserts pairs exist."""
+    from schema_drift_detector_spark.operators.ann import deterministic_centroids
     from schema_drift_detector_spark.operators.dedup import semantic_near_duplicates_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, k=8, iters=2)
+    cents = deterministic_centroids(emb, 8).select(
+        "centroid_id", F.col("centroid_vec")
+    )
     pairs = semantic_near_duplicates_ivf(emb, cents, threshold=0.4, nprobe=2)
     out = pairs.select("doc_a", "doc_b", "cos_sim")
     if out.limit(1).count() == 0:
@@ -1419,19 +1428,31 @@ def q_semantic_near_dups_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-ORACLE_SEMANTIC_NEAR_DUPS_IVF = f"""
-WITH {_KMEANS_ORACLE_CTES},
+ORACLE_SEMANTIC_NEAR_DUPS_IVF = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+           AS centroid_id,
+         embedding AS cvec
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT 8
+),
 massign AS (
-  SELECT v.vec_id, v.nv, c.centroid_id AS cell
-  FROM nv v CROSS JOIN c2 c
-  QUALIFY row_number() OVER (PARTITION BY v.vec_id
-            ORDER BY list_inner_product(v.nv, c.cvec) DESC, c.centroid_id ASC) <= 2
+  SELECT e.vec_id, e.embedding, c.centroid_id AS cell
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.embedding IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(c.cvec AS DOUBLE[])) DESC,
+                     c.centroid_id ASC) <= 2
 )
 SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       round(list_inner_product(a.nv, b.nv), 6) AS cos_sim
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
 FROM massign a JOIN massign b
   ON a.cell = b.cell AND a.vec_id < b.vec_id
-WHERE round(list_inner_product(a.nv, b.nv), 6) >= 0.4
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 """
 
 

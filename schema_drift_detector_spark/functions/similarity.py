@@ -97,32 +97,29 @@ def cosine_arrow(a: Column | str, b: Column | str) -> Column:
         # either side (or a zero-norm vector → 0/0) yields a NULL score,
         # never a task crash or a NaN that desc-sorts above every number
         xv, yv = xs.to_numpy(), ys.to_numpy()
-        # empty arrays are invalid like nulls: a length-0 vector has no
-        # cosine, and letting one into the vstack crashes the whole
-        # batch with a ragged-shape error (also guards mixed-dim rows
-        # against the batch's modal width via the dim check below)
-        valid = np.array(
+        # empty arrays are invalid like nulls (a length-0 vector has no
+        # cosine), and a pair is only scorable when both sides share a
+        # length — per-ROW rules only, never batch-composition-dependent
+        lens = np.array(
             [
-                xi is not None and yi is not None and len(xi) > 0 and len(xi) == len(yi)
+                len(xi) if xi is not None and yi is not None and len(xi) == len(yi) else 0
                 for xi, yi in zip(xv, yv)
-            ],
-            dtype=bool,
+            ]
         )
         out = np.full(n, np.nan)
-        if valid.any():
-            # vstack needs a rectangular batch: rows whose width differs
-            # from the batch's first valid row score NULL instead of
-            # crashing every row in the batch (mixed-dim input is
-            # malformed data, not a reason to fail the stage)
-            ref = len(xv[np.argmax(valid)])
-            valid &= np.array([v and len(xi) == ref for v, xi in zip(valid, xv)])
-        if valid.any():
-            x = np.vstack(xv[valid]).astype(np.float64)
-            y = np.vstack(yv[valid]).astype(np.float64)
+        # vstack needs a rectangular matrix, so score each distinct pair
+        # width as its own group: a mixed-width corpus (two embedding
+        # models in one table) gets every valid pair scored — the result
+        # for a row depends only on that row, not on which rows Arrow
+        # happened to batch with it
+        for width in np.unique(lens[lens > 0]):
+            sel = lens == width
+            x = np.vstack(xv[sel]).astype(np.float64)
+            y = np.vstack(yv[sel]).astype(np.float64)
             num = np.einsum("ij,ij->i", x, y)
             den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
             with np.errstate(invalid="ignore", divide="ignore"):
-                out[valid] = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
+                out[sel] = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
         # nullable Float64 → Arrow nulls for the NaN slots
         return pd.Series(pd.array(out, dtype="Float64"))
 

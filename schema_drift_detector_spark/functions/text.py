@@ -125,6 +125,16 @@ def portable_hash60(value: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash60_py(value: str) -> int:
+    """Python-side twin of portable_hash60, for Arrow UDF bodies that
+    hash inside a batch loop (decontamination grams). SAME definition,
+    ONE place — int of the first 15 md5 hex chars — so a change to the
+    hash can never desynchronize the Column and Python call sites."""
+    import hashlib
+
+    return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def fingerprint_normalized(text: Column | str) -> Column:
     """Order-insensitive fingerprint: md5 of the sorted distinct token
     multiset — catches token-permuted duplicates."""

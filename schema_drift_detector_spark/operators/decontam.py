@@ -57,9 +57,9 @@ def word_ngram_hashes(text: Column | str, n: int) -> Column:
     functions.text.portable_hash60, so DuckDB oracles are unchanged."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    import hashlib
-
     from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import portable_hash60_py
 
     @pandas_udf("array<long>")
     def _grams(tok_lists: pd.Series) -> pd.Series:
@@ -68,10 +68,10 @@ def word_ngram_hashes(text: Column | str, n: int) -> Column:
             if toks is None or len(toks) < n:
                 out.append([])
                 continue
-            seen = set()
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i : i + n])
-                seen.add(int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16))
+            seen = {
+                portable_hash60_py(" ".join(toks[i : i + n]))
+                for i in range(len(toks) - n + 1)
+            }
             out.append(sorted(seen))
         return pd.Series(out)
 

@@ -532,12 +532,18 @@ def semantic_near_duplicates_ivf(
         f"cell bigint, vec {v.schema['vec'].dataType.simpleString()}"
     )
 
+    dim = cmat.shape[1]
+
     def assign(batches):
         for pdf in batches:
             vv = pdf["vec"].to_numpy()
             keep = []
             for i, x in enumerate(vv):
-                if x is None or len(x) == 0:
+                # width must match the centroid dim: a stray
+                # different-width vector is malformed data and is
+                # dropped like a null — it must not crash the whole
+                # stage's matrix build (review r5 #2)
+                if x is None or len(x) != dim:
                     continue
                 ax = np.asarray(x, dtype=np.float64)
                 if np.isnan(ax).any() or not np.linalg.norm(ax) > 0:

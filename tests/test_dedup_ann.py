@@ -319,3 +319,43 @@ def test_semantic_near_dups_ivf_assignment_is_narrow(spark):
     # signature op); no extra pandas evals beyond the cosine verify
     assert 1 <= plan.count("MapInPandas") <= 2
     assert plan.count("ArrowEvalPython") <= 2
+
+
+def test_cosine_arrow_mixed_width_deterministic(spark):
+    """A batch mixing vector widths scores every valid same-width pair
+    (per-row rule, not batch-composition-dependent); cross-width and
+    empty pairs score NULL."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.functions.similarity import cosine_arrow
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),         # 2-dim identical -> 1.0
+            (2, [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]),  # 3-dim identical -> 1.0
+            (3, [1.0, 0.0], [1.0, 0.0, 0.0]),    # width mismatch -> NULL
+            (4, [], []),                          # empty -> NULL
+            (5, None, [1.0]),                     # null side -> NULL
+        ],
+        "id bigint, a array<double>, b array<double>",
+    ).coalesce(1)  # one Arrow batch: the old modal-width rule would
+    # have nulled row 2 for being behind row 1's width
+    got = {r.id: r.c for r in df.select("id", cosine_arrow("a", "b").alias("c")).collect()}
+    assert got[1] == 1.0 and got[2] == 1.0
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_semantic_ivf_drops_wrong_dim_rows(spark):
+    """A stray different-width vector is dropped like a null by the
+    assignment fold, never crashing the stage (review r5 #2)."""
+    from schema_drift_detector_spark.operators.ann import deterministic_centroids
+    from schema_drift_detector_spark.operators.dedup import semantic_near_duplicates_ivf
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(20)]
+    rows += [(100, [1.0] * 8), (101, [1.0] * 8), (200, [1.0] * 11)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = deterministic_centroids(emb.filter("vec_id < 20"), 4)
+    pairs = semantic_near_duplicates_ivf(emb, cents, threshold=0.99, nprobe=2)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert not any(200 in p for p in got)
