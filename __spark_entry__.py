@@ -1192,6 +1192,107 @@ SELECT doc_id, CAST(1 AS INTEGER) AS ingest_epoch FROM a1
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch NEAR-dup ingest: epoch 0 ingests the even-doc_id
+    half; epoch 1 ingests the odd half plus NEAR clones (original text
+    + a 3-char suffix, new ids) of every doc_id%10==0 doc accepted in
+    epoch 0 — the clones share no exact fingerprint with history, so
+    only the PERSISTED MinHash signature index can reject them. The
+    oracle replays both epochs end-to-end in SQL: per-epoch signatures
+    (suffix-parameterized md5-affine parts), within-batch recursive
+    cluster closure with min-id survivors, then the cross-epoch banded
+    candidate + estimate >= 0.6 drop. Non-vacuous: asserts >= 1
+    cross-epoch rejection (asserted via the clone id range)."""
+    import tempfile
+
+    from schema_drift_detector_spark.operators.incremental import ingest_epoch_neardup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None or max_id >= 1_000_000:
+        raise RuntimeError(
+            f"incremental_neardup fixture assumes doc_id < 1e6 (max={max_id})"
+        )
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq")).alias("text"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(clones)
+    idx = tempfile.mkdtemp(prefix="ndidx_entry_")
+    a0 = ingest_epoch_neardup(spark, idx, b0, 0, threshold=0.6)
+    a1 = ingest_epoch_neardup(spark, idx, b1, 1, threshold=0.6)
+    n_clones_accepted = a1.filter(F.col("doc_id") >= 1_000_000).count()
+    n_clones = clones.count()
+    if n_clones == 0 or n_clones_accepted >= n_clones:
+        raise RuntimeError(
+            f"vacuous near-dup ingest: {n_clones_accepted}/{n_clones} clones "
+            f"accepted — the persisted signature index rejected nothing"
+        )
+    return a0.select("doc_id", F.lit(0).cast("int").alias("ingest_epoch")).unionByName(
+        a1.select("doc_id", F.lit(1).cast("int").alias("ingest_epoch"))
+    )
+
+
+def _oracle_incremental_neardup() -> str:
+    p0 = _minhash_oracle_parts_sfx("b0", "0")
+    p1 = _minhash_oracle_parts_sfx("b1", "1")
+    est, band_eq = p0["est"], p0["band_eq"]  # fragments over a/b aliases
+
+    def closure(sfx: str) -> str:
+        return f"""pairs{sfx} AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig{sfx} a JOIN sig{sfx} b ON a.doc_id < b.doc_id
+  WHERE ({band_eq}) AND ({est}) / 64.0 >= 0.6
+),
+edges{sfx} AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs{sfx}
+  UNION SELECT doc_b, doc_a FROM pairs{sfx}
+),
+reach{sfx}(doc, r) AS (
+  SELECT a, a FROM edges{sfx}
+  UNION
+  SELECT e.a, reach{sfx}.r FROM edges{sfx} e JOIN reach{sfx} ON reach{sfx}.doc = e.b
+),
+drops{sfx} AS (
+  SELECT doc FROM (SELECT doc, min(r) AS cluster FROM reach{sfx} GROUP BY doc)
+  WHERE doc <> cluster
+)"""
+
+    return f"""
+WITH RECURSIVE
+b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+b1 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' qq' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+{p0['ctes']},
+{p1['ctes']},
+{closure('0')},
+{closure('1')},
+surv0 AS (
+  SELECT doc_id FROM b0 WHERE doc_id NOT IN (SELECT doc FROM drops0)
+),
+surv1pre AS (
+  SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc FROM drops1)
+),
+cross_drops AS (
+  SELECT DISTINCT a.doc_id
+  FROM sig1 a JOIN sig0 b
+    ON ({band_eq})
+  WHERE a.doc_id IN (SELECT doc_id FROM surv1pre)
+    AND b.doc_id IN (SELECT doc_id FROM surv0)
+    AND ({est}) / 64.0 >= 0.6
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS ingest_epoch FROM surv0
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS ingest_epoch FROM surv1pre
+WHERE doc_id NOT IN (SELECT doc_id FROM cross_drops)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (r4 verdict #5): flag corpus docs
     sharing any normalized 8-word-gram with a held-out eval set. The
@@ -1512,12 +1613,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_parts(table: str = "documents") -> tuple[str, str]:
-    """(ctes, pair_select) — the md5-affine signature CTEs and the
-    banded candidate-pair SELECT, shared by the pair oracle, the
-    connected-components oracle, and the composed-pipeline oracle
-    (which runs them over a derived CTE instead of the raw table) so
-    all certify the same arithmetic."""
+def _minhash_oracle_parts_sfx(table: str, sfx: str) -> dict:
+    """Suffix-parameterized md5-affine MinHash SQL parts, so two epochs'
+    signature CTEs can coexist in one WITH clause (cross-epoch near-dup
+    oracle): dict(ctes, sig='sig<sfx>', band_eq, est) — band_eq/est are
+    join-condition fragments over aliases a/b of any sig table."""
     from schema_drift_detector_spark.operators.dedup import (
         MERSENNE31,
         minhash_permutation_params,
@@ -1532,22 +1632,32 @@ def _minhash_oracle_parts(table: str = "documents") -> tuple[str, str]:
         for j in range(16)
     )
     est = " + ".join(f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(64))
-    ctes = f"""sh AS (
+    ctes = f"""sh{sfx} AS (
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
   FROM {table}, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
-), hashed AS (
+), hashed{sfx} AS (
   SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MERSENNE31} AS h31
-  FROM sh
-), sig AS (
+  FROM sh{sfx}
+), sig{sfx} AS (
   SELECT doc_id, {mins}
-  FROM hashed GROUP BY doc_id
+  FROM hashed{sfx} GROUP BY doc_id
 )"""
+    return {"ctes": ctes, "sig": f"sig{sfx}", "band_eq": band_eq, "est": est}
+
+
+def _minhash_oracle_parts(table: str = "documents") -> tuple[str, str]:
+    """(ctes, pair_select) — the md5-affine signature CTEs and the
+    banded candidate-pair SELECT, shared by the pair oracle, the
+    connected-components oracle, and the composed-pipeline oracle
+    (which runs them over a derived CTE instead of the raw table) so
+    all certify the same arithmetic."""
+    p = _minhash_oracle_parts_sfx(table, "")
     pair_select = f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ({est}) / 64.0 AS est_jaccard
+       ({p['est']}) / 64.0 AS est_jaccard
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE ({band_eq})
-  AND ({est}) / 64.0 >= 0.6"""
-    return ctes, pair_select
+WHERE ({p['band_eq']})
+  AND ({p['est']}) / 64.0 >= 0.6"""
+    return p["ctes"], pair_select
 
 
 def _oracle_minhash_lsh() -> str:
@@ -2717,6 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_hot_events": q_salted_join_hot_events,
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_neardup": q_incremental_neardup,
         "pack_sequences": q_pack_sequences,
         "semantic_near_dups_ivf": q_semantic_near_dups_ivf,
         "stream_sliding_counts": q_stream_sliding_counts,
@@ -2778,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_hot_events": ORACLE_SALTED_JOIN_HOT_EVENTS,
         "decontaminate": ORACLE_DECONTAMINATE,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+        "incremental_neardup": _oracle_incremental_neardup(),
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "semantic_near_dups_ivf": ORACLE_SEMANTIC_NEAR_DUPS_IVF,
         "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,

@@ -170,10 +170,12 @@ def minhash_signatures(
     return mins.select("doc", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
-    """Band the signature, hash each band, bucket-join. Two docs are
-    candidates iff any band hashes identically. Output: doc_a, doc_b."""
-    sig = signatures.select(
+def band_buckets(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """(doc, band, bucket) rows — each signature banded and each band
+    hashed. Shared by within-corpus LSH (below) and the cross-epoch
+    near-dup index (operators/incremental.py), so both join on the
+    identical bucketing."""
+    return signatures.select(
         "doc",
         F.posexplode(
             F.transform(
@@ -195,6 +197,19 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+
+
+def signature_est(sig_a: Column | str, sig_b: Column | str) -> Column:
+    """MinHash Jaccard estimate: fraction of equal signature slots."""
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda eq: eq)) / F.size(a)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signature, hash each band, bucket-join. Two docs are
+    candidates iff any band hashes identically. Output: doc_a, doc_b."""
+    sig = band_buckets(signatures, bands)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -236,18 +251,10 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(sigs, bands)
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-            )
-        )
-        / F.size("sig_a")
-    )
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .select("doc_a", "doc_b", signature_est("sig_a", "sig_b").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 

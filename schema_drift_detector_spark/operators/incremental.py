@@ -118,3 +118,131 @@ def ingest_epoch(
         F.col(id_col).cast("bigint").alias("id"),
     ).write.mode("overwrite").parquet(f"{index_dir}/ingest_epoch={int(epoch)}")
     return accepted.drop("__fp")
+
+
+def read_neardup_index(
+    spark: SparkSession, index_dir: str, before_epoch: int | None = None
+) -> DataFrame:
+    """The accumulated near-dup signature index: (id, sig array<long>,
+    ingest_epoch). Empty frame when absent; ``before_epoch`` prunes to
+    strictly-earlier epoch partitions."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.parquet(index_dir)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "id bigint, sig array<bigint>, ingest_epoch int"
+        )
+    if before_epoch is not None:
+        idx = idx.filter(F.col("ingest_epoch") < int(before_epoch))
+    return idx
+
+
+def ingest_epoch_neardup(
+    spark: SparkSession,
+    index_dir: str,
+    batch: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """NEAR-dup-aware incremental ingest — the fuzzy sibling of
+    ingest_epoch: a new batch's docs are dropped when they are
+    MinHash-near-duplicates (banded LSH candidates, signature-overlap
+    estimate >= ``threshold``) of (a) an earlier-ACCEPTED doc in any
+    prior epoch, via the persisted signature index, or (b) a surviving
+    earlier member of their own batch's near-dup cluster (connected
+    components; the cluster's min id survives — identical semantics to
+    the certified within-corpus corpus_neardup_drop).
+
+    Index layout mirrors ingest_epoch: one (id, sig) table partitioned
+    by ``ingest_epoch``, immutable epoch partitions, STATIC per-epoch
+    overwrite (re-running an epoch replaces exactly its partition, even
+    when empty). Only ACCEPTED docs are indexed — a doc near-dup of a
+    *rejected* historical doc is judged against that doc's surviving
+    cluster representative instead, which the index does contain.
+
+    Per-ingest cost: one batch scan for signatures (k longs per doc,
+    map-side combined), the within-batch LSH as usual, and one
+    bucket-join of the batch's band buckets against the banded history
+    (history bands are derived from the stored signatures — k
+    integers per doc — NOT by rescanning historical text). At standing
+    10^12-doc scale, store the index as a bucket-partitioned/bucketed
+    table so the per-ingest join co-locates; the parquet layout here
+    keeps the same semantics.
+
+    Docs with NULL text have no shingles, hence no signature: they pass
+    through UNJUDGED and are not indexed (exact-dedup ingest_epoch is
+    the null-content-aware path). Output: the accepted batch rows.
+    """
+    from .dedup import (
+        band_buckets,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        signature_est,
+    )
+
+    sigs_new = minhash_signatures(
+        batch, id_col, text_col, n, k, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)  # reused by 3 joins below — compute once
+    # (a) within-batch near-dup clusters: non-canonical members drop
+    sa = sigs_new.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs_new.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        lsh_candidate_pairs(sigs_new, bands)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(signature_est("sig_a", "sig_b") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    within_drops = connected_components(pairs).filter(
+        F.col("doc") != F.col("cluster")
+    ).select(F.col("doc").alias(id_col))
+    survivors = batch.join(within_drops, id_col, "left_anti")
+    # (b) cross-epoch: banded buckets of surviving new sigs vs history
+    surv_sigs = sigs_new.join(
+        survivors.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    )
+    hist_sigs = read_neardup_index(spark, index_dir, before_epoch=epoch).select(
+        F.col("id").alias("doc"), "sig"
+    )
+    nb = band_buckets(surv_sigs, bands).alias("nb")
+    hb = band_buckets(hist_sigs, bands).alias("hb")
+    cand = (
+        nb.join(
+            hb,
+            (F.col("nb.band") == F.col("hb.band"))
+            & (F.col("nb.bucket") == F.col("hb.bucket")),
+        )
+        .select(F.col("nb.doc").alias("new_doc"), F.col("hb.doc").alias("old_doc"))
+        .distinct()
+    )
+    cross_drops = (
+        cand.join(
+            surv_sigs.select(F.col("doc").alias("new_doc"), F.col("sig").alias("sig_a")),
+            "new_doc",
+        )
+        .join(
+            hist_sigs.select(F.col("doc").alias("old_doc"), F.col("sig").alias("sig_b")),
+            "old_doc",
+        )
+        .filter(signature_est("sig_a", "sig_b") >= threshold)
+        .select(F.col("new_doc").alias(id_col))
+        .distinct()
+    )
+    accepted = survivors.join(cross_drops, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    sigs_new.join(
+        accepted.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+    ).select(
+        F.col("doc").cast("bigint").alias("id"), "sig"
+    ).write.mode("overwrite").parquet(f"{index_dir}/ingest_epoch={int(epoch)}")
+    return accepted

@@ -68,3 +68,40 @@ def test_history_read_is_partition_pruned(spark, tmp_path_factory):
     # pruning is structural: the filtered scan touches 1 of 2 partitions
     n_parts = hist._jdf.queryExecution().executedPlan().toString().count("PartitionFilters")
     assert n_parts >= 1
+
+
+def test_ingest_epoch_neardup_semantics_and_resume(spark, tmp_path_factory):
+    """Near-dup ingest: within-batch cluster min survives; a near-clone
+    of an INDEXED doc is rejected by the persisted signatures (no exact
+    fingerprint in common); null-text docs pass unjudged; re-running an
+    epoch is idempotent."""
+    from schema_drift_detector_spark.operators.incremental import (
+        ingest_epoch_neardup,
+        read_neardup_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("ndidx"))
+    t = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "all day long without stopping once"
+    )
+    other = "completely different content about spark shuffles and partitions"
+    b0 = spark.createDataFrame(
+        [(2, t), (4, t + " v2"), (6, other)], ["doc_id", "text"]
+    )
+    a0 = sorted(r.doc_id for r in ingest_epoch_neardup(spark, d, b0, 0).collect())
+    assert a0 == [2, 6]  # 4 is a near-dup of 2; cluster min 2 survives
+
+    b1 = spark.createDataFrame(
+        [(11, t + " v3"), (13, "fresh text on benchmarks and duckdb oracles"), (15, None)],
+        ["doc_id", "text"],
+    )
+    a1 = sorted(r.doc_id for r in ingest_epoch_neardup(spark, d, b1, 1).collect())
+    assert a1 == [13, 15]  # 11 near-dups indexed 2; 15 has no signature
+    assert sorted(
+        (r.id, r.ingest_epoch) for r in read_neardup_index(spark, d).collect()
+    ) == [(2, 0), (6, 0), (13, 1), (15, 1)]
+    # resume: same accepted set, no duplicated index rows
+    a1b = sorted(r.doc_id for r in ingest_epoch_neardup(spark, d, b1, 1).collect())
+    assert a1b == a1
+    assert read_neardup_index(spark, d).count() == 4
