@@ -48,14 +48,28 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 
 
 def char_shingles(text: Column | str, n: int = 5) -> Column:
-    """Distinct character n-grams — the MinHash/Jaccard unit."""
+    """Distinct character n-grams — the MinHash/Jaccard unit.
+
+    NULL text → empty array, NOT [NULL]: greatest(length(NULL)-4, 1)
+    is 1 (greatest skips nulls), so the naive form yields a one-element
+    [NULL] shingle list — which explode() keeps, giving every null-text
+    doc an all-NULL minhash signature whose band buckets all hash the
+    empty string (one permanent hot bucket shared by every null doc),
+    and which diverges from the SQL oracles (DuckDB's
+    generate_series(1, NULL) yields no rows, so null docs have no
+    signature there). Empty here → explode drops the row → null-text
+    docs have no shingles, no signature, and no bucket in BOTH engines
+    (review r5 #1)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
-            lambda i: F.substring(c, i, n),
-        )
-    )
+    return F.when(
+        c.isNotNull(),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+                lambda i: F.substring(c, i, n),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def punct_count(text: Column | str) -> Column:

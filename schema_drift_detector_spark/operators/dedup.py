@@ -170,6 +170,20 @@ def minhash_signatures(
     return mins.select("doc", F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"))
 
 
+def validate_bands(k: int, bands: int) -> None:
+    """Fail-loud banding precondition, shared by every LSH entry point
+    (within-corpus and the cross-epoch index): bands > k makes every
+    band slice empty (one global bucket → all-pairs blowup); k % bands
+    != 0 silently ignores trailing minhashes (changed recall, no
+    error)."""
+    if bands <= 0 or bands > k or k % bands != 0:
+        raise ValueError(
+            f"bands must divide k with bands <= k (got k={k}, bands={bands}): "
+            "bands > k makes every band slice empty (one global bucket → "
+            "all-pairs blowup); k % bands != 0 silently ignores trailing minhashes"
+        )
+
+
 def band_buckets(signatures: DataFrame, bands: int = 16) -> DataFrame:
     """(doc, band, bucket) rows — each signature banded and each band
     hashed. Shared by within-corpus LSH (below) and the cross-epoch
@@ -241,12 +255,7 @@ def minhash_near_duplicates(
     estimate join); it stays cached until the session ends or the
     caller clears it — callers running many dedup passes in one
     long-lived app should spark.catalog.clearCache() between epochs."""
-    if bands <= 0 or bands > k or k % bands != 0:
-        raise ValueError(
-            f"bands must divide k with bands <= k (got k={k}, bands={bands}): "
-            "bands > k makes every band slice empty (one global bucket → "
-            "all-pairs blowup); k % bands != 0 silently ignores trailing minhashes"
-        )
+    validate_bands(k, bands)
     sigs = minhash_signatures(df, id_col, text_col, n, k, hash_fn=hash_fn).cache()
     cands = lsh_candidate_pairs(sigs, bands)
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))

@@ -53,23 +53,30 @@ def _fingerprinted(df: DataFrame, content_col: str) -> DataFrame:
     )
 
 
-def read_fingerprint_index(
-    spark: SparkSession, index_dir: str, before_epoch: int | None = None
+def _read_epoch_index(
+    spark: SparkSession, index_dir: str, empty_schema: str, before_epoch: int | None
 ) -> DataFrame:
-    """The accumulated index: (fingerprint, id, ingest_epoch). Empty
-    frame when the index does not exist yet. ``before_epoch`` filters
-    to strictly-earlier epochs — a pure partition-pruning predicate."""
+    """Shared reader for the epoch-partitioned index tables: empty frame
+    when the index does not exist yet; ``before_epoch`` filters to
+    strictly-earlier epochs — a pure partition-pruning predicate."""
     from pyspark.errors import AnalysisException
 
     try:
         idx = spark.read.parquet(index_dir)
     except AnalysisException:
-        return spark.createDataFrame(
-            [], "fingerprint string, id bigint, ingest_epoch int"
-        )
+        return spark.createDataFrame([], empty_schema)
     if before_epoch is not None:
         idx = idx.filter(F.col("ingest_epoch") < int(before_epoch))
     return idx
+
+
+def read_fingerprint_index(
+    spark: SparkSession, index_dir: str, before_epoch: int | None = None
+) -> DataFrame:
+    """The accumulated index: (fingerprint, id, ingest_epoch)."""
+    return _read_epoch_index(
+        spark, index_dir, "fingerprint string, id bigint, ingest_epoch int", before_epoch
+    )
 
 
 def ingest_epoch(
@@ -124,19 +131,17 @@ def read_neardup_index(
     spark: SparkSession, index_dir: str, before_epoch: int | None = None
 ) -> DataFrame:
     """The accumulated near-dup signature index: (id, sig array<long>,
-    ingest_epoch). Empty frame when absent; ``before_epoch`` prunes to
-    strictly-earlier epoch partitions."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        idx = spark.read.parquet(index_dir)
-    except AnalysisException:
-        return spark.createDataFrame(
-            [], "id bigint, sig array<bigint>, ingest_epoch int"
-        )
-    if before_epoch is not None:
-        idx = idx.filter(F.col("ingest_epoch") < int(before_epoch))
-    return idx
+    k, n_shingle, hash_fn, ingest_epoch) — the signature parameters are
+    stamped on every row (constant per epoch; parquet RLE stores them
+    for free) so an ingest with different parameters can FAIL LOUD
+    instead of silently comparing incompatible signatures."""
+    return _read_epoch_index(
+        spark,
+        index_dir,
+        "id bigint, sig array<bigint>, k int, n_shingle int, hash_fn string, "
+        "ingest_epoch int",
+        before_epoch,
+    )
 
 
 def ingest_epoch_neardup(
@@ -187,8 +192,26 @@ def ingest_epoch_neardup(
         lsh_candidate_pairs,
         minhash_signatures,
         signature_est,
+        validate_bands,
     )
 
+    validate_bands(k, bands)  # same fail-loud guard as the LSH entry point
+    history = read_neardup_index(spark, index_dir, before_epoch=epoch)
+    # parameter-compatibility gate: signatures built with different
+    # k/n/hash_fn are NOT comparable — zip_with pads the shorter sig
+    # with nulls and the estimate silently caps below threshold, which
+    # would turn cross-epoch dedup into a no-op with no error. One row
+    # suffices: params are constant per epoch by construction.
+    hist_params = history.select("k", "n_shingle", "hash_fn").limit(1).collect()
+    if hist_params:
+        hp = hist_params[0]
+        if (hp.k, hp.n_shingle, hp.hash_fn) != (k, n, hash_fn):
+            raise ValueError(
+                f"near-dup index at {index_dir} was built with "
+                f"(k={hp.k}, n={hp.n_shingle}, hash_fn={hp.hash_fn!r}); this "
+                f"ingest uses (k={k}, n={n}, hash_fn={hash_fn!r}) — "
+                f"incompatible signatures would silently never match"
+            )
     sigs_new = minhash_signatures(
         batch, id_col, text_col, n, k, hash_fn=hash_fn
     ).localCheckpoint(eager=True)  # reused by 3 joins below — compute once
@@ -206,13 +229,18 @@ def ingest_epoch_neardup(
         F.col("doc") != F.col("cluster")
     ).select(F.col("doc").alias(id_col))
     survivors = batch.join(within_drops, id_col, "left_anti")
-    # (b) cross-epoch: banded buckets of surviving new sigs vs history
+    # (b) cross-epoch: banded buckets of surviving new sigs vs history.
+    # surv_sigs feeds two branches (band join + estimate fetch) —
+    # checkpointed so the semi-join isn't evaluated twice. The HISTORY
+    # side is deliberately left as two parquet scans (band derivation +
+    # estimate fetch): checkpointing 10^12 accumulated signatures to
+    # executor storage would cost more than the second column-pruned
+    # scan, and the real at-scale answer is a bucketed index layout
+    # (see docstring) — documented trade, not an oversight.
     surv_sigs = sigs_new.join(
         survivors.select(F.col(id_col).alias("doc")), "doc", "left_semi"
-    )
-    hist_sigs = read_neardup_index(spark, index_dir, before_epoch=epoch).select(
-        F.col("id").alias("doc"), "sig"
-    )
+    ).localCheckpoint(eager=True)
+    hist_sigs = history.select(F.col("id").alias("doc"), "sig")
     nb = band_buckets(surv_sigs, bands).alias("nb")
     hb = band_buckets(hist_sigs, bands).alias("hb")
     cand = (
@@ -243,6 +271,10 @@ def ingest_epoch_neardup(
     sigs_new.join(
         accepted.select(F.col(id_col).alias("doc")), "doc", "left_semi"
     ).select(
-        F.col("doc").cast("bigint").alias("id"), "sig"
+        F.col("doc").cast("bigint").alias("id"),
+        "sig",
+        F.lit(int(k)).alias("k"),
+        F.lit(int(n)).alias("n_shingle"),
+        F.lit(hash_fn).alias("hash_fn"),
     ).write.mode("overwrite").parquet(f"{index_dir}/ingest_epoch={int(epoch)}")
     return accepted

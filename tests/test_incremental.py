@@ -98,10 +98,20 @@ def test_ingest_epoch_neardup_semantics_and_resume(spark, tmp_path_factory):
     )
     a1 = sorted(r.doc_id for r in ingest_epoch_neardup(spark, d, b1, 1).collect())
     assert a1 == [13, 15]  # 11 near-dups indexed 2; 15 has no signature
+    # 15 (null text) is accepted but NOT indexed: no shingles -> no
+    # signature row (char_shingles(NULL) is empty — an all-NULL sig
+    # would give every null doc the same hot band bucket forever)
     assert sorted(
         (r.id, r.ingest_epoch) for r in read_neardup_index(spark, d).collect()
-    ) == [(2, 0), (6, 0), (13, 1), (15, 1)]
+    ) == [(2, 0), (6, 0), (13, 1)]
     # resume: same accepted set, no duplicated index rows
     a1b = sorted(r.doc_id for r in ingest_epoch_neardup(spark, d, b1, 1).collect())
     assert a1b == a1
-    assert read_neardup_index(spark, d).count() == 4
+    assert read_neardup_index(spark, d).count() == 3
+    # parameter drift fails loud instead of silently never matching
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible signatures"):
+        ingest_epoch_neardup(spark, d, b1, 2, k=32)
+    with _pytest.raises(ValueError, match="bands"):
+        ingest_epoch_neardup(spark, d, b1, 2, k=64, bands=48)
