@@ -1293,6 +1293,107 @@ WHERE doc_id NOT IN (SELECT doc_id FROM cross_drops)
 """
 
 
+def q_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup with UNBOUNDED lookback (foreachBatch
+    + the persisted fingerprint index; each micro-batch is an ingest
+    epoch): three deterministic single-file micro-batches where batch 1
+    carries exact clones of batch-0 content and batch 2 carries clones
+    of BOTH earlier batches' content — every clone must be rejected by
+    the parquet-persisted index, not streaming state (state survives
+    any watermark horizon; this is the 'ever ingested' dedup the
+    pre-training corpus needs). The oracle replays the three-epoch
+    survivor cascade in SQL. Non-vacuous: asserts every clone rejected
+    and every original accepted."""
+    import os
+    import shutil
+    import tempfile
+
+    from schema_drift_detector_spark.streaming.epochs import stream_ingest_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None or max_id >= 1_000_000:
+        raise RuntimeError(f"fixture assumes doc_id < 1e6 (max={max_id})")
+    base = tempfile.mkdtemp(prefix="stream_ingest_")
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 == 1).unionByName(
+            docs.filter(F.col("doc_id") % 12 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        ),
+        docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+            docs.filter((F.col("doc_id") % 12 == 6) | (F.col("doc_id") % 12 == 4))
+            .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        ),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("overwrite").parquet(f"{base}/src/b{i}")
+        t = 1_000_000 + 100 * i  # mtime order defines micro-batch order
+        for root, _, files in os.walk(f"{base}/src/b{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+    out, idx, ckpt = f"{base}/out", f"{base}/idx", f"{base}/ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src/b*")
+    )
+    q = stream_ingest_dedup(stream, idx, out, checkpoint_dir=ckpt)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_ingest_dedup did not finish within 300s")
+    kept = spark.read.parquet(out).select(
+        "doc_id", F.col("batch_id").cast("int").alias("batch_id")
+    )
+    n_clones_kept = kept.filter(F.col("doc_id") >= 1_000_000).count()
+    if n_clones_kept > 0 or kept.count() == 0:
+        raise RuntimeError(
+            f"vacuous/broken stream ingest: {n_clones_kept} clones leaked"
+        )
+    return kept
+
+
+# three-epoch survivor cascade: within-batch min-id per fingerprint,
+# then earlier-accepted-epochs-win; mirrors ORACLE_INCREMENTAL_DEDUP
+# extended to the streaming fixture's batch split. Clones share text
+# with originals, so only cross-epoch rejection removes them. Natural
+# text dups inside `documents` are handled identically by both engines.
+ORACLE_STREAM_INGEST_DEDUP = """
+WITH b0 AS (
+  SELECT doc_id, coalesce(md5(text), '__null_content__') AS fp
+  FROM documents WHERE doc_id % 3 = 0
+),
+b1 AS (
+  SELECT doc_id, coalesce(md5(text), '__null_content__') AS fp FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 12 = 0
+  )
+),
+b2 AS (
+  SELECT doc_id, coalesce(md5(text), '__null_content__') AS fp FROM (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents
+    WHERE doc_id % 12 = 6 OR doc_id % 12 = 4
+  )
+),
+a0 AS (SELECT fp, min(doc_id) AS doc_id FROM b0 GROUP BY 1),
+s1 AS (SELECT fp, min(doc_id) AS doc_id FROM b1 GROUP BY 1),
+a1 AS (SELECT s1.fp, s1.doc_id FROM s1
+       WHERE NOT EXISTS (SELECT 1 FROM a0 WHERE a0.fp = s1.fp)),
+s2 AS (SELECT fp, min(doc_id) AS doc_id FROM b2 GROUP BY 1),
+a2 AS (SELECT s2.fp, s2.doc_id FROM s2
+       WHERE NOT EXISTS (SELECT 1 FROM a0 WHERE a0.fp = s2.fp)
+         AND NOT EXISTS (SELECT 1 FROM a1 WHERE a1.fp = s2.fp))
+SELECT doc_id, CAST(0 AS INTEGER) AS batch_id FROM a0
+UNION ALL SELECT doc_id, CAST(1 AS INTEGER) FROM a1
+UNION ALL SELECT doc_id, CAST(2 AS INTEGER) FROM a2
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (r4 verdict #5): flag corpus docs
     sharing any normalized 8-word-gram with a held-out eval set. The
@@ -2828,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
         "incremental_neardup": q_incremental_neardup,
+        "stream_ingest_dedup": q_stream_ingest_dedup,
         "pack_sequences": q_pack_sequences,
         "semantic_near_dups_ivf": q_semantic_near_dups_ivf,
         "stream_sliding_counts": q_stream_sliding_counts,
@@ -2890,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "incremental_neardup": _oracle_incremental_neardup(),
+        "stream_ingest_dedup": ORACLE_STREAM_INGEST_DEDUP,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "semantic_near_dups_ivf": ORACLE_SEMANTIC_NEAR_DUPS_IVF,
         "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,

@@ -67,6 +67,51 @@ def stream_dedup_exact(
     )
 
 
+def stream_ingest_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming ingestion dedup with UNBOUNDED lookback: every
+    micro-batch is an ingest epoch against the persisted fingerprint
+    index (operators.incremental.ingest_epoch, epoch = batch_id) — the
+    complementary design point to stream_dedup_exact above:
+
+      - stream_dedup_exact bounds state by the WATERMARK horizon
+        (state-store rows ∝ rate × horizon; dups beyond the horizon
+        re-admit). Right when "duplicate" means "within the window".
+      - this operator keeps NO streaming state at all: history lives in
+        the epoch-partitioned parquet index, so a duplicate of ANY
+        previously-accepted doc is rejected forever, state survives
+        checkpoint loss, and the lookback cost is the index anti-join
+        (partition-pruned to epochs < batch). Right when "duplicate"
+        means "ever ingested" — the pre-training corpus case.
+
+    Accepted rows land under ``out_dir/batch_id=N`` (static overwrite —
+    a replayed micro-batch after checkpoint recovery rewrites exactly
+    its own output and its own index partition, so the pipeline is
+    end-to-end idempotent). Returns the started query."""
+    from ..operators.incremental import ingest_epoch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        accepted = ingest_epoch(
+            spark, index_dir, batch_df, int(batch_id), id_col, content_col
+        )
+        accepted.write.mode("overwrite").parquet(f"{out_dir}/batch_id={int(batch_id)}")
+
+    writer = docs_stream.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_validate(
     docs_stream: DataFrame,
     catalog: DataFrame,

@@ -359,3 +359,48 @@ def test_drop_duplicates_within_watermark_pinned_semantics(spark, tmp_path_facto
         f"pinned dropDuplicatesWithinWatermark timeline changed: {kept} "
         "- update the stream_dedup_watermark oracle to the new semantics"
     )
+
+
+def test_stream_ingest_dedup_unbounded_lookback_and_restart(spark, tmp_path_factory):
+    """foreachBatch + persisted fingerprint index: duplicates of ANY
+    earlier micro-batch are rejected regardless of event-time distance
+    (no watermark horizon), and a RESTARTED query keeps rejecting them
+    because the state is the parquet index, not the state store."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.streaming.epochs import stream_ingest_dedup
+
+    base = str(tmp_path_factory.mktemp("singest"))
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        d = f"{base}/src/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/src/*")
+        )
+        q = stream_ingest_dedup(
+            stream, f"{base}/idx", f"{base}/out", checkpoint_dir=f"{base}/ckpt"
+        )
+        assert q.awaitTermination(180)
+
+    write_file("a", [(1, "alpha"), (2, "beta")], 1_000_000)
+    write_file("b", [(10, "alpha"), (11, "gamma")], 1_000_100)
+    run_once()
+    kept = {(r.doc_id, r.batch_id) for r in spark.read.parquet(f"{base}/out").collect()}
+    assert kept == {(1, 0), (2, 0), (11, 1)}  # 10 dups batch-0 'alpha'
+
+    # restart with a new file duplicating BOTH prior batches' content
+    write_file("c", [(20, "beta"), (21, "gamma"), (22, "delta")], 1_000_200)
+    run_once()
+    kept2 = {(r.doc_id, r.batch_id) for r in spark.read.parquet(f"{base}/out").collect()}
+    assert kept2 == {(1, 0), (2, 0), (11, 1), (22, 2)}
