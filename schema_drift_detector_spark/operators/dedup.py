@@ -539,8 +539,19 @@ def semantic_near_duplicates_ivf(
         raise ValueError("need >= 2 centroids for cell bucketing")
     nprobe = min(nprobe, len(cent_rows))
     cent_ids = np.array([c for c, _ in cent_rows], dtype=np.int64)
-    cmat = np.vstack([v for _, v in cent_rows])
-    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat = np.vstack([v for _, v in cent_rows]).astype(np.float64, copy=False)
+    nrm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    # fail loud on degenerate centroids: a zero-norm or non-finite row
+    # would turn into NaN here and silently receive NO assignments —
+    # that cell's docs scatter elsewhere with no error (the trainer
+    # never emits one, but this function accepts any centroid frame)
+    bad = ~np.isfinite(cmat).all(axis=1) | (nrm.ravel() == 0.0)
+    if bad.any():
+        raise ValueError(
+            f"degenerate centroid(s) {cent_ids[bad].tolist()}: zero-norm or "
+            f"non-finite vectors cannot anchor an IVF cell"
+        )
+    cmat = cmat / nrm
 
     v = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
     out_schema = (

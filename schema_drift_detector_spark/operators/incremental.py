@@ -200,9 +200,22 @@ def ingest_epoch_neardup(
     # parameter-compatibility gate: signatures built with different
     # k/n/hash_fn are NOT comparable — zip_with pads the shorter sig
     # with nulls and the estimate silently caps below threshold, which
-    # would turn cross-epoch dedup into a no-op with no error. One row
-    # suffices: params are constant per epoch by construction.
-    hist_params = history.select("k", "n_shingle", "hash_fn").limit(1).collect()
+    # would turn cross-epoch dedup into a no-op with no error. The gate
+    # must see EVERY distinct tuple, not one sampled row: an epoch
+    # re-ingested with different params slips past its own gate (which
+    # sees only strictly-earlier epochs), leaving the index mixed — a
+    # later limit(1) sample could then pick a compatible row while the
+    # incompatible epochs' signatures silently never match. distinct()
+    # over three RLE-constant columns is a metadata-scale aggregate.
+    hist_params = history.select("k", "n_shingle", "hash_fn").distinct().collect()
+    if len(hist_params) > 1:
+        tuples = sorted((hp.k, hp.n_shingle, hp.hash_fn) for hp in hist_params)
+        raise ValueError(
+            f"near-dup index at {index_dir} holds MIXED parameters "
+            f"{tuples} — epochs with differing (k, n_shingle, hash_fn) "
+            f"can never match each other; rebuild the index with one "
+            f"parameter set"
+        )
     if hist_params:
         hp = hist_params[0]
         if (hp.k, hp.n_shingle, hp.hash_fn) != (k, n, hash_fn):

@@ -173,12 +173,15 @@ def cap_per_group(
     # arbitrary nondeterministic exprs feeding Exchange). Content-equal
     # null rows colliding into one spread cell is fine — spread is
     # load balancing only, never part of the result.
-    hashable = [c for c, t in df.dtypes if not t.startswith("map")]
+    # "map<" anywhere in the type string, not just at top level:
+    # xxhash64 rejects MapType recursively, so array<map<...>> or
+    # struct<m:map<...>> would fail analysis too
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
     spread = F.when(
         F.col(key).isNull(),
-        # map columns excluded: Spark's hash exprs reject MapType; an
-        # all-map frame collapses nulls to one spread cell (correct,
-        # just unspread)
+        # map-bearing columns excluded: Spark's hash exprs reject
+        # MapType recursively; an all-map frame collapses nulls to one
+        # spread cell (correct, just unspread)
         F.pmod(F.xxhash64(*[F.col(c) for c in hashable]) if hashable else F.lit(0), F.lit(1024)),
     ).otherwise(F.lit(-1))
     w = Window.partitionBy(group_col, "__spread").orderBy(

@@ -68,11 +68,13 @@ def salted_join(
     # (partition, key), so a hot key clustered in one input partition
     # would still funnel into one reducer. xxhash64 over the row's
     # hashable columns is per-row-content — join RESULTS are identical
-    # for any salt assignment, only the balance varies. MapType columns
-    # are excluded (Spark's hash expressions reject maps at analysis
-    # time); a frame whose EVERY column is a map degenerates to a
-    # single bucket, which is correct, just unbalanced.
-    hashable = [c for c, t in left.dtypes if not t.startswith("map")]
+    # for any salt assignment, only the balance varies. Map-bearing
+    # columns are excluded — Spark's hash expressions reject MapType
+    # RECURSIVELY at analysis time, so array<map<...>> and
+    # struct<m:map<...>> must be skipped too; a frame whose every
+    # column carries a map degenerates to a single bucket, which is
+    # correct, just unbalanced.
+    hashable = [c for c, t in left.dtypes if "map<" not in t]
     row_salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in hashable]) if hashable else F.lit(0),
         F.lit(salt_buckets),

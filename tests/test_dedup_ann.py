@@ -351,7 +351,10 @@ def test_semantic_ivf_drops_wrong_dim_rows(spark):
     from schema_drift_detector_spark.operators.ann import deterministic_centroids
     from schema_drift_detector_spark.operators.dedup import semantic_near_duplicates_ivf
 
-    rows = [(i, [float(i == j) for j in range(8)]) for i in range(20)]
+    # i % 8, not i == j: rows 8..19 would otherwise be ZERO vectors and
+    # the md5 centroid pick could anchor a cell on one — now a loud
+    # ValueError (the r5 suite's RuntimeWarning was exactly this)
+    rows = [(i, [float(i % 8 == j) for j in range(8)]) for i in range(20)]
     rows += [(100, [1.0] * 8), (101, [1.0] * 8), (200, [1.0] * 11)]
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     cents = deterministic_centroids(emb.filter("vec_id < 20"), 4)
@@ -359,3 +362,29 @@ def test_semantic_ivf_drops_wrong_dim_rows(spark):
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert (100, 101) in got
     assert not any(200 in p for p in got)
+
+
+def test_semantic_ivf_rejects_zero_norm_centroid(spark):
+    """A caller-provided zero-norm (or non-finite) centroid must fail
+    loud, not become a NaN row that silently receives no assignments
+    (ADVICE r5)."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.dedup import semantic_near_duplicates_ivf
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0] * 4)],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="degenerate centroid"):
+        semantic_near_duplicates_ivf(emb, cents, threshold=0.9)
+    nan_cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [float("nan")] * 4)],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="degenerate centroid"):
+        semantic_near_duplicates_ivf(emb, nan_cents, threshold=0.9)

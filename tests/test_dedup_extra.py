@@ -236,3 +236,23 @@ def test_cap_per_group_deterministic_quota(spark):
     capped_n = cap_per_group(with_nulls, "g", "k", 100)
     assert capped_n.filter(F.col("k").isNull()).count() == 5
     assert capped_n.filter(F.col("k").isNotNull() & (F.col("g") == 3)).count() == 100
+
+
+def test_cap_per_group_nested_map_column(spark):
+    """xxhash64 rejects MapType RECURSIVELY: a null-key spread over a
+    frame carrying array<map<...>> must skip that column instead of
+    failing at analysis time (ADVICE r5)."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.sampling import cap_per_group
+
+    df = spark.range(40).select(
+        F.when(F.col("id") < 30, F.format_string("k-%d", F.col("id"))).alias("k"),
+        (F.col("id") % 2).alias("g"),
+        F.array(F.create_map(F.lit("a"), F.col("id"))).alias("m"),
+    )
+    capped = cap_per_group(df, "g", "k", 5)
+    rows = capped.collect()
+    # 5 real rows per group + every null-key row passes through
+    assert sum(1 for r in rows if r.k is not None) == 10
+    assert sum(1 for r in rows if r.k is None) == 10

@@ -115,3 +115,34 @@ def test_ingest_epoch_neardup_semantics_and_resume(spark, tmp_path_factory):
         ingest_epoch_neardup(spark, d, b1, 2, k=32)
     with _pytest.raises(ValueError, match="bands"):
         ingest_epoch_neardup(spark, d, b1, 2, k=64, bands=48)
+
+
+def test_neardup_param_gate_catches_mixed_index(spark, tmp_path_factory):
+    """The parameter gate must see EVERY distinct (k, n, hash_fn) tuple
+    in the index, not a sampled row: a re-ingested epoch with different
+    params leaves the index mixed, and a limit(1) sample could pick the
+    compatible tuple while the incompatible epochs silently never match
+    (ADVICE r5)."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.incremental import ingest_epoch_neardup
+
+    d = str(tmp_path_factory.mktemp("nd_mixed"))
+    docs = [(i, f"the quick brown fox jumps over lazy dog number {i} " * 3)
+            for i in range(6)]
+    b0 = spark.createDataFrame(docs, ["doc_id", "text"])
+    ingest_epoch_neardup(spark, d, b0, 0, k=8, bands=4)
+    b1 = spark.createDataFrame(
+        [(10, "completely fresh text for the follow-up epoch")], ["doc_id", "text"]
+    )
+    ingest_epoch_neardup(spark, d, b1, 1, k=8, bands=4)
+    # epoch 0 RE-ingested with different params AFTER epoch 1 exists:
+    # its own gate sees only strictly-earlier epochs (none), so this
+    # passes — and the static per-epoch overwrite leaves the index
+    # genuinely mixed (epoch 0 @ k=12, epoch 1 @ k=8)
+    ingest_epoch_neardup(spark, d, b0, 0, k=12, bands=6)
+    b2 = spark.createDataFrame(
+        [(20, "a third epoch that must now fail loud")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="MIXED parameters"):
+        ingest_epoch_neardup(spark, d, b2, 2, k=12, bands=6)
