@@ -2883,6 +2883,277 @@ FROM sp GROUP BY partition_id
 
 
 # --------------------------------------------------------------------------
+# Merged board entries (round 6)
+#
+# The driver attests at most 50 entries per round; the round-5 board held
+# 58, so 8 certified operators rotated out of the driver file two rounds
+# running (r5 verdict, Next round #1). These entries MERGE pairs/triples
+# whose results compose naturally — a tag column for union-shaped merges,
+# a key join for wide merges — so every registered operator fits under
+# the cap and gets a driver-attested row each round. The per-variant
+# q_* functions stay as module-level helpers: bench.py keeps benching
+# the lean variants (time-series continuity), and the merged entries
+# reuse them so certification semantics are unchanged.
+# --------------------------------------------------------------------------
+
+
+def q_jaccard_pairs_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard, both certified faces in one entry: the
+    full all-pairs verification path (threshold 0.5) and the
+    deterministic 1/10-sample bench variant (threshold 0.2), tagged by
+    `variant`."""
+    full = q_jaccard_pairs(spark, sf_dir).select(F.lit("full").alias("variant"), "*")
+    samp = q_jaccard_pairs_sample(spark, sf_dir).select(
+        F.lit("sample10").alias("variant"), "*"
+    )
+    return full.unionByName(samp)
+
+
+ORACLE_JACCARD_MERGED = f"""
+SELECT 'full' AS variant, * FROM ({ORACLE_JACCARD}) j_full
+UNION ALL
+SELECT 'sample10' AS variant, * FROM ({ORACLE_JACCARD_SAMPLE}) j_samp
+"""
+
+
+def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis features in ONE scan: language ID,
+    composite quality score, exact + normalized fingerprints. Merges
+    the former lang_id / quality_scores / fingerprints entries — the
+    wide single-select is also the plan a 100 TB pipeline wants (one
+    pass, all codegen column exprs, no joins)."""
+    from schema_drift_detector_spark.functions.text import (
+        fingerprint_md5,
+        fingerprint_normalized,
+        lang_id,
+        quality_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        lang_id("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+        fingerprint_md5("text").alias("fp_exact"),
+        fingerprint_normalized("text").alias("fp_normalized"),
+    )
+
+
+ORACLE_TEXT_DOC_FEATURES = f"""
+SELECT l.doc_id, l.lang, l.pred_lang, q.quality, f.fp_exact, f.fp_normalized
+FROM ({ORACLE_LANG_ID}) l
+JOIN ({ORACLE_QUALITY}) q USING (doc_id)
+JOIN ({ORACLE_FINGERPRINTS}) f USING (doc_id)
+"""
+
+
+def q_ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN top-k search paths in one entry, tagged by
+    `method`: exact brute-force cosine, IVF over deterministic seed
+    cells, and IVF over TRAINED k-means cells (the full
+    trainer→assign→probe composition). Identical (query_id, rank,
+    vec_id, cos_sim) schema; each face keeps its exact DuckDB replay."""
+    brute = q_ann_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
+    ivf = q_ann_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
+    ivf_km = q_ann_topk_ivf_kmeans(spark, sf_dir).select(
+        F.lit("ivf_kmeans").alias("method"), "*"
+    )
+    return brute.unionByName(ivf).unionByName(ivf_km)
+
+
+def _oracle_ann_topk_methods() -> str:
+    return f"""
+SELECT 'brute' AS method, * FROM ({ORACLE_ANN_TOPK}) a_brute
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_TOPK_IVF}) a_ivf
+UNION ALL
+SELECT 'ivf_kmeans' AS method, * FROM ({ORACLE_ANN_TOPK_IVF_KMEANS}) a_km
+"""
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both windowed streaming aggregation shapes in one entry, tagged
+    by `mode`: tumbling (1-day windows) and sliding (2-day windows,
+    1-day slide — every event in exactly two concurrently-open
+    windows). Each face runs its own complete-mode stream; the final
+    micro-batch must equal the batch answer."""
+    tumb = q_stream_windowed_counts(spark, sf_dir).select(
+        F.lit("tumbling").alias("mode"), "*"
+    )
+    slid = q_stream_sliding_counts(spark, sf_dir).select(
+        F.lit("sliding").alias("mode"), "*"
+    )
+    return tumb.unionByName(slid)
+
+
+ORACLE_STREAM_WINDOW_COUNTS = f"""
+SELECT 'tumbling' AS mode, * FROM ({ORACLE_STREAM_WINDOWED_COUNTS}) w_tumb
+UNION ALL
+SELECT 'sliding' AS mode, * FROM ({ORACLE_STREAM_SLIDING_COUNTS}) w_slid
+"""
+
+
+def q_span_validation_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness + referential-integrity verdicts through BOTH RI
+    physical paths, tagged by `ri_path`: the plain broadcast/shuffle
+    anti-join and the Bloom pre-filter path (no false negatives; fpp
+    sizes the residual join, never the answer). Both must produce the
+    identical verdict rows."""
+    plain = q_span_validation(spark, sf_dir).select(F.lit("join").alias("ri_path"), "*")
+    bloom = q_span_validation_bloom(spark, sf_dir).select(
+        F.lit("bloom").alias("ri_path"), "*"
+    )
+    return plain.unionByName(bloom)
+
+
+def _oracle_span_validation_merged() -> str:
+    return f"""
+SELECT 'join' AS ri_path, * FROM ({ORACLE_SPAN_VALIDATION}) sv_join
+UNION ALL
+SELECT 'bloom' AS ri_path, * FROM ({ORACLE_SPAN_VALIDATION}) sv_bloom
+"""
+
+
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full quantile-drift surface in one entry: per-(epoch,
+    partition, prob) exact interpolated quantiles with the t-digest
+    within-eps attestation (tolerance contract), joined with the
+    per-partition sketch-KS pass/fail verdict. Certifies digest build,
+    serialization, quantile inversion AND the drift decision in one
+    hash."""
+    spans = q_quantile_drift_spans(spark, sf_dir)
+    verdicts = q_quantile_drift_verdicts(spark, sf_dir).select(
+        "partition_id", "constraint", "passed", "severity"
+    )
+    return spans.join(verdicts, "partition_id").select(
+        "epoch",
+        "partition_id",
+        "prob",
+        "exact_q",
+        "digest_within_eps",
+        "constraint",
+        "passed",
+        "severity",
+    )
+
+
+ORACLE_QUANTILE_DRIFT = f"""
+SELECT sp.epoch, sp.partition_id, sp.prob, sp.exact_q, sp.digest_within_eps,
+       vd."constraint", vd.passed, vd.severity
+FROM ({ORACLE_QUANTILE_DRIFT_SPANS}) sp
+JOIN ({ORACLE_QUANTILE_DRIFT_VERDICTS}) vd USING (partition_id)
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode + byte-level features over the same persisted BLOB
+    fixture, joined on media_ref into one wide row per asset: header
+    fields, payload byte-mean, size, and Shannon entropy. Merges the
+    former media_decode / media_byte_features entries; the frame-sample
+    fan-out (different fixture, one-to-many shape) stays its own
+    entry."""
+    decoded = q_media_decode(spark, sf_dir)
+    feats = q_media_byte_features(spark, sf_dir)
+    return decoded.join(feats, "media_ref").select(
+        "media_ref", "width", "height", "n_frames", "mean_byte", "decoder",
+        "size_bytes", "entropy",
+    )
+
+
+ORACLE_MEDIA_FEATURES = f"""
+SELECT d.media_ref, d.width, d.height, d.n_frames, d.mean_byte, d.decoder,
+       b.size_bytes, b.entropy
+FROM ({ORACLE_MEDIA_DECODE}) d
+JOIN ({ORACLE_MEDIA_BYTE_FEATURES}) b USING (media_ref)
+"""
+
+
+# --------------------------------------------------------------------------
+# Substring-level dedup (round 6 — r5 verdict Next round #2)
+# --------------------------------------------------------------------------
+
+# 17 space-separated tokens planted as a shared footer on every 7th doc
+# (leading space joins it to the text with no double-space): its
+# interior 8-grams recur across ~1/7 of the corpus, far above min_df,
+# while each doc's body grams stay unique — exactly the
+# unique-doc-with-duplicated-boilerplate shape document-granular dedup
+# cannot catch.
+_SUBSTR_FOOTER = (
+    " this document is provided as is without warranty of any kind"
+    " express or implied including merchantability"
+)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup certified end-to-end: boilerplate
+    word 8-grams (document frequency >= 4) detected corpus-wide and
+    stripped from every document. The oracle replays gram hashing
+    (portable 60-bit md5), the df threshold, run coverage, and the
+    md5 of the RECONSTRUCTED cleaned text — so token order and every
+    removal boundary are hash-checked, not just counts."""
+    from schema_drift_detector_spark.operators.substring import substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_SUBSTR_FOOTER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = substring_dedup(docs, n=8, min_df=4, broadcast_hits=True)
+    if out.filter(F.col("n_removed") > 0).limit(1).count() == 0:
+        raise RuntimeError(
+            "vacuous fixture: no boilerplate stripped — footer grams never hit min_df"
+        )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cleaned_fp"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_SUBSTR_FOOTER}' ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+), grams AS (
+  -- 1-based starts; t[i:i+7] is DuckDB's inclusive 8-token slice;
+  -- gram identity = the engine's portable 60-bit md5 hash
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         CAST('0x' || substr(md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 7], ' ')), 1, 15)
+              AS BIGINT) AS gh
+  FROM tok, unnest(generate_series(1, len(t) - 7)) s(i)
+  WHERE len(t) >= 8
+), boiler AS (
+  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+  WHERE df >= 4
+), hits AS (
+  SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN boiler USING (gh)
+), toks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS token, len(t) AS n_tokens
+  FROM tok, unnest(generate_series(1, len(t))) s(i)
+), cov AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM toks tk JOIN hits h
+    ON h.doc_id = tk.doc_id AND tk.pos BETWEEN h.pos AND h.pos + 7
+)
+SELECT tk.doc_id,
+       CAST(max(tk.n_tokens) AS INT) AS n_tokens,
+       CAST(count(c.pos) AS INT) AS n_removed,
+       md5(coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos) FILTER (WHERE c.pos IS NULL), ''))
+         AS cleaned_fp
+FROM toks tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+GROUP BY tk.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -2911,19 +3182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "totalprice_histogram": q_totalprice_histogram,
         "distribution_drift_events": q_distribution_drift_events,
         "exact_dedup_props": q_exact_dedup_props,
-        "jaccard_pairs": q_jaccard_pairs,
-        "jaccard_pairs_sample": q_jaccard_pairs_sample,
+        "jaccard_pairs": q_jaccard_pairs_merged,
         "token_stats_by_lang": q_token_stats_by_lang,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "fingerprints": q_fingerprints,
+        "text_doc_features": q_text_doc_features,
         "corpus_prep": q_corpus_prep,
-        "ann_topk": q_ann_topk,
+        "ann_topk_methods": q_ann_topk_methods,
         "ivf_assign": q_ivf_assign,
         "kmeans_centroids": q_kmeans_centroids,
         "corpus_prep_full": q_corpus_prep_full,
         "stream_dedup_watermark": q_stream_dedup_watermark,
-        "ann_topk_ivf_kmeans": q_ann_topk_ivf_kmeans,
         "salted_join_orders": q_salted_join_orders,
         "salted_join_hot_events": q_salted_join_hot_events,
         "decontaminate": q_decontaminate,
@@ -2932,23 +3199,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ingest_dedup": q_stream_ingest_dedup,
         "pack_sequences": q_pack_sequences,
         "semantic_near_dups_ivf": q_semantic_near_dups_ivf,
-        "stream_sliding_counts": q_stream_sliding_counts,
-        "ann_topk_ivf": q_ann_topk_ivf,
+        "substring_dedup": q_substring_dedup,
+        "stream_window_counts": q_stream_window_counts,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_neardup_drop": q_corpus_neardup_drop,
         "simhash_pairs": q_simhash_pairs,
         "winnowing": q_winnowing,
-        "span_validation": q_span_validation,
-        "span_validation_bloom": q_span_validation_bloom,
+        "span_validation": q_span_validation_merged,
         "stream_span_validation": q_stream_span_validation,
         "stream_running_profiles": q_stream_running_profiles,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "quantile_drift_spans": q_quantile_drift_spans,
-        "quantile_drift_verdicts": q_quantile_drift_verdicts,
-        "media_decode": q_media_decode,
-        "media_byte_features": q_media_byte_features,
+        "quantile_drift": q_quantile_drift,
+        "media_features": q_media_features,
         "media_frame_checksums": q_media_frame_checksums,
         "hll_rollup": q_hll_rollup,
         "span_kind_histogram": q_span_kind_histogram,
@@ -2974,19 +3237,15 @@ def oracle_sql() -> dict[str, str]:
         "totalprice_histogram": ORACLE_HISTOGRAM,
         "distribution_drift_events": ORACLE_DRIFT_EVENTS,
         "exact_dedup_props": ORACLE_EXACT_DEDUP,
-        "jaccard_pairs": ORACLE_JACCARD,
-        "jaccard_pairs_sample": ORACLE_JACCARD_SAMPLE,
+        "jaccard_pairs": ORACLE_JACCARD_MERGED,
         "token_stats_by_lang": ORACLE_TOKEN_STATS,
-        "lang_id": ORACLE_LANG_ID,
-        "quality_scores": ORACLE_QUALITY,
-        "fingerprints": ORACLE_FINGERPRINTS,
+        "text_doc_features": ORACLE_TEXT_DOC_FEATURES,
         "corpus_prep": ORACLE_CORPUS_PREP,
-        "ann_topk": ORACLE_ANN_TOPK,
+        "ann_topk_methods": _oracle_ann_topk_methods(),
         "ivf_assign": ORACLE_IVF_ASSIGN,
         "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
         "corpus_prep_full": _oracle_corpus_prep_full(),
         "stream_dedup_watermark": _oracle_stream_dedup_watermark(),
-        "ann_topk_ivf_kmeans": ORACLE_ANN_TOPK_IVF_KMEANS,
         "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
         "salted_join_hot_events": ORACLE_SALTED_JOIN_HOT_EVENTS,
         "decontaminate": ORACLE_DECONTAMINATE,
@@ -2995,27 +3254,20 @@ def oracle_sql() -> dict[str, str]:
         "stream_ingest_dedup": ORACLE_STREAM_INGEST_DEDUP,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "semantic_near_dups_ivf": ORACLE_SEMANTIC_NEAR_DUPS_IVF,
-        "stream_sliding_counts": ORACLE_STREAM_SLIDING_COUNTS,
-        "ann_topk_ivf": ORACLE_ANN_TOPK_IVF,
+        "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "stream_window_counts": ORACLE_STREAM_WINDOW_COUNTS,
         "embedding_near_dups": _oracle_embedding_near_dups(),
-        "span_validation": ORACLE_SPAN_VALIDATION,
-        "span_validation_bloom": ORACLE_SPAN_VALIDATION,
+        "span_validation": _oracle_span_validation_merged(),
         "stream_span_validation": ORACLE_SPAN_VALIDATION,
         "stream_running_profiles": ORACLE_STREAM_RUNNING_PROFILES,
-        "stream_windowed_counts": ORACLE_STREAM_WINDOWED_COUNTS,
         "span_kind_histogram": ORACLE_SPAN_KIND_HISTOGRAM,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "corpus_neardup_drop": _oracle_corpus_neardup_drop(),
         "simhash_pairs": _oracle_simhash(),
-        "quantile_drift_verdicts": ORACLE_QUANTILE_DRIFT_VERDICTS,
-        "quantile_drift_spans": ORACLE_QUANTILE_DRIFT_SPANS,
+        "quantile_drift": ORACLE_QUANTILE_DRIFT,
         "hll_rollup": ORACLE_HLL_ROLLUP,
         "winnowing": ORACLE_WINNOWING,
-        "media_decode": ORACLE_MEDIA_DECODE,
-        "media_byte_features": ORACLE_MEDIA_BYTE_FEATURES,
+        "media_features": ORACLE_MEDIA_FEATURES,
         "media_frame_checksums": ORACLE_MEDIA_FRAMES,
-        # quantile_drift_spans: raw sketch KS values are engine-specific
-        # → rows-only (the verdicts are hash-checked via
-        # quantile_drift_verdicts)
     }

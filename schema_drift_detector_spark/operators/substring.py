@@ -1,0 +1,209 @@
+"""Substring-level exact dedup: strip word n-gram runs shared across
+documents (boilerplate headers/footers/licenses) from otherwise-unique
+docs.
+
+Document-granular dedup (exact md5, MinHash/LSH, SimHash, SemDeDup —
+operators.dedup) cannot catch a UNIQUE document carrying a duplicated
+footer: the doc as a whole is not a near-dup of anything, yet a shared
+license block repeated across 10^8 pages is exactly the memorization
+hazard substring dedup exists for (the "exact substring" pass of
+Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better" — there over suffix-array byte runs; here over the engine's
+portable word n-grams so the pass is DuckDB-certifiable and composes
+with the decontamination gram machinery). The reference engine has no
+data plane, so this is an LLM-pipeline-first-class operator, not a
+parity one (r5 verdict, Next round #2).
+
+Semantics (deterministic, cross-engine replayable):
+  - Tokens are the literal single-space split of ``text_col`` (DuckDB
+    ``string_split(text, ' ')``) — NOT the lowercased alphanumeric
+    decontamination tokens — because the cleaned text must be
+    reconstructible from the kept tokens verbatim.
+  - A gram is ``n`` consecutive tokens; its identity is the portable
+    60-bit md5 hash (functions.text.portable_hash60) of the tokens
+    joined by a single space.
+  - A gram is BOILERPLATE iff its document frequency (count of
+    DISTINCT docs containing it) >= ``min_df``.
+  - A token is removed iff it is covered by any boilerplate gram
+    occurrence in its document; the cleaned text is the remaining
+    tokens joined by ' ' (may be '' when a doc is pure boilerplate —
+    substring dedup assumes exact dedup ran first, so whole-doc
+    duplicates reaching min_df are legitimately emptied).
+
+Scale shape (the part that must survive 100 TB):
+  - Gram extraction is one corpus scan, narrow explode of (id, pos,
+    gram_hash) — 8-byte hashes, never gram strings.
+  - Document frequency is the one unavoidable big shuffle: distinct
+    (gram_hash, doc) then count by gram_hash — the same shape as every
+    distributed suffix/gram pass; partial aggregation applies and no
+    row carries text.
+  - The boilerplate gram set joins back via a plain equi-join on
+    gram_hash: its size is data-dependent (unlike decontamination's
+    by-construction-tiny eval side), so the default lets AQE pick
+    broadcast vs shuffle at runtime; only HIT rows (boilerplate
+    occurrences) reach the per-doc aggregation.
+  - The corpus-side rewrite joins per-doc hit-start arrays back on the
+    doc id: docs with no boilerplate pass through a left join with a
+    null array. ``broadcast_hits=True`` forces broadcasting the
+    hit-start side when the caller knows the boilerplate doc fraction
+    is small (the common case), keeping the corpus unshuffled.
+  - The token rewrite itself is ONE Arrow pandas_udf (difference-array
+    run coverage, numpy cumsum) — no per-token rows ever materialize.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def token_gram_occurrences(text: Column | str, n: int) -> Column:
+    """Array of (pos, gram_hash) for every n-gram occurrence of the
+    single-space token split of ``text``; pos is the 1-based index of
+    the gram's FIRST token (DuckDB ``generate_series`` convention, so
+    oracles replay positions verbatim). Occurrences, not distinct
+    grams — coverage needs every start. Null text or fewer than ``n``
+    tokens yields an empty array (never null: an empty doc has no
+    grams, which is an answer, not a missing value)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import portable_hash60_py
+
+    @pandas_udf("array<struct<pos: int, gh: long>>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            toks = t.split(" ")
+            m = len(toks) - n + 1
+            out.append(
+                [
+                    {"pos": i + 1, "gh": portable_hash60_py(" ".join(toks[i : i + n]))}
+                    for i in range(m)
+                ]
+                if m > 0
+                else []
+            )
+        return pd.Series(out)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _grams(c)
+
+
+def boilerplate_grams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """The boilerplate gram-hash set: one column ``gh`` holding every
+    gram hash whose document frequency (DISTINCT docs) >= ``min_df``.
+    One scan + one narrow shuffle of (gh, id) pairs."""
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (a gram unique to one doc "
+                         f"is content, not boilerplate), got {min_df}")
+    occ = docs.select(
+        F.col(id_col), F.explode(token_gram_occurrences(text_col, n)).alias("g")
+    ).select(id_col, F.col("g.gh").alias("gh"))
+    return (
+        occ.distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gh")
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+    broadcast_hits: bool = False,
+) -> DataFrame:
+    """Strip every boilerplate-gram-covered token from every document.
+
+    Returns ``docs``'s columns with ``text_col`` REPLACED by the
+    cleaned text, plus ``n_tokens`` (original token count) and
+    ``n_removed`` (tokens stripped; 0 for untouched docs). Null text
+    passes through as null with n_tokens = n_removed = 0.
+
+    ``broadcast_hits=True`` broadcasts the per-doc hit-start arrays so
+    the corpus never shuffles — use when boilerplate-carrying docs are
+    a small fraction (the common case); the default plain join lets
+    AQE decide from the measured hit size.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (a gram unique to one doc "
+                         f"is content, not boilerplate), got {min_df}")
+    # one logical gram frame feeds both the df count and the hit
+    # lookup; physically Spark recomputes it per consumer (two scans) —
+    # deliberate: persisting corpus-scale gram rows loses to a parquet
+    # rescan (OS page cache shares the bytes; see the cache-vs-rescan
+    # measurement in BENCH/BASELINE.md r2 notes)
+    occ = docs.select(
+        F.col(id_col), F.explode(token_gram_occurrences(text_col, n)).alias("g")
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    boiler = (
+        occ.select(id_col, "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gh")
+    )
+    hit_starts = (
+        occ.join(boiler, "gh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    rhs = F.broadcast(hit_starts) if broadcast_hits else hit_starts
+
+    import numpy as np
+
+    @pandas_udf("struct<cleaned: string, n_tokens: int, n_removed: int>")
+    def _strip(texts: pd.Series, starts_lists: pd.Series) -> pd.DataFrame:
+        cleaned, n_toks, n_rem = [], [], []
+        for t, starts in zip(texts, starts_lists):
+            if t is None:
+                cleaned.append(None)
+                n_toks.append(0)
+                n_rem.append(0)
+                continue
+            toks = t.split(" ")
+            if starts is None or len(starts) == 0:
+                cleaned.append(t)
+                n_toks.append(len(toks))
+                n_rem.append(0)
+                continue
+            # difference-array run coverage: O(tokens + starts), no
+            # per-token materialization outside this batch
+            mark = np.zeros(len(toks) + 1, dtype=np.int64)
+            for j in starts:  # 1-based gram starts covering [j, j+n-1]
+                mark[j - 1] += 1
+                mark[min(j - 1 + n, len(toks))] -= 1
+            cov = np.cumsum(mark[:-1]) > 0
+            cleaned.append(" ".join(tok for tok, c in zip(toks, cov) if not c))
+            n_toks.append(len(toks))
+            n_rem.append(int(cov.sum()))
+        return pd.DataFrame({"cleaned": cleaned, "n_tokens": n_toks, "n_removed": n_rem})
+
+    out_cols = [
+        F.col(c) if c != text_col else F.col("__sub.cleaned").alias(text_col)
+        for c in docs.columns
+    ]
+    return (
+        docs.join(rhs, id_col, "left")
+        .withColumn("__sub", _strip(F.col(text_col), F.col("__starts")))
+        .select(*out_cols, F.col("__sub.n_tokens").alias("n_tokens"),
+                F.col("__sub.n_removed").alias("n_removed"))
+    )
