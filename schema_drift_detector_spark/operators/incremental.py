@@ -20,10 +20,14 @@ Index layout and the 100-TB shape:
     (partition-pruned). Only the batch side is new data; at 10^12
     accumulated fingerprints the anti-join shuffles index rows once
     per ingest, which is the unavoidable lower bound WITHOUT a
-    co-located layout. For standing pipelines at that scale, point
-    ``bucket_table`` at a bucketed-table index (sources.io
-    write_bucketed): the index side then arrives pre-shuffled on
-    fingerprint and each ingest shuffles ONLY the new batch.
+    co-located layout. For standing pipelines at that scale, pass
+    ``bucket_table``: the index then lives as a catalog table
+    partitioned by ingest_epoch AND bucketed+sorted on the join key
+    (epoch partitions stay individually replaceable via
+    static-partition INSERT OVERWRITE — every partition shares the
+    bucket spec, so the scan stays bucketed across epochs), the index
+    side arrives pre-shuffled, and each ingest shuffles ONLY the new
+    batch. Same crash-safety, zero index-side Exchange (plan-tested).
   - The fingerprint is md5 of the content column, with the same
     null-content sentinel as dedup.drop_exact_duplicates — one null
     survivor ever, epoch-0-first, not one per epoch.
@@ -54,38 +58,99 @@ def _fingerprinted(df: DataFrame, content_col: str) -> DataFrame:
 
 
 def _read_epoch_index(
-    spark: SparkSession, index_dir: str, empty_schema: str, before_epoch: int | None
+    spark: SparkSession,
+    index_dir: str | None,
+    empty_schema: str,
+    before_epoch: int | None,
+    bucket_table: str | None = None,
 ) -> DataFrame:
     """Shared reader for the epoch-partitioned index tables: empty frame
     when the index does not exist yet; ``before_epoch`` filters to
-    strictly-earlier epochs — a pure partition-pruning predicate."""
+    strictly-earlier epochs — a pure partition-pruning predicate.
+    ``bucket_table`` switches from the parquet-directory layout to the
+    bucketed catalog table of the same schema."""
     from pyspark.errors import AnalysisException
 
-    try:
-        idx = spark.read.parquet(index_dir)
-    except AnalysisException:
-        return spark.createDataFrame([], empty_schema)
+    if bucket_table is not None:
+        if not spark.catalog.tableExists(bucket_table):
+            return spark.createDataFrame([], empty_schema)
+        idx = spark.table(bucket_table)
+    else:
+        try:
+            idx = spark.read.parquet(index_dir)
+        except AnalysisException:
+            return spark.createDataFrame([], empty_schema)
     if before_epoch is not None:
         idx = idx.filter(F.col("ingest_epoch") < int(before_epoch))
     return idx
 
 
+def _write_epoch_bucketed(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    epoch: int,
+    buckets: int,
+    bucket_cols: list[str],
+) -> None:
+    """Create-or-replace exactly one epoch partition of a BUCKETED index
+    table. First epoch creates the table (partitionBy ingest_epoch +
+    bucketBy + sortBy on the join key); later epochs go through SQL
+    ``INSERT OVERWRITE ... PARTITION (ingest_epoch=N)`` — the STATIC
+    partition form, which (probed on Spark 4.1) truncates the partition
+    even when the select is EMPTY (no stale-partition residue on
+    re-ingest, the dynamic-overwrite trap) and writes real bucketed
+    files (``_0000N`` bucket suffixes), so later co-located joins stay
+    correct."""
+    import re as _re
+
+    if not spark.catalog.tableExists(table):
+        (
+            df.withColumn("ingest_epoch", F.lit(int(epoch)))
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("ingest_epoch")
+            .bucketBy(buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .saveAsTable(table)
+        )
+        return
+    tv = "__ingest_epoch_" + _re.sub(r"\W", "_", table)
+    df.createOrReplaceTempView(tv)
+    try:
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {table} "
+            f"PARTITION (ingest_epoch={int(epoch)}) SELECT * FROM {tv}"
+        )
+    finally:
+        spark.catalog.dropTempView(tv)
+
+
 def read_fingerprint_index(
-    spark: SparkSession, index_dir: str, before_epoch: int | None = None
+    spark: SparkSession,
+    index_dir: str | None,
+    before_epoch: int | None = None,
+    bucket_table: str | None = None,
 ) -> DataFrame:
     """The accumulated index: (fingerprint, id, ingest_epoch)."""
     return _read_epoch_index(
-        spark, index_dir, "fingerprint string, id bigint, ingest_epoch int", before_epoch
+        spark,
+        index_dir,
+        "fingerprint string, id bigint, ingest_epoch int",
+        before_epoch,
+        bucket_table,
     )
 
 
 def ingest_epoch(
     spark: SparkSession,
-    index_dir: str,
+    index_dir: str | None,
     batch: DataFrame,
     epoch: int,
     id_col: str = "doc_id",
     content_col: str = "text",
+    bucket_table: str | None = None,
+    buckets: int = 64,
 ) -> DataFrame:
     """Ingest one epoch: returns the ACCEPTED rows of ``batch`` (full
     batch columns) — within-batch exact-deduped (min id per
@@ -94,6 +159,17 @@ def ingest_epoch(
     index under this epoch's partition (dynamic overwrite: re-running
     the same epoch is idempotent).
 
+    ``bucket_table`` (r5 verdict, Next round #3) stores the index as a
+    catalog table bucketed+sorted on ``fingerprint`` instead of the
+    plain parquet directory: the per-ingest anti-join then reads the
+    index side pre-shuffled (zero Exchange, plan-tested) and each
+    ingest shuffles ONLY the new batch — the standing-pipeline layout
+    at 10^12 accumulated fingerprints, where re-shuffling the index
+    every ingest is the dominant cost. ``buckets`` sizes the layout at
+    CREATE time (it must hold for the index's lifetime — size for the
+    target fingerprint count / executor memory, not for the first
+    batch); it is ignored once the table exists.
+
     The returned frame is computed BEFORE the index write and reread
     from the index afterwards would be equivalent; callers that persist
     accepted docs should do so before relying on the index write as the
@@ -101,9 +177,9 @@ def ingest_epoch(
     fp_batch = _fingerprinted(batch, content_col)
     keep = fp_batch.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     survivors = fp_batch.join(keep, on=["__fp", id_col], how="inner")
-    history = read_fingerprint_index(spark, index_dir, before_epoch=epoch).select(
-        F.col("fingerprint").alias("__fp")
-    )
+    history = read_fingerprint_index(
+        spark, index_dir, before_epoch=epoch, bucket_table=bucket_table
+    ).select(F.col("fingerprint").alias("__fp"))
     # eager localCheckpoint: (a) the accepted set is computed ONCE — the
     # index write below and the caller's consumption would otherwise
     # each replay the dedup joins and a full batch scan; (b) the blocks
@@ -119,34 +195,67 @@ def ingest_epoch(
     # from a prior aborted attempt at this epoch would silently survive
     # and poison every later anti-join (review r5 #2). Writing the
     # directory directly replaces it even when empty; partition
-    # discovery re-derives ingest_epoch from the path on read.
-    accepted.select(
+    # discovery re-derives ingest_epoch from the path on read. The
+    # bucketed layout gets the same guarantee from the STATIC-partition
+    # INSERT OVERWRITE inside _write_epoch_bucketed.
+    new_rows = accepted.select(
         F.col("__fp").alias("fingerprint"),
         F.col(id_col).cast("bigint").alias("id"),
-    ).write.mode("overwrite").parquet(f"{index_dir}/ingest_epoch={int(epoch)}")
+    )
+    if bucket_table is not None:
+        _write_epoch_bucketed(
+            spark, bucket_table, new_rows, epoch, buckets, ["fingerprint"]
+        )
+    else:
+        new_rows.write.mode("overwrite").parquet(
+            f"{index_dir}/ingest_epoch={int(epoch)}"
+        )
     return accepted.drop("__fp")
 
 
 def read_neardup_index(
-    spark: SparkSession, index_dir: str, before_epoch: int | None = None
+    spark: SparkSession,
+    index_dir: str | None,
+    before_epoch: int | None = None,
+    bucket_table: str | None = None,
 ) -> DataFrame:
     """The accumulated near-dup signature index: (id, sig array<long>,
     k, n_shingle, hash_fn, ingest_epoch) — the signature parameters are
     stamped on every row (constant per epoch; parquet RLE stores them
     for free) so an ingest with different parameters can FAIL LOUD
-    instead of silently comparing incompatible signatures."""
+    instead of silently comparing incompatible signatures. With
+    ``bucket_table`` the signatures live in the ``<bucket_table>_sigs``
+    catalog table (bucketed on id)."""
     return _read_epoch_index(
         spark,
         index_dir,
         "id bigint, sig array<bigint>, k int, n_shingle int, hash_fn string, "
         "ingest_epoch int",
         before_epoch,
+        f"{bucket_table}_sigs" if bucket_table is not None else None,
+    )
+
+
+def read_neardup_band_index(
+    spark: SparkSession, bucket_table: str, before_epoch: int | None = None
+) -> DataFrame:
+    """The PRECOMPUTED banded face of the bucketed near-dup index:
+    (id, band, bucket, ingest_epoch) in ``<bucket_table>_bands``,
+    bucketed on (band, bucket) so the per-ingest candidate join
+    co-locates. Only exists in the bucketed layout — the parquet layout
+    derives bands from stored signatures at read time."""
+    return _read_epoch_index(
+        spark,
+        None,
+        "id bigint, band int, bucket bigint, ingest_epoch int",
+        before_epoch,
+        f"{bucket_table}_bands",
     )
 
 
 def ingest_epoch_neardup(
     spark: SparkSession,
-    index_dir: str,
+    index_dir: str | None,
     batch: DataFrame,
     epoch: int,
     id_col: str = "doc_id",
@@ -156,6 +265,8 @@ def ingest_epoch_neardup(
     bands: int = 16,
     threshold: float = 0.6,
     hash_fn: str = "md5",
+    bucket_table: str | None = None,
+    buckets: int = 64,
 ) -> DataFrame:
     """NEAR-dup-aware incremental ingest — the fuzzy sibling of
     ingest_epoch: a new batch's docs are dropped when they are
@@ -178,9 +289,15 @@ def ingest_epoch_neardup(
     bucket-join of the batch's band buckets against the banded history
     (history bands are derived from the stored signatures — k
     integers per doc — NOT by rescanning historical text). At standing
-    10^12-doc scale, store the index as a bucket-partitioned/bucketed
-    table so the per-ingest join co-locates; the parquet layout here
-    keeps the same semantics.
+    10^12-doc scale pass ``bucket_table`` (r5 verdict, Next round #3):
+    the index then lives as TWO catalog tables — ``<bt>_sigs``
+    bucketed on id (the estimate-fetch join side) and ``<bt>_bands``
+    bucketed on (band, bucket) with the band rows PRECOMPUTED at
+    accept time (the candidate-join side) — so both history-side joins
+    read pre-shuffled (zero index-side Exchange, plan-tested) and each
+    ingest shuffles only the new batch; precomputing the bands also
+    retires the parquet layout's derive-bands-per-ingest double scan.
+    ``buckets`` sizes both tables at CREATE time and is ignored after.
 
     Docs with NULL text have no shingles, hence no signature: they pass
     through UNJUDGED and are not indexed (exact-dedup ingest_epoch is
@@ -196,7 +313,9 @@ def ingest_epoch_neardup(
     )
 
     validate_bands(k, bands)  # same fail-loud guard as the LSH entry point
-    history = read_neardup_index(spark, index_dir, before_epoch=epoch)
+    history = read_neardup_index(
+        spark, index_dir, before_epoch=epoch, bucket_table=bucket_table
+    )
     # parameter-compatibility gate: signatures built with different
     # k/n/hash_fn are NOT comparable — zip_with pads the shorter sig
     # with nulls and the estimate silently caps below threshold, which
@@ -255,7 +374,16 @@ def ingest_epoch_neardup(
     ).localCheckpoint(eager=True)
     hist_sigs = history.select(F.col("id").alias("doc"), "sig")
     nb = band_buckets(surv_sigs, bands).alias("nb")
-    hb = band_buckets(hist_sigs, bands).alias("hb")
+    if bucket_table is not None:
+        # precomputed banded face, bucketed on (band, bucket): the
+        # candidate join below co-locates on the history side
+        hb = (
+            read_neardup_band_index(spark, bucket_table, before_epoch=epoch)
+            .select(F.col("id").alias("doc"), "band", "bucket")
+            .alias("hb")
+        )
+    else:
+        hb = band_buckets(hist_sigs, bands).alias("hb")
     cand = (
         nb.join(
             hb,
@@ -281,13 +409,32 @@ def ingest_epoch_neardup(
     accepted = survivors.join(cross_drops, id_col, "left_anti").localCheckpoint(
         eager=True
     )
-    sigs_new.join(
+    acc_sigs = sigs_new.join(
         accepted.select(F.col(id_col).alias("doc")), "doc", "left_semi"
-    ).select(
+    )
+    new_rows = acc_sigs.select(
         F.col("doc").cast("bigint").alias("id"),
         "sig",
         F.lit(int(k)).alias("k"),
         F.lit(int(n)).alias("n_shingle"),
         F.lit(hash_fn).alias("hash_fn"),
-    ).write.mode("overwrite").parquet(f"{index_dir}/ingest_epoch={int(epoch)}")
+    )
+    if bucket_table is not None:
+        _write_epoch_bucketed(
+            spark, f"{bucket_table}_sigs", new_rows, epoch, buckets, ["id"]
+        )
+        _write_epoch_bucketed(
+            spark,
+            f"{bucket_table}_bands",
+            band_buckets(acc_sigs, bands).select(
+                F.col("doc").cast("bigint").alias("id"), "band", "bucket"
+            ),
+            epoch,
+            buckets,
+            ["band", "bucket"],
+        )
+    else:
+        new_rows.write.mode("overwrite").parquet(
+            f"{index_dir}/ingest_epoch={int(epoch)}"
+        )
     return accepted
