@@ -203,6 +203,29 @@ deliver.**
             appendix = "\n" + old[old.index(marker) :]
     except FileNotFoundError:
         pass
+    # self-append this run to the history table (r5 verdict #6: the
+    # table used to be hand-maintained and chronically one round
+    # behind). The row lands after the LAST row of the first table
+    # following the marker; tag via SPARK_GRAFT_ROUND (e.g. "r6").
+    if appendix:
+        tag = os.environ.get("SPARK_GRAFT_ROUND", "r?")
+        alines = appendix.splitlines()
+        last_row = None
+        for i, ln in enumerate(alines):
+            if ln.startswith("|"):
+                last_row = i
+            elif last_row is not None and not ln.strip():
+                break
+        if last_row is not None:
+            peak_level = max(LEVELS)
+            alines.insert(
+                last_row + 1,
+                f"| {tag} {datetime.now(timezone.utc):%Y-%m-%d %H:%M} "
+                f"| **{eff[gate_pair]:.3f}** | {hw_eff[gate_pair]:.3f} "
+                f"| {thr[peak_level] / 1000:,.0f}k docs/s (local[{peak_level}]) "
+                f"| honest harness, core-PINNED, auto-appended |",
+            )
+            appendix = "\n".join(alines) + "\n"
     # atomic replace: a crash mid-write must not destroy the
     # hand-written appendix this preservation exists for
     tmp = path + ".tmp"
