@@ -59,37 +59,41 @@ from pyspark.sql import functions as F
 
 
 def token_gram_occurrences(text: Column | str, n: int) -> Column:
-    """Array of (pos, gram_hash) for every n-gram occurrence of the
-    single-space token split of ``text``; pos is the 1-based index of
-    the gram's FIRST token (DuckDB ``generate_series`` convention, so
-    oracles replay positions verbatim). Occurrences, not distinct
-    grams — coverage needs every start. Null text or fewer than ``n``
-    tokens yields an empty array (never null: an empty doc has no
-    grams, which is an answer, not a missing value)."""
+    """struct<pos: array<int>, gh: array<long>> — parallel arrays of
+    every n-gram occurrence of the single-space token split of
+    ``text``: pos[i] is the 1-based index of the gram's FIRST token
+    (DuckDB ``generate_series`` convention, so oracles replay positions
+    verbatim), gh[i] its portable 60-bit hash. Occurrences, not
+    distinct grams — coverage needs every start. Null text or fewer
+    than ``n`` tokens yields empty arrays.
+
+    Two primitive arrays, NOT array<struct<pos,gh>>: the md5 hashing is
+    the irreducible cost (~0.25 s per 5k docs either way), but Arrow
+    serialization of a list-of-struct column measured several times the
+    Python body — parallel primitive lists keep the transfer flat, and
+    consumers that only need the hashes (the df count) explode ``gh``
+    alone without paying for positions at all."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql.functions import pandas_udf
 
     from ..functions.text import portable_hash60_py
 
-    @pandas_udf("array<struct<pos: int, gh: long>>")
-    def _grams(texts: pd.Series) -> pd.Series:
-        out = []
+    @pandas_udf("struct<pos: array<int>, gh: array<long>>")
+    def _grams(texts: pd.Series) -> pd.DataFrame:
+        poss, ghs = [], []
         for t in texts:
-            if t is None:
-                out.append([])
-                continue
-            toks = t.split(" ")
+            toks = t.split(" ") if t is not None else []
             m = len(toks) - n + 1
-            out.append(
-                [
-                    {"pos": i + 1, "gh": portable_hash60_py(" ".join(toks[i : i + n]))}
-                    for i in range(m)
-                ]
-                if m > 0
-                else []
+            if m <= 0:
+                poss.append([])
+                ghs.append([])
+                continue
+            poss.append(list(range(1, m + 1)))
+            ghs.append(
+                [portable_hash60_py(" ".join(toks[i : i + n])) for i in range(m)]
             )
-        return pd.Series(out)
+        return pd.DataFrame({"pos": poss, "gh": ghs})
 
     c = F.col(text) if isinstance(text, str) else text
     return _grams(c)
@@ -109,8 +113,9 @@ def boilerplate_grams(
         raise ValueError(f"min_df must be >= 2 (a gram unique to one doc "
                          f"is content, not boilerplate), got {min_df}")
     occ = docs.select(
-        F.col(id_col), F.explode(token_gram_occurrences(text_col, n)).alias("g")
-    ).select(id_col, F.col("g.gh").alias("gh"))
+        F.col(id_col),
+        F.explode(token_gram_occurrences(text_col, n)["gh"]).alias("gh"),
+    )
     return (
         occ.distinct()
         .groupBy("gh")
@@ -146,21 +151,25 @@ def substring_dedup(
         raise ValueError(f"min_df must be >= 2 (a gram unique to one doc "
                          f"is content, not boilerplate), got {min_df}")
     # one logical gram frame feeds both the df count and the hit
-    # lookup; physically Spark recomputes it per consumer (two scans) —
-    # deliberate: persisting corpus-scale gram rows loses to a parquet
-    # rescan (OS page cache shares the bytes; see the cache-vs-rescan
-    # measurement in BENCH/BASELINE.md r2 notes)
-    occ = docs.select(
-        F.col(id_col), F.explode(token_gram_occurrences(text_col, n)).alias("g")
-    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    # lookup; physically Spark recomputes the gram udf per consumer
+    # (two scans) — deliberate: persisting corpus-scale gram rows loses
+    # to a parquet rescan (OS page cache shares the bytes; see the
+    # cache-vs-rescan measurement in BENCH/BASELINE.md r2 notes). The
+    # df branch explodes only the hash array; positions are paid for
+    # only on the hit branch.
+    g = docs.select(F.col(id_col), token_gram_occurrences(text_col, n).alias("g"))
     boiler = (
-        occ.select(id_col, "gh")
+        g.select(F.col(id_col), F.explode("g.gh").alias("gh"))
         .distinct()
         .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
         .select("gh")
     )
+    occ = g.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(F.col("g.pos"), F.col("g.gh"))).alias("z"),
+    ).select(id_col, F.col("z.pos").alias("pos"), F.col("z.gh").alias("gh"))
     hit_starts = (
         occ.join(boiler, "gh")
         .groupBy(id_col)
