@@ -3102,9 +3102,13 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal boundary are hash-checked, not just counts."""
     from schema_drift_detector_spark.operators.substring import substring_dedup
 
+    # every 97th(+3) doc gets NULL text — the fixtures carry no nulls,
+    # so without this injection the null-passthrough contract (row kept,
+    # n_tokens 0, md5('') fingerprint) would be certified vacuously
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(
+        F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
+        .when(
             F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_SUBSTR_FOOTER))
         )
         .otherwise(F.col("text"))
@@ -3133,7 +3137,9 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SUBSTRING_DEDUP = f"""
 WITH docs AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN text || '{_SUBSTR_FOOTER}' ELSE text END AS text
+         CASE WHEN doc_id % 97 = 3 THEN NULL
+              WHEN doc_id % 7 = 0 THEN text || '{_SUBSTR_FOOTER}'
+              ELSE text END AS text
   FROM documents
 ), tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM docs
@@ -3158,13 +3164,23 @@ WITH docs AS (
   FROM toks tk JOIN hits h
     ON h.doc_id = tk.doc_id AND tk.pos BETWEEN h.pos AND h.pos + 7
 )
-SELECT tk.doc_id,
-       CAST(max(tk.n_tokens) AS INT) AS n_tokens,
-       CAST(count(c.pos) AS INT) AS n_removed,
-       md5(coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos) FILTER (WHERE c.pos IS NULL), ''))
-         AS cleaned_fp
-FROM toks tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
-GROUP BY tk.doc_id
+, agg AS (
+  SELECT tk.doc_id,
+         max(tk.n_tokens) AS n_tokens,
+         count(c.pos) AS n_removed,
+         coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos) FILTER (WHERE c.pos IS NULL), '')
+           AS kept
+  FROM toks tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+  GROUP BY tk.doc_id
+)
+-- drive from docs, not toks: a NULL-text doc has no token rows
+-- (unnest over a NULL split yields nothing) but the engine keeps it —
+-- n_tokens 0, nothing removed, md5('') fingerprint
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(a.n_removed, 0) AS INT) AS n_removed,
+       md5(coalesce(a.kept, '')) AS cleaned_fp
+FROM docs d LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -240,17 +240,99 @@ def read_neardup_band_index(
     spark: SparkSession, bucket_table: str, before_epoch: int | None = None
 ) -> DataFrame:
     """The PRECOMPUTED banded face of the bucketed near-dup index:
-    (id, band, bucket, ingest_epoch) in ``<bucket_table>_bands``,
+    (id, band, bucket, bands, ingest_epoch) in ``<bucket_table>_bands``,
     bucketed on (band, bucket) so the per-ingest candidate join
-    co-locates. Only exists in the bucketed layout — the parquet layout
-    derives bands from stored signatures at read time."""
+    co-locates; ``bands`` stamps the band count the rows were computed
+    with (constant per epoch, parquet-RLE free — same discipline as the
+    k/n_shingle/hash_fn stamps on signature rows). Only exists in the
+    bucketed layout — the parquet layout derives bands from stored
+    signatures at read time."""
     return _read_epoch_index(
         spark,
         None,
-        "id bigint, band int, bucket bigint, ingest_epoch int",
+        "id bigint, band int, bucket bigint, bands int, ingest_epoch int",
         before_epoch,
         f"{bucket_table}_bands",
     )
+
+
+def _check_bucketed_neardup_consistency(
+    spark: SparkSession, bucket_table: str, epoch: int, bands: int
+) -> None:
+    """Fail-loud guards the PARQUET layout gets structurally for free.
+
+    (a) Band-count drift: the band face is precomputed with the
+    accept-time ``bands``; an ingest using a different value would
+    band-join against incomparable buckets and silently accept every
+    cross-epoch near-dup (the parquet layout derives bands at read
+    time, where changing ``bands`` is supported — making this a
+    bucketed-only trap). The stamped value must be single and equal to
+    this ingest's.
+    (b) Two-table write atomicity: ``_sigs`` and ``_bands`` are written
+    sequentially; a crash between the writes leaves an epoch whose
+    signatures exist but whose band rows do not — docs of that epoch
+    would silently never surface as candidates. Detected by comparing
+    the two tables' epoch sets (RLE-constant column distincts —
+    metadata-scale); repair = re-ingest the named epoch (the static
+    overwrite rewrites both faces).
+    """
+    sigs_t, bands_t = f"{bucket_table}_sigs", f"{bucket_table}_bands"
+    have_sigs = spark.catalog.tableExists(sigs_t)
+    have_bands = spark.catalog.tableExists(bands_t)
+    if have_sigs != have_bands:
+        raise ValueError(
+            f"bucketed near-dup index {bucket_table!r} is inconsistent: "
+            f"{'_sigs exists without _bands' if have_sigs else '_bands exists without _sigs'}"
+            f" — a prior ingest crashed between the two writes; re-ingest "
+            f"the affected epoch to repair"
+        )
+    if not have_sigs:
+        return
+    hist_bands = [
+        r[0]
+        for r in spark.table(bands_t)
+        .filter(F.col("ingest_epoch") < int(epoch))
+        .select("bands")
+        .distinct()
+        .collect()
+    ]
+    if len(hist_bands) > 1 or (hist_bands and hist_bands[0] != bands):
+        raise ValueError(
+            f"bucketed near-dup index {bucket_table!r} band rows were "
+            f"precomputed with bands={sorted(hist_bands)}; this ingest uses "
+            f"bands={bands} — the candidate join would compare incomparable "
+            f"buckets and silently accept cross-epoch near-dups. Re-ingest "
+            f"the index with one band count (the parquet layout supports "
+            f"changing bands; the precomputed layout does not)"
+        )
+    sig_epochs = {
+        r[0]
+        for r in spark.table(sigs_t)
+        .filter(F.col("ingest_epoch") != int(epoch))
+        .select("ingest_epoch")
+        .distinct()
+        .collect()
+    }
+    band_epochs = {
+        r[0]
+        for r in spark.table(bands_t)
+        .filter(F.col("ingest_epoch") != int(epoch))
+        .select("ingest_epoch")
+        .distinct()
+        .collect()
+    }
+    # the CURRENT epoch is excluded: this ingest is about to overwrite
+    # both of its faces, which is exactly the repair path for a crash
+    # inside this same epoch. An all-null-text epoch legitimately
+    # appears in neither face (its static overwrite clears both).
+    if sig_epochs != band_epochs:
+        raise ValueError(
+            f"bucketed near-dup index {bucket_table!r} is inconsistent: "
+            f"_sigs epochs {sorted(sig_epochs)} != _bands epochs "
+            f"{sorted(band_epochs)} — a prior ingest crashed between the "
+            f"two writes; re-ingest epoch(s) "
+            f"{sorted(sig_epochs ^ band_epochs)} to repair"
+        )
 
 
 def ingest_epoch_neardup(
@@ -313,6 +395,9 @@ def ingest_epoch_neardup(
     )
 
     validate_bands(k, bands)  # same fail-loud guard as the LSH entry point
+    index_name = bucket_table if bucket_table is not None else index_dir
+    if bucket_table is not None:
+        _check_bucketed_neardup_consistency(spark, bucket_table, epoch, bands)
     history = read_neardup_index(
         spark, index_dir, before_epoch=epoch, bucket_table=bucket_table
     )
@@ -330,7 +415,7 @@ def ingest_epoch_neardup(
     if len(hist_params) > 1:
         tuples = sorted((hp.k, hp.n_shingle, hp.hash_fn) for hp in hist_params)
         raise ValueError(
-            f"near-dup index at {index_dir} holds MIXED parameters "
+            f"near-dup index at {index_name} holds MIXED parameters "
             f"{tuples} — epochs with differing (k, n_shingle, hash_fn) "
             f"can never match each other; rebuild the index with one "
             f"parameter set"
@@ -339,7 +424,7 @@ def ingest_epoch_neardup(
         hp = hist_params[0]
         if (hp.k, hp.n_shingle, hp.hash_fn) != (k, n, hash_fn):
             raise ValueError(
-                f"near-dup index at {index_dir} was built with "
+                f"near-dup index at {index_name} was built with "
                 f"(k={hp.k}, n={hp.n_shingle}, hash_fn={hp.hash_fn!r}); this "
                 f"ingest uses (k={k}, n={n}, hash_fn={hash_fn!r}) — "
                 f"incompatible signatures would silently never match"
@@ -427,7 +512,10 @@ def ingest_epoch_neardup(
             spark,
             f"{bucket_table}_bands",
             band_buckets(acc_sigs, bands).select(
-                F.col("doc").cast("bigint").alias("id"), "band", "bucket"
+                F.col("doc").cast("bigint").alias("id"),
+                "band",
+                "bucket",
+                F.lit(int(bands)).alias("bands"),
             ),
             epoch,
             buckets,

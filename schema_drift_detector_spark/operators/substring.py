@@ -147,25 +147,14 @@ def substring_dedup(
     """
     from pyspark.sql.functions import pandas_udf
 
-    if min_df < 2:
-        raise ValueError(f"min_df must be >= 2 (a gram unique to one doc "
-                         f"is content, not boilerplate), got {min_df}")
-    # one logical gram frame feeds both the df count and the hit
-    # lookup; physically Spark recomputes the gram udf per consumer
-    # (two scans) — deliberate: persisting corpus-scale gram rows loses
-    # to a parquet rescan (OS page cache shares the bytes; see the
-    # cache-vs-rescan measurement in BENCH/BASELINE.md r2 notes). The
-    # df branch explodes only the hash array; positions are paid for
-    # only on the hit branch.
+    # boilerplate_grams validates min_df and explodes only the hash
+    # array (positions are paid for only on the hit branch below).
+    # Spark recomputes the gram udf per consumer (two scans) —
+    # deliberate: persisting corpus-scale gram rows loses to a parquet
+    # rescan (OS page cache shares the bytes; see the cache-vs-rescan
+    # measurement in BENCH/BASELINE.md r2 notes).
+    boiler = boilerplate_grams(docs, id_col, text_col, n, min_df)
     g = docs.select(F.col(id_col), token_gram_occurrences(text_col, n).alias("g"))
-    boiler = (
-        g.select(F.col(id_col), F.explode("g.gh").alias("gh"))
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("gh")
-    )
     occ = g.select(
         F.col(id_col),
         F.explode(F.arrays_zip(F.col("g.pos"), F.col("g.gh"))).alias("z"),

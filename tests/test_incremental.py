@@ -198,6 +198,19 @@ def test_ingest_epoch_bucketed_equivalence_and_colocated_plan(spark, tmp_path_fa
         }
         assert idx_p == idx_b == {(1, 0), (2, 0), (4, 0), (11, 1)}
 
+        # epoch 2 CONTENT correctness with history spanning an
+        # INSERT-OVERWRITE-written partition (epoch 1): "ccc" was
+        # accepted at epoch 1 via the SQL insert path — if that path
+        # ever wrote mis-bucketed files, the bucketed sort-merge
+        # anti-join would silently MISS it and accept 20; the plan
+        # assertions alone cannot catch that
+        b2 = spark.createDataFrame([(20, "ccc"), (21, "ddd")], ["doc_id", "text"])
+        a2 = sorted(
+            r.doc_id
+            for r in ingest_epoch(spark, None, b2, 2, bucket_table=bt, buckets=8).collect()
+        )
+        assert a2 == [21]
+
         # plan shape: the operator's literal anti-join recipe — batch
         # survivors LEFT ANTI history — with broadcast off (a 10^12-row
         # index never broadcasts) must show the bucketed index scan and
@@ -277,6 +290,22 @@ def test_ingest_epoch_neardup_bucketed_equivalence_and_band_plan(spark, tmp_path
             for r in read_neardup_index(spark, None, bucket_table=bt).collect()
         }
         assert sig_p == sig_b == {(2, 0), (6, 0), (13, 1)}
+        # epoch 2: near-dup of doc 13 — accepted at epoch 1, i.e. its
+        # sigs AND band rows were written via the INSERT OVERWRITE path;
+        # rejection proves insert-written partitions feed candidate
+        # generation correctly (content check the plan asserts can't do)
+        b2 = spark.createDataFrame(
+            [(21, "fresh text on benchmarks and duckdb oracles v2"),
+             (23, "entirely new material about bucketed layouts")],
+            ["doc_id", "text"],
+        )
+        a2 = sorted(
+            r.doc_id
+            for r in ingest_epoch_neardup(
+                spark, None, b2, 2, bucket_table=bt, buckets=8
+            ).collect()
+        )
+        assert a2 == [23]
         # the precomputed band face equals band_buckets over the stored sigs
         hist = read_neardup_index(spark, None, bucket_table=bt).select(
             F.col("id").alias("doc"), "sig"
@@ -327,3 +356,87 @@ def test_ingest_epoch_neardup_bucketed_equivalence_and_band_plan(spark, tmp_path
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bt}_sigs")
         spark.sql(f"DROP TABLE IF EXISTS {bt}_bands")
+
+
+def test_bucketed_neardup_bands_gate_and_crash_detection(spark, tmp_path_factory):
+    """Bucketed-only fail-loud guards (round-6 review findings): (a) the
+    band face is precomputed with the accept-time `bands`, so an ingest
+    with a different value must raise instead of silently accepting
+    every cross-epoch near-dup (the parquet layout derives bands at
+    read time and supports changing them — confirmed-by-repro silent
+    regression otherwise); (b) a crash between the _sigs and _bands
+    writes leaves the two faces inconsistent and must be detected, not
+    silently skip candidate generation for the orphaned epoch."""
+    import uuid
+
+    import pytest
+
+    from schema_drift_detector_spark.operators.incremental import ingest_epoch_neardup
+
+    t = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "all day long without stopping once"
+    )
+    b0 = spark.createDataFrame([(2, t)], ["doc_id", "text"])
+    b1 = spark.createDataFrame([(11, t + " v3")], ["doc_id", "text"])
+
+    # (a) bands drift
+    bt = f"ndg_{uuid.uuid4().hex[:8]}"
+    try:
+        ingest_epoch_neardup(spark, None, b0, 0, bucket_table=bt, buckets=8, bands=16)
+        with pytest.raises(ValueError, match="precomputed with bands"):
+            ingest_epoch_neardup(
+                spark, None, b1, 1, bucket_table=bt, buckets=8, bands=8
+            )
+        # same bands: the near-dup is caught through the index
+        a1 = ingest_epoch_neardup(
+            spark, None, b1, 1, bucket_table=bt, buckets=8, bands=16
+        ).collect()
+        assert a1 == []
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bt}_sigs")
+        spark.sql(f"DROP TABLE IF EXISTS {bt}_bands")
+
+    # (b) crash detection: missing band table entirely
+    bt2 = f"ndc_{uuid.uuid4().hex[:8]}"
+    try:
+        ingest_epoch_neardup(spark, None, b0, 0, bucket_table=bt2, buckets=8)
+        spark.sql(f"DROP TABLE {bt2}_bands")  # simulate crash before band write
+        with pytest.raises(ValueError, match="_sigs exists without _bands"):
+            ingest_epoch_neardup(spark, None, b1, 1, bucket_table=bt2, buckets=8)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bt2}_sigs")
+        spark.sql(f"DROP TABLE IF EXISTS {bt2}_bands")
+
+    # (b') crash detection: one epoch's band partition orphaned. The
+    # epoch-1 batch must be ACCEPTED (fresh text, not the near-dup b1 —
+    # a rejected batch leaves both faces legitimately empty and there
+    # is nothing to orphan)
+    b1f = spark.createDataFrame(
+        [(12, "fresh epoch one content that is not a near dup")], ["doc_id", "text"]
+    )
+    bt3 = f"ndo_{uuid.uuid4().hex[:8]}"
+    try:
+        ingest_epoch_neardup(spark, None, b0, 0, bucket_table=bt3, buckets=8)
+        ingest_epoch_neardup(spark, None, b1f, 1, bucket_table=bt3, buckets=8)
+        # wipe epoch 1's band rows only (what a crash between the two
+        # epoch-1 writes leaves behind)
+        spark.createDataFrame(
+            [], "id bigint, band int, bucket bigint, bands int"
+        ).createOrReplaceTempView("__empty_bands")
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {bt3}_bands PARTITION (ingest_epoch=1) "
+            f"SELECT * FROM __empty_bands"
+        )
+        b2 = spark.createDataFrame([(31, "anything else at all here")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="re-ingest epoch"):
+            ingest_epoch_neardup(spark, None, b2, 2, bucket_table=bt3, buckets=8)
+        # repair path: re-ingesting the NAMED epoch rewrites both faces
+        ingest_epoch_neardup(spark, None, b1f, 1, bucket_table=bt3, buckets=8)
+        a2 = ingest_epoch_neardup(
+            spark, None, b2, 2, bucket_table=bt3, buckets=8
+        ).collect()
+        assert [r.doc_id for r in a2] == [31]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bt3}_sigs")
+        spark.sql(f"DROP TABLE IF EXISTS {bt3}_bands")
