@@ -1428,7 +1428,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc_id", F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"))
 
 
-ORACLE_DECONTAMINATE = """
+def _oracle_decontaminate() -> str:
+    # gram identity = gram_hash64 (uint64 polynomial fold over
+    # per-token portable-hash60s, HUGEINT-replayed) — the SQL fragments
+    # come from functions.text so they cannot desynchronize from the
+    # engine's Arrow path
+    from schema_drift_detector_spark.functions.text import (
+        gram_hash64_sql,
+        tokhash_list_sql,
+    )
+
+    gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
+    return f"""
 WITH tok AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1442,22 +1453,23 @@ eval_tok AS (
   WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 15) AS BIGINT)
         % 1000000 < 40000
 ),
+eval_th AS (SELECT {tokhash_list_sql('t')} AS h FROM eval_tok WHERE len(t) >= 8),
+doc_th AS (SELECT doc_id, {tokhash_list_sql('t')} AS h FROM tok WHERE len(t) >= 8),
 eval_grams AS (
-  SELECT DISTINCT
-         CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS gh
-  FROM eval_tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
-  WHERE len(t) >= 8
+  SELECT DISTINCT {gh} AS gh
+  FROM eval_th, UNNEST(generate_series(1, len(h) - 7)) AS u(i)
 ),
 doc_grams AS (
-  SELECT DISTINCT doc_id,
-         CAST('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15) AS BIGINT) AS gh
-  FROM tok, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
-  WHERE len(t) >= 8
+  SELECT DISTINCT doc_id, {gh} AS gh
+  FROM doc_th, UNNEST(generate_series(1, len(h) - 7)) AS u(i)
 )
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
 FROM doc_grams d JOIN eval_grams e ON d.gh = e.gh
 GROUP BY 1
 """
+
+
+ORACLE_DECONTAMINATE = _oracle_decontaminate()
 
 
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3134,7 +3146,14 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-ORACLE_SUBSTRING_DEDUP = f"""
+def _oracle_substring_dedup() -> str:
+    from schema_drift_detector_spark.functions.text import (
+        gram_hash64_sql,
+        tokhash_list_sql,
+    )
+
+    gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
+    return f"""
 WITH docs AS (
   SELECT doc_id,
          CASE WHEN doc_id % 97 = 3 THEN NULL
@@ -3143,14 +3162,13 @@ WITH docs AS (
   FROM documents
 ), tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM docs
+), th AS (
+  SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM tok WHERE len(t) >= 8
 ), grams AS (
-  -- 1-based starts; t[i:i+7] is DuckDB's inclusive 8-token slice;
-  -- gram identity = the engine's portable 60-bit md5 hash
-  SELECT doc_id, CAST(i AS INT) AS pos,
-         CAST('0x' || substr(md5(array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 7], ' ')), 1, 15)
-              AS BIGINT) AS gh
-  FROM tok, unnest(generate_series(1, len(t) - 7)) s(i)
-  WHERE len(t) >= 8
+  -- 1-based starts; gram identity = the engine's 64-bit polynomial
+  -- fold over per-token portable-hash60s (functions.text.gram_hash64)
+  SELECT doc_id, CAST(i AS INT) AS pos, {gh} AS gh
+  FROM th, unnest(generate_series(1, len(t) - 7)) s(i)
 ), boiler AS (
   SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
   WHERE df >= 4
@@ -3182,6 +3200,9 @@ SELECT d.doc_id,
        md5(coalesce(a.kept, '')) AS cleaned_fp
 FROM docs d LEFT JOIN agg a USING (doc_id)
 """
+
+
+ORACLE_SUBSTRING_DEDUP = _oracle_substring_dedup()
 
 
 # --------------------------------------------------------------------------

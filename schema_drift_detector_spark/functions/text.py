@@ -149,6 +149,114 @@ def portable_hash60_py(value: str) -> int:
     return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
 
 
+GRAM64_B = 1000003
+GRAM64_SEED = 1
+_U64 = 1 << 64
+
+
+def gram_hash64_py(toks: list[str]) -> int:
+    """THE engine's word-gram identity: a polynomial fold of the
+    per-token portable_hash60 values in uint64 wraparound arithmetic,
+    reinterpreted as a signed int64 —
+
+        h = SEED; for tok: h = (h*B + hash60(tok)) mod 2^64
+
+    Replayable in DuckDB via HUGEINT (see gram_hash64_sql). Chosen over
+    md5-of-the-joined-gram (the pre-r6 identity) because md5 then runs
+    once per DISTINCT TOKEN (vocabulary-scale) instead of once per gram
+    (corpus-scale), and the per-gram combine vectorizes to n uint64
+    multiply-adds in numpy (~4.7× the gram pass, measured). Collision
+    universe 2^64 with random 60-bit coefficients — below the old
+    60-bit md5 truncation's rate. Scalar reference form; hot paths use
+    gram_hashes64_batch."""
+    h = GRAM64_SEED
+    for t in toks:
+        h = (h * GRAM64_B + portable_hash60_py(t)) % _U64
+    return h - _U64 if h >= (1 << 63) else h
+
+
+def gram_hash64_sql(tokhash_list: str, i: str, n: int) -> str:
+    """The DuckDB expression computing gram_hash64 over
+    ``{tokhash_list}[{i} : {i}+n-1]``, where ``tokhash_list`` is a SQL
+    expression of type LIST(HUGEINT) holding per-token portable-hash60
+    values and ``i`` a 1-based INT start. Lives beside the Python
+    identity so the two can never desynchronize."""
+    fold = (
+        f"list_reduce(list_prepend(CAST({GRAM64_SEED} AS HUGEINT), "
+        f"({tokhash_list})[({i}):({i})+{n - 1}]), "
+        f"(acc, x) -> (acc * {GRAM64_B} + x) % 18446744073709551616)"
+    )
+    # branch-free uint64 -> int64 reinterpretation: ((v + 2^63) mod 2^64)
+    # - 2^63 maps [0, 2^63) to itself and [2^63, 2^64) to the negatives,
+    # referencing the fold exactly once
+    return (
+        f"CAST((({fold} + 9223372036854775808) % 18446744073709551616) "
+        f"- 9223372036854775808 AS BIGINT)"
+    )
+
+
+def tokhash_list_sql(tok_list: str) -> str:
+    """DuckDB expression: per-token portable-hash60 values of a
+    LIST(VARCHAR), as LIST(HUGEINT) ready for gram_hash64_sql."""
+    return (
+        f"list_transform({tok_list}, x -> "
+        f"CAST(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) AS HUGEINT))"
+    )
+
+
+def gram_hashes64_batch(
+    tok_lists, n: int, positions: bool = False
+) -> list:
+    """Vectorized gram_hash64 over a batch of token lists (the Arrow-UDF
+    hot path shared by decontamination and substring dedup).
+
+    Returns one entry per input row: with ``positions=False`` a sorted
+    DISTINCT int list of the row's gram hashes; with ``positions=True``
+    a ``(pos_list, gh_list)`` pair over every occurrence, pos 1-based.
+    ``None`` rows and rows shorter than ``n`` tokens yield empty output.
+
+    Shape: md5 once per DISTINCT token in the batch (pd.factorize), one
+    flat uint64 polynomial fold (n multiply-adds, natural wraparound),
+    then per-row views — no per-gram Python."""
+    from itertools import chain
+
+    lens = np.fromiter(
+        (0 if t is None else len(t) for t in tok_lists),
+        dtype=np.int64,
+        count=len(tok_lists),
+    )
+    flat = list(
+        chain.from_iterable(t for t in tok_lists if t is not None and len(t) > 0)
+    )
+    empty: list = ([], []) if positions else []
+    if len(flat) < n:
+        return [empty for _ in lens]
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    uh = np.fromiter(
+        (portable_hash60_py(u) for u in uniq), dtype=np.int64, count=len(uniq)
+    ).astype(np.uint64)
+    th = uh[codes]
+    G = len(th) - n + 1
+    h = np.full(G, GRAM64_SEED, dtype=np.uint64)
+    B = np.uint64(GRAM64_B)
+    for j in range(n):
+        h = h * B + th[j : j + G]
+    gh = h.view(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    out = []
+    for d in range(len(lens)):
+        m = lens[d] - n + 1
+        if m <= 0:
+            out.append(empty)
+            continue
+        seg = gh[offs[d] : offs[d] + m]
+        if positions:
+            out.append((list(range(1, int(m) + 1)), seg.tolist()))
+        else:
+            out.append(np.unique(seg).tolist())
+    return out
+
+
 def fingerprint_normalized(text: Column | str) -> Column:
     """Order-insensitive fingerprint: md5 of the sorted distinct token
     multiset — catches token-permuted duplicates."""

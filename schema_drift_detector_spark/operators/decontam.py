@@ -17,10 +17,11 @@ Scale shape (the part that must survive 100 TB):
     so the one shuffle is bounded by the contamination volume, not the
     corpus. The final drop is a broadcast anti-join on the (small) hit
     id set — the corpus itself is never shuffled or replicated.
-  - Grams travel as the engine's portable 60-bit md5 hash (8 bytes
-    each, DuckDB-reproducible: functions.text.portable_hash60), not as
-    strings — a 10^6-gram eval set broadcasts at ~8 MB. A 60-bit
-    collision (~1e-6 at 10^6 grams vs 2^60) can only OVER-flag a clean
+  - Grams travel as the engine's 64-bit gram hash (8 bytes each,
+    DuckDB-reproducible: functions.text.gram_hash64_py — a uint64
+    polynomial fold of per-token portable-hash60 values), not as
+    strings — a 10^6-gram eval set broadcasts at ~8 MB. A 64-bit
+    collision (~1e-7 at 10^6 grams vs 2^64) can only OVER-flag a clean
     doc, never leak a contaminated one; acceptable for a hygiene
     filter, and what makes the operator certifiable cross-engine.
 
@@ -46,34 +47,25 @@ def word_tokens_normalized(text: Column | str) -> Column:
 
 
 def word_ngram_hashes(text: Column | str, n: int) -> Column:
-    """Distinct portable 60-bit hashes of the normalized word n-grams
-    of ``text``. Tokenization (lower + regex split) stays in
-    whole-stage codegen; the per-gram join+md5 runs as ONE Arrow
-    pandas_udf per batch — the expression form (transform over
-    slice/concat_ws/md5 per gram) drops out of codegen into
-    interpreted eval and measured ~6× slower on the bench corpus
-    (the same lesson as winnowing_fingerprint_arrow). Hash identity:
-    int(md5(gram)[:15 hex], 16), bit-identical to
-    functions.text.portable_hash60, so DuckDB oracles are unchanged."""
+    """Sorted distinct gram_hash64 values of the normalized word
+    n-grams of ``text``. Tokenization (lower + regex split) stays in
+    whole-stage codegen; the gram pass runs as ONE Arrow pandas_udf per
+    batch whose body is fully vectorized (functions.text.
+    gram_hashes64_batch): md5 once per DISTINCT token via pd.factorize,
+    then one flat uint64 polynomial fold — the pre-r6 md5-per-gram loop
+    measured ~4.7× slower, and the pure-expression form ~6× slower
+    again (same lesson as winnowing_fingerprint_arrow). Hash identity:
+    functions.text.gram_hash64_py, DuckDB-replayable via
+    gram_hash64_sql."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql.functions import pandas_udf
 
-    from ..functions.text import portable_hash60_py
+    from ..functions.text import gram_hashes64_batch
 
     @pandas_udf("array<long>")
     def _grams(tok_lists: pd.Series) -> pd.Series:
-        out = []
-        for toks in tok_lists:
-            if toks is None or len(toks) < n:
-                out.append([])
-                continue
-            seen = {
-                portable_hash60_py(" ".join(toks[i : i + n]))
-                for i in range(len(toks) - n + 1)
-            }
-            out.append(sorted(seen))
-        return pd.Series(out)
+        return pd.Series(gram_hashes64_batch(list(tok_lists), n))
 
     return _grams(word_tokens_normalized(text))
 

@@ -19,9 +19,10 @@ Semantics (deterministic, cross-engine replayable):
     ``string_split(text, ' ')``) — NOT the lowercased alphanumeric
     decontamination tokens — because the cleaned text must be
     reconstructible from the kept tokens verbatim.
-  - A gram is ``n`` consecutive tokens; its identity is the portable
-    60-bit md5 hash (functions.text.portable_hash60) of the tokens
-    joined by a single space.
+  - A gram is ``n`` consecutive tokens; its identity is the engine's
+    64-bit gram hash (functions.text.gram_hash64_py — uint64 polynomial
+    fold of per-token portable-hash60 values, DuckDB-replayable via
+    HUGEINT arithmetic).
   - A gram is BOILERPLATE iff its document frequency (count of
     DISTINCT docs containing it) >= ``min_df``.
   - A token is removed iff it is covered by any boilerplate gram
@@ -67,33 +68,26 @@ def token_gram_occurrences(text: Column | str, n: int) -> Column:
     distinct grams — coverage needs every start. Null text or fewer
     than ``n`` tokens yields empty arrays.
 
-    Two primitive arrays, NOT array<struct<pos,gh>>: the md5 hashing is
-    the irreducible cost (~0.25 s per 5k docs either way), but Arrow
+    Two primitive arrays, NOT array<struct<pos,gh>>: Arrow
     serialization of a list-of-struct column measured several times the
     Python body — parallel primitive lists keep the transfer flat, and
     consumers that only need the hashes (the df count) explode ``gh``
-    alone without paying for positions at all."""
+    alone without paying for positions at all. The body is the shared
+    vectorized gram pass (functions.text.gram_hashes64_batch — md5 per
+    DISTINCT token + one flat uint64 fold, not md5 per gram)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     from pyspark.sql.functions import pandas_udf
 
-    from ..functions.text import portable_hash60_py
+    from ..functions.text import gram_hashes64_batch
 
     @pandas_udf("struct<pos: array<int>, gh: array<long>>")
     def _grams(texts: pd.Series) -> pd.DataFrame:
-        poss, ghs = [], []
-        for t in texts:
-            toks = t.split(" ") if t is not None else []
-            m = len(toks) - n + 1
-            if m <= 0:
-                poss.append([])
-                ghs.append([])
-                continue
-            poss.append(list(range(1, m + 1)))
-            ghs.append(
-                [portable_hash60_py(" ".join(toks[i : i + n])) for i in range(m)]
-            )
-        return pd.DataFrame({"pos": poss, "gh": ghs})
+        toks = [t.split(" ") if t is not None else None for t in texts]
+        pairs = gram_hashes64_batch(toks, n, positions=True)
+        return pd.DataFrame(
+            {"pos": [p for p, _ in pairs], "gh": [g for _, g in pairs]}
+        )
 
     c = F.col(text) if isinstance(text, str) else text
     return _grams(c)

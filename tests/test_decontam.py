@@ -56,6 +56,41 @@ def test_short_docs_and_short_eval_rows_yield_no_grams(spark):
     assert hits.count() == 0
 
 
+def test_gram_hash64_three_faces_agree(spark):
+    """The gram identity's three faces — scalar reference
+    (gram_hash64_py), the vectorized Arrow batch the operators run
+    (gram_hashes64_batch via word_ngram_hashes), and the DuckDB SQL the
+    oracles replay (gram_hash64_sql) — must be bit-identical."""
+    import duckdb
+
+    from schema_drift_detector_spark.functions.text import (
+        gram_hash64_py,
+        gram_hash64_sql,
+        tokhash_list_sql,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog every single day"
+    toks = text.split()
+    ref = sorted({gram_hash64_py(toks[i : i + 8]) for i in range(len(toks) - 7)})
+
+    row = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(word_ngram_hashes("text", 8).alias("g"))
+        .first()
+    )
+    assert list(row.g) == ref
+
+    gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
+    esc = "', '".join(toks)
+    got = duckdb.connect().execute(
+        f"WITH tok AS (SELECT ['{esc}'] AS t), "
+        f"th AS (SELECT {tokhash_list_sql('t')} AS h, t FROM tok) "
+        f"SELECT DISTINCT {gh} AS gh "
+        f"FROM th, unnest(generate_series(1, len(t) - 7)) s(i) ORDER BY gh"
+    ).fetchall()
+    assert [g for (g,) in got] == ref
+
+
 def test_contamination_join_is_broadcast_no_corpus_shuffle(spark):
     """The eval gram set must broadcast; the only Exchange is the
     hits-only aggregation (bounded by contamination volume), never a
