@@ -2938,18 +2938,23 @@ SELECT 'sample10' AS variant, * FROM ({ORACLE_JACCARD_SAMPLE}) j_samp
 
 def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis features in ONE scan: language ID,
-    composite quality score, exact + normalized fingerprints. Merges
-    the former lang_id / quality_scores / fingerprints entries — the
-    wide single-select is also the plan a 100 TB pipeline wants (one
-    pass, all codegen column exprs, no joins)."""
+    composite quality score, exact + normalized fingerprints, and the
+    Gopher-style repetition signals (r6: frac_dup_tokens /
+    top_bigram_frac / dup_5gram_frac — functions.text.
+    repetition_features, one exact vectorized Arrow pass, no shuffle).
+    Merges the former lang_id / quality_scores / fingerprints entries —
+    the wide single-select is also the plan a 100 TB pipeline wants
+    (one pass, no joins)."""
     from schema_drift_detector_spark.functions.text import (
         fingerprint_md5,
         fingerprint_normalized,
         lang_id,
         quality_score,
+        repetition_features,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    rep = repetition_features("text")
     return docs.select(
         "doc_id",
         "lang",
@@ -2957,14 +2962,48 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
         fingerprint_md5("text").alias("fp_exact"),
         fingerprint_normalized("text").alias("fp_normalized"),
+        F.round(rep["frac_dup_tokens"], 6).alias("frac_dup_tokens"),
+        F.round(rep["top_bigram_frac"], 6).alias("top_bigram_frac"),
+        F.round(rep["dup_5gram_frac"], 6).alias("dup_5gram_frac"),
     )
 
 
+# repetition replay: bigram max-multiplicity and 5-gram distinct counts
+# via unnest+group (linear, not the O(distinct·n) list_filter form);
+# docs below the gram floor fall out of the LEFT JOINs and coalesce to
+# the engine's 0.0 faces
 ORACLE_TEXT_DOC_FEATURES = f"""
-SELECT l.doc_id, l.lang, l.pred_lang, q.quality, f.fp_exact, f.fp_normalized
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+),
+big AS (
+  SELECT doc_id, max(cnt) AS maxbig FROM (
+    SELECT doc_id, bgx, count(*) AS cnt
+    FROM tok, unnest(list_transform(generate_series(1, len(t) - 1),
+                     i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])) AS u(bgx)
+    GROUP BY doc_id, bgx) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, count(DISTINCT gx) AS d5, count(*) AS occ5
+  FROM tok, unnest(list_transform(generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 4], ' '))) AS u(gx)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT tok.doc_id,
+         round((len(t) - len(list_distinct(t))) / len(t), 6) AS frac_dup_tokens,
+         CASE WHEN len(t) < 2 THEN 0.0
+              ELSE round(coalesce(b.maxbig, 0) / (len(t) - 1), 6) END AS top_bigram_frac,
+         CASE WHEN len(t) < 5 THEN 0.0
+              ELSE round((g.occ5 - g.d5) / g.occ5, 6) END AS dup_5gram_frac
+  FROM tok LEFT JOIN big b USING (doc_id) LEFT JOIN g5 g USING (doc_id)
+)
+SELECT l.doc_id, l.lang, l.pred_lang, q.quality, f.fp_exact, f.fp_normalized,
+       r.frac_dup_tokens, r.top_bigram_frac, r.dup_5gram_frac
 FROM ({ORACLE_LANG_ID}) l
 JOIN ({ORACLE_QUALITY}) q USING (doc_id)
 JOIN ({ORACLE_FINGERPRINTS}) f USING (doc_id)
+LEFT JOIN rep r USING (doc_id)
 """
 
 

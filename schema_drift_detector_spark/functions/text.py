@@ -257,6 +257,111 @@ def gram_hashes64_batch(
     return out
 
 
+def repetition_features(text: Column | str) -> Column:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, §A1.1 repetition filters), the standard quality gates a
+    pre-training pipeline applies per document:
+
+      - ``frac_dup_tokens``   (n_tokens − n_distinct_tokens) / n_tokens
+      - ``top_bigram_frac``   occurrences of the most frequent adjacent
+                              token pair / (n_tokens − 1); 0.0 below 2
+                              tokens
+      - ``dup_5gram_frac``    (5-gram occurrences − distinct 5-grams) /
+                              occurrences; 0.0 below 5 tokens
+
+    Tokens are the literal single-space split (DuckDB
+    ``string_split(text, ' ')``); NULL text → NULL fields. Raw doubles
+    — callers round (F.round half-up, matching DuckDB round) before
+    hash certification.
+
+    One Arrow pandas_udf, zero shuffle — per-doc stats are
+    embarrassingly parallel, so the 100 TB shape is a wide single scan,
+    not explode+groupBy+join-back. The body is exact and fully
+    vectorized: pd.factorize token codes once per batch, then
+    lexsort-run-length group counting over (doc, code…) key columns —
+    no per-gram hashing, so engine and SQL oracle can never diverge by
+    a hash collision."""
+    from itertools import chain
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<frac_dup_tokens: double, top_bigram_frac: double, dup_5gram_frac: double>"
+    )
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        toks = [t.split(" ") if t is not None else None for t in texts]
+        nrows = len(toks)
+        lens = np.fromiter(
+            (0 if t is None else len(t) for t in toks), dtype=np.int64, count=nrows
+        )
+        f1 = [None] * nrows
+        f2 = [None] * nrows
+        f3 = [None] * nrows
+        flat = list(chain.from_iterable(t for t in toks if t))
+        if flat:
+            codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+            docidx = np.repeat(np.arange(nrows), lens)
+
+            # distinct tokens per doc: sort (doc, code), count group heads
+            order = np.lexsort((codes, docidx))
+            dv, cv = docidx[order], codes[order]
+            head = np.ones(len(dv), dtype=bool)
+            head[1:] = (dv[1:] != dv[:-1]) | (cv[1:] != cv[:-1])
+            d1 = np.zeros(nrows, dtype=np.int64)
+            np.add.at(d1, dv[head], 1)
+
+            # adjacent-pair (bigram) max multiplicity per doc
+            same = docidx[:-1] == docidx[1:]
+            bd, b1, b2 = docidx[:-1][same], codes[:-1][same], codes[1:][same]
+            maxbig = np.zeros(nrows, dtype=np.int64)
+            if len(bd):
+                o = np.lexsort((b2, b1, bd))
+                sd, s1, s2 = bd[o], b1[o], b2[o]
+                h = np.ones(len(sd), dtype=bool)
+                h[1:] = (sd[1:] != sd[:-1]) | (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+                starts = np.flatnonzero(h)
+                runs = np.diff(np.append(starts, len(sd)))
+                np.maximum.at(maxbig, sd[starts], runs)
+
+            # 5-gram occurrences vs distinct per doc
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            pos_in_doc = np.arange(len(codes)) - offs[docidx]
+            valid = pos_in_doc <= lens[docidx] - 5
+            st = np.flatnonzero(valid)
+            d5 = np.zeros(nrows, dtype=np.int64)
+            if len(st):
+                gd = docidx[st]
+                cols = [codes[st + k] for k in range(5)]
+                o = np.lexsort(tuple(reversed(cols)) + (gd,))
+                sd = gd[o]
+                h = np.ones(len(sd), dtype=bool)
+                h[1:] = sd[1:] != sd[:-1]
+                for c in cols:
+                    cs = c[o]
+                    h[1:] |= cs[1:] != cs[:-1]
+                np.add.at(d5, sd[h], 1)
+
+            for r in range(nrows):
+                if toks[r] is None:
+                    continue
+                n = int(lens[r])
+                f1[r] = (n - int(d1[r])) / n if n > 0 else 0.0
+                f2[r] = int(maxbig[r]) / (n - 1) if n >= 2 else 0.0
+                occ5 = n - 4
+                f3[r] = (occ5 - int(d5[r])) / occ5 if n >= 5 else 0.0
+        else:
+            for r in range(nrows):
+                if toks[r] is not None:
+                    f1[r], f2[r], f3[r] = 0.0, 0.0, 0.0
+        return pd.DataFrame(
+            {"frac_dup_tokens": f1, "top_bigram_frac": f2, "dup_5gram_frac": f3},
+            dtype=object,
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _rep(c)
+
+
 def fingerprint_normalized(text: Column | str) -> Column:
     """Order-insensitive fingerprint: md5 of the sorted distinct token
     multiset — catches token-permuted duplicates."""

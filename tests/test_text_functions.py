@@ -76,3 +76,33 @@ def test_winnowing_arrow_fast_path(spark):
     for p in strong:
         a, b = by_id[p.doc_a], by_id[p.doc_b]
         assert len(a & b) / len(a | b) > 0.5
+
+
+def test_repetition_features_semantics(spark):
+    from schema_drift_detector_spark.functions.text import repetition_features
+
+    rows = [
+        (1, "a b c d e f g h"),            # 8 unique tokens
+        (2, "a a a a a a a a"),            # one token repeated
+        (3, "x y x y x y x y"),            # alternating pair
+        (4, "one two"),                    # below 5-gram floor
+        (5, "solo"),                       # below bigram floor
+        (6, None),                         # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.rep.asDict()
+        for r in df.select("doc_id", repetition_features("text").alias("rep")).collect()
+    }
+    assert got[1] == {"frac_dup_tokens": 0.0, "top_bigram_frac": 1 / 7, "dup_5gram_frac": 0.0}
+    # doc 2: 1 distinct of 8; bigram 'a a' x7 of 7; 5-grams: 4 occurrences 1 distinct
+    assert got[2] == {"frac_dup_tokens": 7 / 8, "top_bigram_frac": 1.0, "dup_5gram_frac": 3 / 4}
+    # doc 3: 2 distinct; 'x y' x4 of 7; 5-grams: 4 occ, 2 distinct
+    assert got[3]["frac_dup_tokens"] == 6 / 8
+    assert got[3]["top_bigram_frac"] == 4 / 7
+    assert got[3]["dup_5gram_frac"] == 2 / 4
+    # a 2-token doc has exactly one bigram → the top fraction saturates
+    # at 1.0 (quality specs pair these signals with length floors)
+    assert got[4] == {"frac_dup_tokens": 0.0, "top_bigram_frac": 1.0, "dup_5gram_frac": 0.0}
+    assert got[5] == {"frac_dup_tokens": 0.0, "top_bigram_frac": 0.0, "dup_5gram_frac": 0.0}
+    assert all(v is None for v in got[6].values())
