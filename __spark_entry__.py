@@ -3106,25 +3106,48 @@ JOIN ({ORACLE_QUANTILE_DRIFT_VERDICTS}) vd USING (partition_id)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media decode + byte-level features over the same persisted BLOB
-    fixture, joined on media_ref into one wide row per asset: header
-    fields, payload byte-mean, size, and Shannon entropy. Merges the
-    former media_decode / media_byte_features entries; the frame-sample
-    fan-out (different fixture, one-to-many shape) stays its own
-    entry."""
+    """The full multimodal surface in one entry, tagged by ``face``:
+    'features' = decode + byte-level features joined wide per asset
+    (header fields, byte-mean, size, entropy — clean fixture);
+    'frames' = the one-to-many frame-sample fan-out with its corrupt
+    fixture (every 13th asset undecodable → sentinel rows certified).
+    Merges the former media_decode / media_byte_features /
+    media_frame_checksums entries (r5 verdict #1 board-cap merges)."""
     decoded = q_media_decode(spark, sf_dir)
     feats = q_media_byte_features(spark, sf_dir)
-    return decoded.join(feats, "media_ref").select(
+    wide = decoded.join(feats, "media_ref").select(
+        F.lit("features").alias("face"),
         "media_ref", "width", "height", "n_frames", "mean_byte", "decoder",
         "size_bytes", "entropy",
+        F.lit(None).cast("int").alias("frame_index"),
+        F.lit(None).cast("bigint").alias("frame_checksum"),
     )
+    frames = q_media_frame_checksums(spark, sf_dir).select(
+        F.lit("frames").alias("face"),
+        "media_ref",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("double").alias("mean_byte"),
+        F.lit(None).cast("string").alias("decoder"),
+        F.lit(None).cast("bigint").alias("size_bytes"),
+        F.lit(None).cast("double").alias("entropy"),
+        "frame_index", "frame_checksum",
+    )
+    return wide.unionByName(frames)
 
 
 ORACLE_MEDIA_FEATURES = f"""
-SELECT d.media_ref, d.width, d.height, d.n_frames, d.mean_byte, d.decoder,
-       b.size_bytes, b.entropy
+SELECT 'features' AS face, d.media_ref, d.width, d.height, d.n_frames,
+       d.mean_byte, d.decoder, b.size_bytes, b.entropy,
+       CAST(NULL AS INT) AS frame_index, CAST(NULL AS BIGINT) AS frame_checksum
 FROM ({ORACLE_MEDIA_DECODE}) d
 JOIN ({ORACLE_MEDIA_BYTE_FEATURES}) b USING (media_ref)
+UNION ALL
+SELECT 'frames' AS face, media_ref, CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), frame_index, frame_checksum
+FROM ({ORACLE_MEDIA_FRAMES}) fr
 """
 
 
@@ -3245,6 +3268,112 @@ ORACLE_SUBSTRING_DEDUP = _oracle_substring_dedup()
 
 
 # --------------------------------------------------------------------------
+# PII scrub (round 6 — LLM-pipeline hygiene, functions/pii.py)
+# --------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction certified end-to-end: per-kind match
+    counts over the raw text and the md5 of the fully-redacted text
+    (so every replacement boundary is hash-checked). The fixtures
+    carry no PII, so the entry plants each kind deterministically —
+    e-mail (%11), SSN (%19), bare IPv4 (%13), E.164 phone (%17),
+    doc-id-parameterized so matches can't degenerate to one literal —
+    and a per-kind non-vacuity gate fails loud if any pattern never
+    fires. All codegen regexp expressions, zero shuffle."""
+    from schema_drift_detector_spark.functions.pii import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.org now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.concat(
+                    F.lit(" ssn 523-11-"),
+                    (F.col("doc_id") % 9000 + 1000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".3.77 up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(
+                    F.lit(" call +49151234"),
+                    (F.col("doc_id") % 90 + 10).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cnt = pii_counts("text")
+    out = docs.select(
+        "doc_id",
+        cnt["n_email"].alias("n_email"),
+        cnt["n_ssn"].alias("n_ssn"),
+        cnt["n_ipv4"].alias("n_ipv4"),
+        cnt["n_phone"].alias("n_phone"),
+        F.md5(pii_redact("text")).alias("redacted_fp"),
+    ).localCheckpoint(eager=True)
+    gates = out.agg(
+        *[F.sum(c).alias(c) for c in ("n_email", "n_ssn", "n_ipv4", "n_phone")]
+    ).first()
+    dead = [k for k in ("n_email", "n_ssn", "n_ipv4", "n_phone") if not gates[k]]
+    if dead:
+        raise RuntimeError(f"vacuous PII certification: no match for {dead}")
+    return out
+
+
+def _oracle_pii_scrub() -> str:
+    from schema_drift_detector_spark.functions.pii import (
+        pii_counts_sql,
+        pii_redact_sql,
+    )
+
+    counts = ",\n       ".join(pii_counts_sql("text"))
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' ssn 523-11-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.77 up'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' call +49151234' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                 ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({pii_redact_sql('text')}) AS redacted_fp
+FROM docs
+"""
+
+
+ORACLE_PII_SCRUB = _oracle_pii_scrub()
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -3303,7 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_profiles": q_stream_running_profiles,
         "quantile_drift": q_quantile_drift,
         "media_features": q_media_features,
-        "media_frame_checksums": q_media_frame_checksums,
+        "pii_scrub": q_pii_scrub,
         "hll_rollup": q_hll_rollup,
         "span_kind_histogram": q_span_kind_histogram,
     }
@@ -3360,5 +3489,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_rollup": ORACLE_HLL_ROLLUP,
         "winnowing": ORACLE_WINNOWING,
         "media_features": ORACLE_MEDIA_FEATURES,
-        "media_frame_checksums": ORACLE_MEDIA_FRAMES,
+        "pii_scrub": ORACLE_PII_SCRUB,
     }

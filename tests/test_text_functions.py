@@ -106,3 +106,35 @@ def test_repetition_features_semantics(spark):
     assert got[4] == {"frac_dup_tokens": 0.0, "top_bigram_frac": 1.0, "dup_5gram_frac": 0.0}
     assert got[5] == {"frac_dup_tokens": 0.0, "top_bigram_frac": 0.0, "dup_5gram_frac": 0.0}
     assert all(v is None for v in got[6].values())
+
+
+def test_pii_counts_and_redaction(spark):
+    from schema_drift_detector_spark.functions.pii import pii_counts, pii_redact
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co or bob@x.io thanks"),
+        (2, "server 192.168.1.77 and 10.0.0.1 up; version 1.2 unaffected"),
+        (3, "call +4915123456789 or office line unchanged"),
+        (4, "ssn 523-11-4729 on file; date 2026-08-17 must survive"),
+        (5, "clean text with no personal data at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.c.asDict(), r.red)
+        for r in df.select(
+            "doc_id",
+            pii_counts("text").alias("c"),
+            pii_redact("text").alias("red"),
+        ).collect()
+    }
+    assert got[1][0]["n_email"] == 2 and "<EMAIL>" in got[1][1] and "@" not in got[1][1]
+    # version numbers (1.2) must NOT count as IPv4
+    assert got[2][0]["n_ipv4"] == 2 and got[2][1].count("<IP>") == 2
+    assert "1.2 unaffected" in got[2][1]
+    assert got[3][0]["n_phone"] == 1 and "<PHONE>" in got[3][1]
+    # dates must survive the SSN pattern (2026-08-17 is 4-2-2, not 3-2-4)
+    assert got[4][0]["n_ssn"] == 1 and "2026-08-17" in got[4][1]
+    assert got[5][0] == {"n_email": 0, "n_ssn": 0, "n_ipv4": 0, "n_phone": 0}
+    assert got[5][1] == rows[4][1]
+    assert all(v is None for v in got[6][0].values()) and got[6][1] is None
