@@ -2399,6 +2399,90 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-window (dynamic gap) streaming aggregation — the
+    windowing cell tumbling/sliding cannot express: window extent is
+    data-driven, and with maxFilesPerTrigger=1 over randomly-split
+    files the state store must MERGE sessions that arrive in separate
+    micro-batches (an hour-gap session's events land across all 4
+    files). Same complete-mode final-batch protocol; the oracle is the
+    gaps-and-islands SQL replay (new session iff the in-group time gap
+    exceeds 1 hour — an event exactly at the gap boundary JOINS, pinned
+    empirically)."""
+    import shutil
+
+    from schema_drift_detector_spark.streaming.epochs import session_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
+    _write_once(ev.repartition(4), src)
+    out = f"{_ARTIFACTS}/stream_windows/out_session_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # watermark must exceed the table's full time span here: UNLIKE the
+    # plain window faces (where complete mode ignores the watermark —
+    # certified for three rounds), the session-window MERGE path drops/
+    # fragments late arrivals even in complete mode (measured: 2-day
+    # watermark over the 4 random-split files -> 1238 fragmented
+    # sessions vs the 626 true ones at sf0.01)
+    agg = session_event_counts(stream, gap="1 hour", watermark="60 days")
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_session_counts did not finish within 300s")
+    rows = spark.read.parquet(out)
+    last = rows.agg(F.max("batch_id")).first()[0]
+    if last is None or last < 1:
+        raise RuntimeError("expected >1 micro-batch — session state never merged")
+    return rows.filter(F.col("batch_id") == last).select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+ORACLE_STREAM_SESSION_COUNTS = """
+WITH o AS (
+  SELECT event_type, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+), s AS (
+  SELECT event_type, ts, value,
+         sum(new_s) OVER (PARTITION BY event_type ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM s
+GROUP BY event_type, sid
+"""
+
+
 _STREAM_DD_DIR = f"{_ARTIFACTS}/stream_dedup_wm"
 # watermark-delay minutes and the per-batch fixture rows (minute offsets
 # are relative to a +1-day base — a row AT epoch 0 would sit on Spark's
@@ -3032,24 +3116,31 @@ SELECT 'ivf_kmeans' AS method, * FROM ({ORACLE_ANN_TOPK_IVF_KMEANS}) a_km
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both windowed streaming aggregation shapes in one entry, tagged
-    by `mode`: tumbling (1-day windows) and sliding (2-day windows,
+    """All three windowed streaming aggregation shapes in one entry,
+    tagged by `mode`: tumbling (1-day windows), sliding (2-day windows,
     1-day slide — every event in exactly two concurrently-open
-    windows). Each face runs its own complete-mode stream; the final
-    micro-batch must equal the batch answer."""
+    windows), and session (1-hour dynamic gap — cross-micro-batch
+    session MERGES in the state store, r6). Each face runs its own
+    complete-mode stream; the final micro-batch must equal the batch
+    answer."""
     tumb = q_stream_windowed_counts(spark, sf_dir).select(
         F.lit("tumbling").alias("mode"), "*"
     )
     slid = q_stream_sliding_counts(spark, sf_dir).select(
         F.lit("sliding").alias("mode"), "*"
     )
-    return tumb.unionByName(slid)
+    sess = q_stream_session_counts(spark, sf_dir).select(
+        F.lit("session").alias("mode"), "*"
+    )
+    return tumb.unionByName(slid).unionByName(sess)
 
 
 ORACLE_STREAM_WINDOW_COUNTS = f"""
 SELECT 'tumbling' AS mode, * FROM ({ORACLE_STREAM_WINDOWED_COUNTS}) w_tumb
 UNION ALL
 SELECT 'sliding' AS mode, * FROM ({ORACLE_STREAM_SLIDING_COUNTS}) w_slid
+UNION ALL
+SELECT 'session' AS mode, * FROM ({ORACLE_STREAM_SESSION_COUNTS}) w_sess
 """
 
 

@@ -46,6 +46,34 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Session-window (dynamic gap) counts + value stats per group —
+    the windowing cell tumbling/sliding cannot express: window extent
+    is data-driven (a session closes only when the group goes quiet for
+    ``gap``), so the state store MERGES adjacent windows as events
+    arrive rather than routing rows into precomputed buckets.
+
+    Gap boundary, pinned empirically on Spark 4.1: an event exactly
+    ``gap`` after the previous one JOINS the session (same-session iff
+    diff <= gap; the session's end extends to last_ts + gap). SQL
+    replay is the gaps-and-islands form: new session iff
+    ts - lag(ts) > gap. Works on a streaming OR batch DataFrame."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("win"), F.col(group_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
 def stream_dedup_exact(
     docs_stream: DataFrame,
     ts_col: str = "ingest_ts",

@@ -404,3 +404,32 @@ def test_stream_ingest_dedup_unbounded_lookback_and_restart(spark, tmp_path_fact
     run_once()
     kept2 = {(r.doc_id, r.batch_id) for r in spark.read.parquet(f"{base}/out").collect()}
     assert kept2 == {(1, 0), (2, 0), (11, 1), (22, 2)}
+
+
+def test_session_event_counts_batch_semantics(spark):
+    """Gaps-and-islands semantics of session_event_counts, including
+    the pinned boundary convention: an event exactly `gap` after the
+    previous one JOINS the session."""
+    from datetime import datetime
+
+    from schema_drift_detector_spark.streaming.epochs import session_event_counts
+
+    rows = [
+        # type a: 3 events inside one session (incl. exactly-1h step),
+        # then a 4th after a >1h quiet period -> 2 sessions
+        ("a", datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 1, 0, 0), 2.0),
+        ("a", datetime(2024, 1, 1, 1, 30, 0), 3.0),
+        ("a", datetime(2024, 1, 1, 3, 0, 1), 9.0),
+        # type b: isolated single-event session
+        ("b", datetime(2024, 1, 1, 5, 0, 0), 7.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r.event_type, str(r.win.start)): (r.n_events, r.min_value, r.max_value)
+        for r in session_event_counts(ev, gap="1 hour").collect()
+    }
+    assert got[("a", "2024-01-01 00:00:00")] == (3, 1.0, 3.0)
+    assert got[("a", "2024-01-01 03:00:01")] == (1, 9.0, 9.0)
+    assert got[("b", "2024-01-01 05:00:00")] == (1, 7.0, 7.0)
+    assert len(got) == 3
