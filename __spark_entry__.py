@@ -1409,7 +1409,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 4% hash sample, texts truncated to their first 200 chars — the
     'benchmark quotes a prefix of a crawled page' shape), so the oracle
     can re-derive it bit-for-bit: DuckDB recomputes tokenization,
-    gram windows, the portable 60-bit gram hashes, the eval gram set,
+    gram windows, the 64-bit gram_hash64 fold (HUGEINT arithmetic over
+    per-token portable-hash60s), the eval gram set,
     and the per-doc distinct-hit counts. Every sampled doc overlaps
     itself, so the result is non-vacuous by construction (asserted)."""
     from schema_drift_detector_spark.operators.decontam import contamination_hits, eval_gram_hashes
@@ -2264,22 +2265,24 @@ FROM d LEFT JOIN a ON d.partition_id = a.partition_id
 """
 
 
-def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked windowed aggregation on the certified board: the
-    events table streams in 4 micro-batches (complete-mode sink keeps
-    every window open so the FINAL batch equals the batch-mode answer
-    exactly — append mode would hold back windows inside the watermark
-    horizon forever on a finite stream). Certifies incremental window
-    state across batches against plain SQL day-window counts."""
+def _run_complete_stream(
+    spark: SparkSession, sf_dir: str, agg_fn, out_suffix: str
+) -> DataFrame:
+    """Shared protocol of the three windowed-streaming entries: stream
+    the events table in 4 micro-batches (maxFilesPerTrigger=1 over a
+    4-way random split), run ``agg_fn(stream)`` under complete output
+    mode into a batch-id-tagged parquet sink, require >1 micro-batch
+    (so cross-batch state folding is actually exercised), and return
+    the FINAL batch — which must equal the batch-mode answer exactly
+    (append mode would hold back windows inside the watermark horizon
+    forever on a finite stream)."""
     import shutil
-
-    from schema_drift_detector_spark.streaming.epochs import windowed_event_counts
 
     ev = _t(spark, sf_dir, "events")
     tag = os.path.basename(sf_dir.rstrip("/"))
     src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
     _write_once(ev.repartition(4), src)
-    out = f"{_ARTIFACTS}/stream_windows/out_{tag}"
+    out = f"{_ARTIFACTS}/stream_windows/out_{out_suffix}_{tag}"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
     stream = (
@@ -2291,7 +2294,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session timezone (session.py pins it)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    agg = windowed_event_counts(stream, window="1 day", watermark="2 days")
+    agg = agg_fn(stream)
 
     def sink(batch_df, batch_id):
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
@@ -2305,7 +2308,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(300):
         q.stop()
-        raise TimeoutError("stream_windowed_counts did not finish within 300s")
+        raise TimeoutError(f"stream {out_suffix} did not finish within 300s")
     rows = spark.read.parquet(out)
     last = rows.agg(F.max("batch_id")).first()[0]
     if last is None or last < 1:
@@ -2316,6 +2319,20 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
+    )
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation on the certified board:
+    certifies incremental window state across micro-batches against
+    plain SQL day-window counts (protocol: _run_complete_stream)."""
+    from schema_drift_detector_spark.streaming.epochs import windowed_event_counts
+
+    return _run_complete_stream(
+        spark,
+        sf_dir,
+        lambda s: windowed_event_counts(s, window="1 day", watermark="2 days"),
+        "tumbling",
     )
 
 
@@ -2338,48 +2355,15 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same complete-mode final-batch protocol; the oracle replays the
     overlap by emitting each event into both of its slide-aligned
     window starts (floor_day(ts) and floor_day(ts) − 1 day)."""
-    import shutil
-
     from schema_drift_detector_spark.streaming.epochs import windowed_event_counts
 
-    ev = _t(spark, sf_dir, "events")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
-    _write_once(ev.repartition(4), src)
-    out = f"{_ARTIFACTS}/stream_windows/out_sliding_{tag}"
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    agg = windowed_event_counts(stream, window="2 days", slide="1 day", watermark="2 days")
-
-    def sink(batch_df, batch_id):
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
-
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(sink)
-        .option("checkpointLocation", f"{out}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_sliding_counts did not finish within 300s")
-    rows = spark.read.parquet(out)
-    last = rows.agg(F.max("batch_id")).first()[0]
-    if last is None or last < 1:
-        raise RuntimeError("expected >1 micro-batch — window state never folded")
-    return rows.filter(F.col("batch_id") == last).select(
-        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
+    return _run_complete_stream(
+        spark,
+        sf_dir,
+        lambda s: windowed_event_counts(
+            s, window="2 days", slide="1 day", watermark="2 days"
+        ),
+        "sliding",
     )
 
 
@@ -2409,54 +2393,17 @@ def q_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands SQL replay (new session iff the in-group time gap
     exceeds 1 hour — an event exactly at the gap boundary JOINS, pinned
     empirically)."""
-    import shutil
-
     from schema_drift_detector_spark.streaming.epochs import session_event_counts
 
-    ev = _t(spark, sf_dir, "events")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
-    _write_once(ev.repartition(4), src)
-    out = f"{_ARTIFACTS}/stream_windows/out_session_{tag}"
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    # watermark must exceed the table's full time span here: UNLIKE the
-    # plain window faces (where complete mode ignores the watermark —
-    # certified for three rounds), the session-window MERGE path drops/
-    # fragments late arrivals even in complete mode (measured: 2-day
-    # watermark over the 4 random-split files -> 1238 fragmented
-    # sessions vs the 626 true ones at sf0.01)
-    agg = session_event_counts(stream, gap="1 hour", watermark="60 days")
-
-    def sink(batch_df, batch_id):
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
-
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(sink)
-        .option("checkpointLocation", f"{out}_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("stream_session_counts did not finish within 300s")
-    rows = spark.read.parquet(out)
-    last = rows.agg(F.max("batch_id")).first()[0]
-    if last is None or last < 1:
-        raise RuntimeError("expected >1 micro-batch — session state never merged")
-    return rows.filter(F.col("batch_id") == last).select(
-        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.round("min_value", 6).alias("min_value"),
-        F.round("max_value", 6).alias("max_value"),
+    # 60-day watermark: must exceed the table's full time span — the
+    # session MERGE path drops/fragments late arrivals even in complete
+    # mode (see session_event_counts's WATERMARK WARNING; measured here:
+    # a 2-day watermark yielded 1238 fragmented sessions vs 626 true)
+    return _run_complete_stream(
+        spark,
+        sf_dir,
+        lambda s: session_event_counts(s, gap="1 hour", watermark="60 days"),
+        "session",
     )
 
 
@@ -3262,9 +3209,11 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup certified end-to-end: boilerplate
     word 8-grams (document frequency >= 4) detected corpus-wide and
     stripped from every document. The oracle replays gram hashing
-    (portable 60-bit md5), the df threshold, run coverage, and the
-    md5 of the RECONSTRUCTED cleaned text — so token order and every
-    removal boundary are hash-checked, not just counts."""
+    (gram_hash64: the 64-bit polynomial fold over per-token
+    portable-hash60s, HUGEINT-replayed), the df threshold, run
+    coverage, and the md5 of the RECONSTRUCTED cleaned text — so token
+    order and every removal boundary are hash-checked, not just
+    counts."""
     from schema_drift_detector_spark.operators.substring import substring_dedup
 
     # every 97th(+3) doc gets NULL text — the fixtures carry no nulls,
