@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "salted_join_hot_events",
     "substring_dedup",
+    # r6 additions: repetition signals ride the wide text-features scan;
+    # pii_scrub prices the codegen regexp scrub + injection
+    "text_doc_features",
+    "pii_scrub",
 ]
 
 
