@@ -259,39 +259,59 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-rate downsample (en 50%, zh 100%, others 20%) composed with a
     leakage-free 70/15/15 split — both pure portable-md5 expressions,
     so DuckDB reproduces the EXACT member set and split labels (not
-    just counts)."""
+    just counts). r6 adds the QUALITY-WEIGHTED sampling decision
+    (weighted_keep: accept with probability quality_score, its own
+    ':wsample' salt) as a certified column — the decision for every
+    surviving doc, both-valued by construction (gated)."""
+    from schema_drift_detector_spark.functions.text import quality_score
     from schema_drift_detector_spark.operators.sampling import (
         split_by_hash,
         stratified_sample_by_hash,
+        weighted_keep,
     )
 
     docs = _t(spark, sf_dir, "documents")
     sampled = stratified_sample_by_hash(
         docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.2
     )
-    return split_by_hash(sampled, "doc_id", [0.7, 0.15, 0.15]).select(
-        "doc_id", "lang", "split"
-    )
+    out = split_by_hash(sampled, "doc_id", [0.7, 0.15, 0.15]).select(
+        "doc_id",
+        "lang",
+        "split",
+        weighted_keep("doc_id", quality_score("text")).alias("q_keep"),
+    ).localCheckpoint(eager=True)
+    kept = out.filter(F.col("q_keep")).limit(1).count()
+    dropped = out.filter(~F.col("q_keep")).limit(1).count()
+    if not (kept and dropped):
+        raise RuntimeError("vacuous weighted-sampling certification: q_keep single-valued")
+    return out
 
 
-# two INDEPENDENT salted buckets: bs (unsalted) gates the sample, bsp
-# (':split'-salted) assigns the split — a single shared bucket would
-# make the composition degenerate (every stratum sampled at <= 0.7
-# would land 100% in 'train')
-ORACLE_STRATIFIED_SPLIT = """
+# three INDEPENDENT salted buckets: bs (unsalted) gates the sample, bsp
+# (':split'-salted) assigns the split, bw (':wsample'-salted) decides
+# the quality-weighted keep — a single shared bucket would make the
+# compositions degenerate (every stratum sampled at <= 0.7 would land
+# 100% in 'train'). Built lazily (function, not constant) because it
+# embeds ORACLE_QUALITY, defined later in this module.
+def _oracle_stratified_split() -> str:
+    return f"""
 WITH h AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
            % 1000000 AS bs,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15) AS BIGINT)
-           % 1000000 AS bsp
+           % 1000000 AS bsp,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15) AS BIGINT)
+           % 1000000 AS bw
   FROM documents
 )
-SELECT doc_id, lang,
+SELECT h.doc_id, h.lang,
        CASE WHEN bsp < 700000 THEN 'train'
             WHEN bsp < 850000 THEN 'validation'
-            ELSE 'test' END AS split
-FROM h
+            ELSE 'test' END AS split,
+       -- long < double on both engines: identical IEEE promote+compare
+       (bw < q.quality * 1000000.0) AS q_keep
+FROM h JOIN ({ORACLE_QUALITY}) q ON q.doc_id = h.doc_id
 WHERE bs < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
            ELSE 200000 END
 """
@@ -3492,7 +3512,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": ORACLE_SESSIONIZE,
         "profile_events": ORACLE_PROFILE_EVENTS,
         "heavy_hitter_users": ORACLE_HEAVY_HITTER_USERS,
-        "stratified_split": ORACLE_STRATIFIED_SPLIT,
+        "stratified_split": _oracle_stratified_split(),
         "source_quota": ORACLE_SOURCE_QUOTA,
         "totalprice_histogram": ORACLE_HISTOGRAM,
         "distribution_drift_events": ORACLE_DRIFT_EVENTS,

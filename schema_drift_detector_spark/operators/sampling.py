@@ -88,6 +88,40 @@ def stratified_sample_by_hash(
     return df.filter(hash_bucket(key, salt=salt) < threshold)
 
 
+def weighted_keep(
+    key: Column | str,
+    weight: Column | str,
+    salt: str = ":wsample",
+    rate_scale: float = 1.0,
+) -> Column:
+    """Boolean per-row acceptance with probability weight·rate_scale —
+    the quality-weighted sampling rule of classifier-scored corpus
+    pipelines (keep high-quality docs at a higher rate), made
+    deterministic: accept iff hash_bucket(key, salt) < weight ·
+    rate_scale · 1e6. Same key+weight → same decision on any engine or
+    cluster size; weights ≥ 1/rate_scale always keep, ≤ 0 never; a
+    NULL weight or key yields NULL (excluded by filter). The
+    comparison is long < double — both engines promote identically, so
+    oracles replay the exact member set, no floor/round step."""
+    if rate_scale <= 0:
+        raise ValueError(f"rate_scale must be > 0, got {rate_scale}")
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return hash_bucket(key, salt=salt) < w * F.lit(float(rate_scale) * _DENOM)
+
+
+def weighted_sample_by_hash(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    salt: str = ":wsample",
+    rate_scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted sample: keep each row with probability
+    ``weight · rate_scale`` (see weighted_keep). Pure codegen filter —
+    selectivity reaches the scan, zero shuffle at any scale."""
+    return df.filter(weighted_keep(key, weight, salt, rate_scale))
+
+
 def split_by_hash(
     df: DataFrame,
     key: str,

@@ -256,3 +256,40 @@ def test_cap_per_group_nested_map_column(spark):
     # 5 real rows per group + every null-key row passes through
     assert sum(1 for r in rows if r.k is not None) == 10
     assert sum(1 for r in rows if r.k is None) == 10
+
+
+def test_weighted_sample_by_hash_semantics(spark):
+    """Quality-weighted deterministic sampling: weight 0 drops all,
+    weight >= 1 keeps all, intermediate weights accept at ~weight rate,
+    and the decision is a pure function of (key, weight) — rerun
+    identical."""
+    from schema_drift_detector_spark.operators.sampling import (
+        weighted_keep,
+        weighted_sample_by_hash,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") % 4 == 0, 0.0)
+         .when(F.col("id") % 4 == 1, 0.25)
+         .when(F.col("id") % 4 == 2, 0.75)
+         .otherwise(1.0)).alias("w"),
+    )
+    kept = weighted_sample_by_hash(df, "doc_id", "w")
+    by_w = {r.w: r.n for r in kept.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert 0.0 not in by_w                      # weight 0: nothing kept
+    assert by_w[1.0] == 1000                    # weight 1: everything kept
+    assert 150 < by_w[0.25] < 350               # ~25% of 1000
+    assert 650 < by_w[0.75] < 850               # ~75% of 1000
+    # deterministic: the same call yields the identical member set
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in weighted_sample_by_hash(df, "doc_id", "w").collect()}
+    assert a == b
+    # null weight -> excluded, not crashed
+    withnull = df.withColumn("w", F.when(F.col("doc_id") < 2000, F.col("w")))
+    n = weighted_sample_by_hash(withnull, "doc_id", "w").count()
+    assert n == withnull.filter(F.col("w").isNotNull()).select(
+        weighted_keep("doc_id", "w").alias("k")).filter("k").count()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rate_scale"):
+        weighted_sample_by_hash(df, "doc_id", "w", rate_scale=0)

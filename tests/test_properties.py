@@ -280,3 +280,38 @@ def test_cap_per_group_properties(spark, rows, max_rows):
     assert set(got) <= set(data)
     again = {(r.g, r.k) for r in cap_per_group(df.repartition(7), "g", "k", max_rows).collect()}
     assert set(got) == again
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.text(alphabet="ab c", min_size=0, max_size=6), min_size=0, max_size=14
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_gram_hashes64_batch_matches_scalar(tok_lists, n):
+    """The vectorized batch gram pass must agree with the scalar
+    reference on arbitrary ragged batches — including None rows, empty
+    tokens (from double spaces), and rows shorter than n."""
+    from schema_drift_detector_spark.functions.text import (
+        gram_hash64_py,
+        gram_hashes64_batch,
+    )
+
+    got = gram_hashes64_batch(tok_lists, n)
+    pos = gram_hashes64_batch(tok_lists, n, positions=True)
+    for toks, g, (p, gh) in zip(tok_lists, got, pos):
+        if toks is None or len(toks) < n:
+            assert g == [] and p == [] and gh == []
+            continue
+        m = len(toks) - n + 1
+        ref = [gram_hash64_py(toks[i : i + n]) for i in range(m)]
+        assert g == sorted(set(ref))
+        assert p == list(range(1, m + 1)) and gh == ref
