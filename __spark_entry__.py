@@ -3327,6 +3327,101 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 ORACLE_SUBSTRING_DEDUP = _oracle_substring_dedup()
 
 
+def q_corpus_prep_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both corpus-prep certifications in one entry, tagged by `face`:
+    'stats' = exact dedup → quality gate → per-(source, lang) corpus
+    stats; 'full' = the composed prep job (clones → exact dedup →
+    quota → near-dup drop → split, every stage binding). Merged under
+    the 50-row driver attestation cap (r6); each face keeps its exact
+    DuckDB replay."""
+    stats = q_corpus_prep(spark, sf_dir).select(
+        F.lit("stats").alias("face"),
+        "source",
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "min_quality",
+        "max_quality",
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("string").alias("split"),
+    )
+    full = q_corpus_prep_full(spark, sf_dir).select(
+        F.lit("full").alias("face"),
+        "source",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("min_quality"),
+        F.lit(None).cast("double").alias("max_quality"),
+        "doc_id",
+        "split",
+    )
+    return stats.unionByName(full)
+
+
+def _oracle_corpus_prep_merged() -> str:
+    return f"""
+SELECT 'stats' AS face, source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, min_quality, max_quality,
+       CAST(NULL AS VARCHAR) AS doc_id, CAST(NULL AS VARCHAR) AS split
+FROM ({ORACLE_CORPUS_PREP}) cp_stats
+UNION ALL
+SELECT 'full' AS face, source, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       doc_id, split
+FROM ({_oracle_corpus_prep_full()}) cp_full
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking certified end-to-end: 24-token windows,
+    stride 12 (overlapping), every chunk's exact token slice
+    md5-fingerprinted — so window arithmetic, end clipping, and overlap
+    boundaries are all hash-checked. Null text (injected on
+    doc_id%97==3, the fixtures carry none) yields NO rows — certified
+    by the oracle's identical WHERE. Docs span 10-99 tokens at every
+    SF, so single-chunk and up-to-8-chunk docs both occur (gated)."""
+    from schema_drift_detector_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = chunk_documents(docs, chunk_tokens=24, stride=12).select(
+        "doc_id",
+        "chunk_index",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    ).localCheckpoint(eager=True)
+    if out.filter(F.col("chunk_index") >= 2).limit(1).count() == 0:
+        raise RuntimeError("vacuous chunking: no document produced >2 chunks")
+    return out
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH docs AS (
+  SELECT doc_id, CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  FROM docs WHERE text IS NOT NULL
+), ks AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 24 THEN 0
+                ELSE CAST(ceil((n - 24) * 1.0 / 12) AS INT) END)) AS k
+  FROM tok
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_index,
+       CAST(least(n - k * 12, 24) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(t[CAST(k * 12 + 1 AS INT):CAST(k * 12 + 24 AS INT)], ' '))
+         AS chunk_fp
+FROM ks
+"""
+
+
 # --------------------------------------------------------------------------
 # PII scrub (round 6 — LLM-pipeline hygiene, functions/pii.py)
 # --------------------------------------------------------------------------
@@ -3465,11 +3560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs_merged,
         "token_stats_by_lang": q_token_stats_by_lang,
         "text_doc_features": q_text_doc_features,
-        "corpus_prep": q_corpus_prep,
+        "corpus_prep": q_corpus_prep_merged,
         "ann_topk_methods": q_ann_topk_methods,
         "ivf_assign": q_ivf_assign,
         "kmeans_centroids": q_kmeans_centroids,
-        "corpus_prep_full": q_corpus_prep_full,
+        "chunk_documents": q_chunk_documents,
         "stream_dedup_watermark": q_stream_dedup_watermark,
         "salted_join_orders": q_salted_join_orders,
         "salted_join_hot_events": q_salted_join_hot_events,
@@ -3520,11 +3615,11 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": ORACLE_JACCARD_MERGED,
         "token_stats_by_lang": ORACLE_TOKEN_STATS,
         "text_doc_features": ORACLE_TEXT_DOC_FEATURES,
-        "corpus_prep": ORACLE_CORPUS_PREP,
+        "corpus_prep": _oracle_corpus_prep_merged(),
         "ann_topk_methods": _oracle_ann_topk_methods(),
         "ivf_assign": ORACLE_IVF_ASSIGN,
         "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
-        "corpus_prep_full": _oracle_corpus_prep_full(),
+        "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "stream_dedup_watermark": _oracle_stream_dedup_watermark(),
         "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
         "salted_join_hot_events": ORACLE_SALTED_JOIN_HOT_EVENTS,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     # pii_scrub prices the codegen regexp scrub + injection
     "text_doc_features",
     "pii_scrub",
+    "chunk_documents",
 ]
 
 
@@ -220,11 +221,13 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     qs = E.queries()
     for name in BENCH_QUERIES:
-        # registry first; else the module-level per-variant helper — the
-        # round-6 board merge (jaccard full+sample, ann brute/ivf/
-        # trained, …) kept every q_<name> function precisely so this
-        # time series stays comparable across rounds
-        fn = qs.get(name) or getattr(E, f"q_{name}")
+        # per-variant q_<name> helper FIRST; registry as fallback — the
+        # round-6 board merges (jaccard full+sample, ann brute/ivf/
+        # trained, corpus_prep stats+full, …) kept every q_<name>
+        # function precisely so this time series stays comparable
+        # across rounds; registry-first would silently re-point a name
+        # like corpus_prep at its merged union and distort the series
+        fn = getattr(E, f"q_{name}", None) or qs[name]
         samples = []
         for _ in range(3):  # best of 3 — host steal noise
             t0 = time.time()

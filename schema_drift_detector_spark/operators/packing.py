@@ -116,3 +116,67 @@ def pack_next_fit(
         return pdf[[id_col, "shard", "bin", "n_tokens", "truncated"]]
 
     return slim.groupBy("shard").applyInPandas(fold, out_schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int = 256,
+) -> DataFrame:
+    """Context-window chunking with overlap — the complement of packing
+    for documents LONGER than the window: slide a ``chunk_tokens``
+    window over the single-space token stream in steps of ``stride``
+    (stride < chunk_tokens ⇒ overlapping chunks, the standard training/
+    retrieval chunking shape).
+
+    Chunk k (0-based) covers 1-based token positions
+    [k·stride + 1, k·stride + chunk_tokens], clipped at the document
+    end; the number of chunks is 1 for docs of ≤ chunk_tokens tokens,
+    else 1 + ceil((n − chunk_tokens)/stride) — so every token is
+    covered and the final chunk always reaches the last token. NULL
+    text yields no rows (chunking a null doc is vacuous; filter/repair
+    upstream if nulls matter).
+
+    Returns (id_col, chunk_index, n_chunk_tokens, chunk_text). Pure
+    Catalyst expressions (sequence/transform/slice/array_join +
+    explode) — one scan, a narrow per-row fan-out, zero shuffle; the
+    per-doc chunk count is bounded by n/stride so the explode is
+    linear in corpus tokens, and DuckDB replays the identical slices
+    (generate_series + inclusive list slicing)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError(
+            f"stride must be in (0, chunk_tokens], got {stride} (chunk {chunk_tokens})"
+        )
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    extra = F.when(
+        n > chunk_tokens,
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)).cast("int"),
+    ).otherwise(F.lit(0))
+    ks = F.sequence(F.lit(0), extra)
+    chunks = F.transform(
+        ks,
+        lambda k: F.struct(
+            k.cast("int").alias("chunk_index"),
+            F.least(n - k * F.lit(stride), F.lit(chunk_tokens))
+            .cast("int")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(t, k * F.lit(stride) + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )

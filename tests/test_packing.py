@@ -78,3 +78,39 @@ def test_pack_rejects_bad_rows(spark):
             spark.createDataFrame([(1, 2)], "doc_id bigint, n_tokens bigint"),
             cap_tokens=0,
         )
+
+
+def test_chunk_documents_windows_and_clipping(spark):
+    """Window arithmetic: overlap, end clipping, single-chunk docs,
+    exact-boundary docs, null text, and parameter validation."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.packing import chunk_documents
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(1, n + 1))
+    rows = [(1, toks(10)), (2, toks(4)), (3, toks(8)), (4, toks(9)), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, stride=2)
+    got = {
+        (r.doc_id, r.chunk_index): (r.n_chunk_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    # doc 1: 10 tokens -> 1 + ceil(6/2) = 4 chunks; last covers 7..10
+    assert [k[1] for k in sorted(got) if k[0] == 1] == [0, 1, 2, 3]
+    assert got[(1, 0)] == (4, "t1 t2 t3 t4")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 3)] == (4, "t7 t8 t9 t10")
+    # doc 2: exactly chunk_tokens -> one chunk
+    assert [k[1] for k in sorted(got) if k[0] == 2] == [0]
+    # doc 3: 8 tokens -> 3 chunks, all full (exact boundary)
+    assert [k[1] for k in sorted(got) if k[0] == 3] == [0, 1, 2]
+    assert got[(3, 2)] == (4, "t5 t6 t7 t8")
+    # doc 4: 9 tokens -> ceil(5/2)=3 extra; final chunk starts at token
+    # 7 and is clipped to the last 3 tokens
+    assert got[(4, 3)] == (3, "t7 t8 t9")
+    # null text -> no rows
+    assert not any(k[0] == 5 for k in got)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0, stride=1)
