@@ -3059,26 +3059,49 @@ LEFT JOIN rep r USING (doc_id)
 
 
 def q_ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three ANN top-k search paths in one entry, tagged by
-    `method`: exact brute-force cosine, IVF over deterministic seed
-    cells, and IVF over TRAINED k-means cells (the full
-    trainer→assign→probe composition). Identical (query_id, rank,
-    vec_id, cos_sim) schema; each face keeps its exact DuckDB replay."""
+    """The ANN/IVF surface in one entry, tagged by `method`: exact
+    brute-force cosine top-k, IVF over deterministic seed cells, IVF
+    over TRAINED k-means cells (the full trainer→assign→probe
+    composition), and (r6) the raw cell ASSIGNMENT face (every vector's
+    nearest centroid — the IVF index-build step, formerly its own
+    entry). Each face keeps its exact DuckDB replay."""
     brute = q_ann_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
     ivf = q_ann_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
     ivf_km = q_ann_topk_ivf_kmeans(spark, sf_dir).select(
         F.lit("ivf_kmeans").alias("method"), "*"
     )
-    return brute.unionByName(ivf).unionByName(ivf_km)
+    topk = brute.unionByName(ivf).unionByName(ivf_km)
+    assign = q_ivf_assign(spark, sf_dir)
+    cid_type = dict(assign.dtypes)["centroid_id"]
+    topk = topk.withColumn("centroid_id", F.lit(None).cast(cid_type))
+    qid_t = dict(topk.dtypes)["query_id"]
+    rank_t = dict(topk.dtypes)["rank"]
+    assign_face = assign.select(
+        F.lit("assign").alias("method"),
+        F.lit(None).cast(qid_t).alias("query_id"),
+        F.lit(None).cast(rank_t).alias("rank"),
+        "vec_id",
+        F.lit(None).cast("double").alias("cos_sim"),
+        "centroid_id",
+    )
+    return topk.unionByName(assign_face)
 
 
 def _oracle_ann_topk_methods() -> str:
     return f"""
-SELECT 'brute' AS method, * FROM ({ORACLE_ANN_TOPK}) a_brute
+SELECT 'brute' AS method, a_brute.*, CAST(NULL AS INT) AS centroid_id
+FROM ({ORACLE_ANN_TOPK}) a_brute
 UNION ALL
-SELECT 'ivf' AS method, * FROM ({ORACLE_ANN_TOPK_IVF}) a_ivf
+SELECT 'ivf' AS method, a_ivf.*, CAST(NULL AS INT) AS centroid_id
+FROM ({ORACLE_ANN_TOPK_IVF}) a_ivf
 UNION ALL
-SELECT 'ivf_kmeans' AS method, * FROM ({ORACLE_ANN_TOPK_IVF_KMEANS}) a_km
+SELECT 'ivf_kmeans' AS method, a_km.*, CAST(NULL AS INT) AS centroid_id
+FROM ({ORACLE_ANN_TOPK_IVF_KMEANS}) a_km
+UNION ALL
+SELECT 'assign' AS method, CAST(NULL AS BIGINT) AS query_id,
+       CAST(NULL AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS cos_sim,
+       CAST(centroid_id AS INT) AS centroid_id
+FROM ({ORACLE_IVF_ASSIGN}) a_asgn
 """
 
 
@@ -3422,6 +3445,62 @@ FROM ks
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness certified against DuckDB's NATIVE
+    ASOF JOIN: for every 'view' event, the same user's latest
+    'purchase' at-or-before it (backward inclusive; equal-ts purchase
+    ties broken by greatest event_id — the engine pre-dedupes, which is
+    also what makes the native replay unambiguous). ~7% of views have
+    no preceding purchase at every SF, so matched AND unmatched rows
+    are both certified non-vacuously (gated)."""
+    from schema_drift_detector_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        views,
+        purchases,
+        key="user_id",
+        right_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("purchase_id"),
+        F.round("asof_value", 6).alias("purchase_value"),
+        F.col("ts").cast("timestamp").cast("long").alias("view_epoch"),
+        F.col("asof_ts").cast("timestamp").cast("long").alias("purchase_epoch"),
+    ).localCheckpoint(eager=True)
+    matched = out.filter(F.col("purchase_id").isNotNull()).limit(1).count()
+    unmatched = out.filter(F.col("purchase_id").isNull()).limit(1).count()
+    if not (matched and unmatched):
+        raise RuntimeError("vacuous as-of certification: single-valued match outcome")
+    return out
+
+
+ORACLE_ASOF_JOIN = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  -- the engine's determinism pre-step: one purchase per (user, ts),
+  -- greatest event_id wins
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT v.event_id, v.user_id,
+       p.event_id AS purchase_id,
+       round(p.value, 6) AS purchase_value,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM views v ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # PII scrub (round 6 — LLM-pipeline hygiene, functions/pii.py)
 # --------------------------------------------------------------------------
@@ -3562,7 +3641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_features": q_text_doc_features,
         "corpus_prep": q_corpus_prep_merged,
         "ann_topk_methods": q_ann_topk_methods,
-        "ivf_assign": q_ivf_assign,
+        "asof_join": q_asof_join,
         "kmeans_centroids": q_kmeans_centroids,
         "chunk_documents": q_chunk_documents,
         "stream_dedup_watermark": q_stream_dedup_watermark,
@@ -3617,7 +3696,7 @@ def oracle_sql() -> dict[str, str]:
         "text_doc_features": ORACLE_TEXT_DOC_FEATURES,
         "corpus_prep": _oracle_corpus_prep_merged(),
         "ann_topk_methods": _oracle_ann_topk_methods(),
-        "ivf_assign": ORACLE_IVF_ASSIGN,
+        "asof_join": ORACLE_ASOF_JOIN,
         "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "stream_dedup_watermark": _oracle_stream_dedup_watermark(),

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "text_doc_features",
     "pii_scrub",
     "chunk_documents",
+    "asof_join",
 ]
 
 

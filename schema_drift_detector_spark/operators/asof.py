@@ -1,0 +1,116 @@
+"""As-of (point-in-time) join: for every left row, the single right row
+of the same key with the greatest timestamp at-or-before the left's.
+
+The standard temporal-correctness join of feature stores and event
+analytics ("the user's latest purchase as of this view"), and an
+operator family Spark lacks natively. The reference engine has no
+analogue (its R11 previous-snapshot top-1 is the self-table special
+case, operators/snapshot.py); DuckDB HAS a native ASOF JOIN, which is
+exactly what the oracle uses — the engine's distributed plan is
+certified against the database's built-in point-in-time semantics.
+
+Scale shape — the part that must survive 100 TB:
+  - NOT a range join (no interval explosion) and NOT a broadcast: tag
+    both sides, UNION, and run ONE window pass per key ordered by
+    (ts, side) carrying the last-seen right payload forward
+    (``last(..., ignorenulls=True)`` over unbounded-preceding rows).
+    One shuffle of left+right on the key — the same cost as a plain
+    join — regardless of how many right rows precede each left row.
+  - The carried payload is ONE struct column, so the match is atomic —
+    per-column carries could stitch different right rows together when
+    a right column is legitimately NULL.
+  - Skewed keys behave like any windowed aggregation (AQE/salting
+    upstream if a single key dominates).
+
+Determinism: at equal (key, ts) the right side sorts BEFORE the left
+(side 0 < 1 ⇒ inclusive at-or-before), and among equal-ts right rows
+the greatest ``right_tiebreak`` wins — enforced by PRE-DEDUPING the
+right side to one row per (key, ts), which is also what makes the
+DuckDB ASOF replay unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join (backward, inclusive): every ``left`` row gains
+    ``prefix``-named copies of ``right_ts`` and ``right_cols`` from the
+    matching right row, or NULLs when no right row of the key exists
+    at-or-before ``left_ts``. Left rows with a NULL key or NULL
+    timestamp pass through unmatched; NULL-key/ts right rows can never
+    match (dropped before the union)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    if right_tiebreak is None:
+        right_tiebreak = right_cols[0] if right_cols else right_ts
+    payload_cols = list(dict.fromkeys([right_ts, *right_cols]))
+
+    # one right row per (key, ts): greatest tiebreak wins
+    r_slim = (
+        right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key, right_ts).orderBy(
+                    F.col(right_tiebreak).desc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__side"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        )
+    )
+    payload_type = r_slim.schema["__payload"].dataType
+
+    l_full = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+    )
+    r_full = r_slim.select(
+        *[
+            F.col(key) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        "__ts",
+        "__side",
+        "__payload",
+    )
+
+    # nulls-first ascending order: a NULL left __ts sorts before every
+    # right row, so the carry finds nothing — unmatched, by contract
+    carry_w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc_nulls_first(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_full.unionByName(r_full)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(carry_w))
+        .filter(F.col("__side") == 1)
+    )
+    out = [F.col(c) for c in left.columns]
+    out.append(F.col(f"__match.{right_ts}").alias(f"{prefix}{right_ts}"))
+    out.extend(
+        F.col(f"__match.{c}").alias(f"{prefix}{c}")
+        for c in payload_cols
+        if c != right_ts
+    )
+    return matched.select(*out)
