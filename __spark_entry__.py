@@ -3418,8 +3418,15 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_fp"),
     ).localCheckpoint(eager=True)
-    if out.filter(F.col("chunk_index") >= 2).limit(1).count() == 0:
-        raise RuntimeError("vacuous chunking: no document produced >2 chunks")
+    multi = out.filter(F.col("chunk_index") >= 2).limit(1).count()
+    single = (
+        out.groupBy("doc_id").agg(F.max("chunk_index").alias("mx"))
+        .filter(F.col("mx") == 0).limit(1).count()
+    )
+    if not (multi and single):
+        raise RuntimeError(
+            "vacuous chunking: need both a single-chunk doc and a >2-chunk doc"
+        )
     return out
 
 

@@ -57,15 +57,19 @@ def asof_join(
         right_tiebreak = right_cols[0] if right_cols else right_ts
     payload_cols = list(dict.fromkeys([right_ts, *right_cols]))
 
-    # one right row per (key, ts): greatest tiebreak wins
+    # one right row per (key, ts): greatest tiebreak wins; the
+    # remaining payload columns extend the ordering so the pick stays a
+    # TOTAL order (deterministic across reruns/partitionings) even when
+    # the caller's tiebreak is not unique within (key, ts)
+    order_cols = [F.col(right_tiebreak).desc_nulls_last()] + [
+        F.col(c).desc_nulls_last() for c in payload_cols if c != right_tiebreak
+    ]
     r_slim = (
         right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
         .withColumn(
             "__rn",
             F.row_number().over(
-                Window.partitionBy(key, right_ts).orderBy(
-                    F.col(right_tiebreak).desc_nulls_last()
-                )
+                Window.partitionBy(key, right_ts).orderBy(*order_cols)
             ),
         )
         .filter(F.col("__rn") == 1)

@@ -151,7 +151,11 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in (0, chunk_tokens], got {stride} (chunk {chunk_tokens})"
         )
-    t = F.split(F.col(text_col), " ")
+    from ..functions.text import tokens
+
+    t = tokens(text_col)  # THE single-space tokenization helper —
+    # one definition shared with token_count/corpus stats so chunk
+    # boundaries can never desynchronize from the token identity
     n = F.size(t)
     extra = F.when(
         n > chunk_tokens,
