@@ -12,9 +12,9 @@ certified against the database's built-in point-in-time semantics.
 Scale shape — the part that must survive 100 TB:
   - NOT a range join (no interval explosion) and NOT a broadcast: tag
     both sides, UNION, and run ONE window pass per key ordered by
-    (ts, side) carrying the last-seen right payload forward
+    (ts, side, tiebreak) carrying the last-seen right payload forward
     (``last(..., ignorenulls=True)`` over unbounded-preceding rows).
-    One shuffle of left+right on the key — the same cost as a plain
+    ONE shuffle of left+right on the key — the same cost as a plain
     join — regardless of how many right rows precede each left row.
   - The carried payload is ONE struct column, so the match is atomic —
     per-column carries could stitch different right rows together when
@@ -23,10 +23,13 @@ Scale shape — the part that must survive 100 TB:
     upstream if a single key dominates).
 
 Determinism: at equal (key, ts) the right side sorts BEFORE the left
-(side 0 < 1 ⇒ inclusive at-or-before), and among equal-ts right rows
-the greatest ``right_tiebreak`` wins — enforced by PRE-DEDUPING the
-right side to one row per (key, ts), which is also what makes the
-DuckDB ASOF replay unambiguous.
+(side 0 < 1 ⇒ inclusive at-or-before), and among equal-(key, ts) right
+rows the greatest (tiebreak, remaining payload) struct wins — resolved
+INSIDE the carry ordering (ascending ⇒ the last row carried is the
+greatest), a total order over the payload so reruns and different
+partitionings pick the identical row with no pre-dedup pass. This is
+also what makes the DuckDB ASOF replay unambiguous (its oracle
+pre-dedupes to the same winner).
 """
 
 from __future__ import annotations
@@ -56,53 +59,42 @@ def asof_join(
     if right_tiebreak is None:
         right_tiebreak = right_cols[0] if right_cols else right_ts
     payload_cols = list(dict.fromkeys([right_ts, *right_cols]))
+    tb_cols = [right_tiebreak] + [c for c in payload_cols if c != right_tiebreak]
 
-    # one right row per (key, ts): greatest tiebreak wins; the
-    # remaining payload columns extend the ordering so the pick stays a
-    # TOTAL order (deterministic across reruns/partitionings) even when
-    # the caller's tiebreak is not unique within (key, ts)
-    order_cols = [F.col(right_tiebreak).desc_nulls_last()] + [
-        F.col(c).desc_nulls_last() for c in payload_cols if c != right_tiebreak
-    ]
-    r_slim = (
-        right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(key, right_ts).orderBy(*order_cols)
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col(key),
-            F.col(right_ts).alias("__ts"),
-            F.lit(0).alias("__side"),
-            F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
-        )
+    r_full = right.filter(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
+        *[
+            F.col(key) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        F.struct(*[F.col(c) for c in tb_cols]).alias("__tb"),
     )
-    payload_type = r_slim.schema["__payload"].dataType
-
+    payload_type = r_full.schema["__payload"].dataType
+    tb_type = r_full.schema["__tb"].dataType
     l_full = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_type).alias("__payload"),
-    )
-    r_full = r_slim.select(
-        *[
-            F.col(key) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left.columns
-        ],
-        "__ts",
-        "__side",
-        "__payload",
+        F.lit(None).cast(tb_type).alias("__tb"),
     )
 
     # nulls-first ascending order: a NULL left __ts sorts before every
-    # right row, so the carry finds nothing — unmatched, by contract
+    # right row, so the carry finds nothing — unmatched, by contract.
+    # __tb only differentiates equal-(key, ts) RIGHT rows (sides are
+    # already separated by __side): ascending ⇒ the last-carried right
+    # row is the greatest (tiebreak, payload) — the deterministic winner
     carry_w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc_nulls_first(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc_nulls_first(),
+            F.col("__side").asc(),
+            F.col("__tb").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
