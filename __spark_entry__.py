@@ -3452,6 +3452,120 @@ FROM ks
 """
 
 
+def q_order_chain_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both per-customer order window certifications in one entry,
+    tagged by `face`: 'chain' = lag-linked order lineage, 'latest' =
+    the R11 top-1-per-entity pick. Merged to free a board slot for the
+    range join (r6); each face keeps its exact replay."""
+    chain = q_order_chain(spark, sf_dir).select(
+        F.lit("chain").alias("face"),
+        "o_custkey",
+        "o_orderkey",
+        "prev_orderkey",
+        F.lit(None).cast("string").alias("latest_order_date"),
+    )
+    latest = q_latest_order_per_customer(spark, sf_dir).select(
+        F.lit("latest").alias("face"),
+        "o_custkey",
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("prev_orderkey"),
+        "latest_order_date",
+    )
+    return chain.unionByName(latest)
+
+
+def _oracle_order_chain_merged() -> str:
+    return f"""
+SELECT 'chain' AS face, o_custkey, o_orderkey, prev_orderkey,
+       CAST(NULL AS VARCHAR) AS latest_order_date
+FROM ({ORACLE_ORDER_CHAIN}) oc
+UNION ALL
+SELECT 'latest' AS face, o_custkey, o_orderkey, CAST(NULL AS BIGINT),
+       latest_order_date
+FROM ({ORACLE_LATEST_ORDER}) lo
+"""
+
+
+def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join certified end-to-end: purchase
+    sessions (6h inactivity gap, padded ±2h) become [start, end]
+    intervals per user; ALL events then range-join into them via the
+    time-bin shape (operators/asof.py::interval_join — each interval
+    explodes into its covering 1h bins, each point hits exactly one
+    bin, equi-join + residual BETWEEN; no theta-join, no dedup). The
+    oracle replays the session derivation AND a plain SQL BETWEEN
+    join. Intervals span up to ~16h (multi-bin, gated) and ~75% of
+    events match no interval, so containment is certified
+    non-vacuously in both directions."""
+    from schema_drift_detector_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("ns", F.when(gap.isNull() | (gap > 21600), 1).otherwise(0))
+        .withColumn(
+            "sid",
+            F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        (F.min("ts") - F.expr("INTERVAL 2 HOURS")).alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("s_end"),
+    )
+    out = interval_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        iv,
+        keys=["user_id"],
+        bin_seconds=3600,
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("sid").cast("long").alias("sid"),
+        F.floor(F.col("s_start").cast("timestamp").cast("double")).cast("long").alias("start_epoch"),
+        F.floor(F.col("s_end").cast("timestamp").cast("double")).cast("long").alias("end_epoch"),
+    ).localCheckpoint(eager=True)
+    multibin = out.filter(F.col("end_epoch") - F.col("start_epoch") > 3600).limit(1).count()
+    if out.limit(1).count() == 0 or not multibin:
+        raise RuntimeError("vacuous range join: no matches or no multi-bin interval")
+    return out
+
+
+ORACLE_RANGE_JOIN_SESSIONS = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 21600 THEN 1 ELSE 0 END AS ns
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  -- the cumsum must use the SAME (ts, event_id) total order as the
+  -- lag pass: with ts-only ordering, equal-ts purchases would get
+  -- ambiguous sids
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM p
+), iv AS (
+  SELECT user_id, sid,
+         min(ts) - INTERVAL 2 HOUR AS s_start,
+         max(ts) + INTERVAL 2 HOUR AS s_end
+  FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       CAST(iv.sid AS BIGINT) AS sid,
+       CAST(floor(epoch(iv.s_start)) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(iv.s_end)) AS BIGINT) AS end_epoch
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts BETWEEN iv.s_start AND iv.s_end
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time correctness certified against DuckDB's NATIVE
     ASOF JOIN: for every 'view' event, the same user's latest
@@ -3628,8 +3742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "schema_diff": q_schema_diff,
         "drift_report": q_drift_report,
-        "latest_order_per_customer": q_latest_order_per_customer,
-        "order_chain": q_order_chain,
+        "range_join_sessions": q_range_join_sessions,
+        "order_chain": q_order_chain_merged,
         "customers_without_open_orders": q_customers_without_open_orders,
         "nations_order_stats": q_nations_order_stats,
         "pricing_summary": q_pricing_summary,
@@ -3683,8 +3797,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "schema_diff": ORACLE_SCHEMA_DIFF,
         "drift_report": ORACLE_DRIFT_REPORT,
-        "latest_order_per_customer": ORACLE_LATEST_ORDER,
-        "order_chain": ORACLE_ORDER_CHAIN,
+        "range_join_sessions": ORACLE_RANGE_JOIN_SESSIONS,
+        "order_chain": _oracle_order_chain_merged(),
         "customers_without_open_orders": ORACLE_CUST_NO_OPEN,
         "nations_order_stats": ORACLE_NATION_STATS,
         "pricing_summary": ORACLE_PRICING,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "chunk_documents",
     "asof_join",
+    "range_join_sessions",
 ]
 
 

@@ -38,6 +38,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str = "ts",
+    start_col: str = "s_start",
+    end_col: str = "s_end",
+    bin_seconds: int = 3600,
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Range (interval-containment) join: every ``points`` row paired
+    with every ``intervals`` row of the same ``keys`` whose
+    [start_col, end_col] contains ``point_ts`` (inclusive both ends).
+    Returns the inner join with all columns of both frames (interval
+    column names must not collide with point columns beyond ``keys``).
+
+    Scale shape: NOT a theta-join (no per-key cross product). Each
+    interval explodes into the time bins of width ``bin_seconds`` it
+    covers; each point lands in exactly ONE bin, so the equi-join on
+    (keys…, bin) + the residual BETWEEN filter yields each matching
+    pair exactly once — no post-join dedup. Cost: one equi-join shuffle
+    plus interval fan-out of ceil(length/bin) rows; pick ``bin_seconds``
+    near the typical interval length (fan-out ~2×). A runtime guard
+    fails LOUD (raise, not truncate) on any interval spanning more than
+    ``max_bins_per_interval`` bins — the degenerate interval that would
+    silently explode the build side at scale."""
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(f"colliding non-key columns: {sorted(overlap)}")
+    ep = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    p = points.withColumn(
+        "__bin", F.floor(ep(point_ts) / bin_seconds).cast("long")
+    )
+    sb = F.floor(ep(start_col) / bin_seconds).cast("long")
+    eb = F.floor(ep(end_col) / bin_seconds).cast("long")
+    guarded_eb = F.when(eb - sb < max_bins_per_interval, eb).otherwise(
+        F.raise_error(
+            F.format_string(
+                "interval spans more than %d bins of %ds — raise bin_seconds "
+                "or split the interval",
+                F.lit(max_bins_per_interval),
+                F.lit(bin_seconds),
+            )
+        ).cast("long")
+    )
+    iv = intervals.withColumn("__bin", F.explode(F.sequence(sb, guarded_eb)))
+    return (
+        p.join(iv, [*keys, "__bin"])
+        .filter(F.col(point_ts).between(F.col(start_col), F.col(end_col)))
+        .drop("__bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -61,3 +61,47 @@ def test_asof_join_plan_no_explosion(spark):
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_interval_join_semantics_and_guard(spark):
+    """Bin-bucketed range join: inclusive bounds, overlapping intervals,
+    zero-length intervals, per-key isolation, no cross product, and the
+    loud degenerate-interval guard."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 10, D(2024, 1, 1, 5, 0, 0)),
+            (2, 10, D(2024, 1, 1, 9, 0, 0)),
+            (3, 10, D(2024, 1, 2, 0, 0, 0)),
+            (4, 20, D(2024, 1, 1, 5, 0, 0)),
+            (5, 10, D(2024, 1, 1, 6, 0, 0)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (10, 1, D(2024, 1, 1, 4, 30, 0), D(2024, 1, 1, 6, 30, 0)),
+            (10, 2, D(2024, 1, 1, 8, 59, 0), D(2024, 1, 1, 9, 0, 0)),  # inclusive end
+            (20, 3, D(2024, 1, 1, 6, 0, 0), D(2024, 1, 1, 7, 0, 0)),   # wrong window for user 20
+            (10, 4, D(2024, 1, 1, 5, 0, 0), D(2024, 1, 1, 5, 0, 0)),   # zero-length, exact hit
+        ],
+        "user_id long, sid long, s_start timestamp, s_end timestamp",
+    )
+    out = interval_join(pts, ivs, ["user_id"], bin_seconds=3600)
+    got = sorted((r.event_id, r.sid) for r in out.collect())
+    assert got == [(1, 1), (1, 4), (2, 2), (5, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    # colliding non-key columns fail fast
+    with pytest.raises(ValueError, match="colliding"):
+        interval_join(pts, ivs.withColumnRenamed("sid", "event_id"), ["user_id"])
+    # degenerate interval fails LOUD at runtime, never silently explodes
+    bad = spark.createDataFrame(
+        [(10, 9, D(2020, 1, 1), D(2024, 1, 1))],
+        "user_id long, sid long, s_start timestamp, s_end timestamp",
+    )
+    with pytest.raises(Exception, match="bins"):
+        interval_join(pts, bad, ["user_id"], bin_seconds=60, max_bins_per_interval=100).count()
