@@ -3452,6 +3452,52 @@ FROM ks
 """
 
 
+def q_histogram_drift_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram family in one entry, tagged by `face`: 'bins' = the
+    fixed-bin numeric histogram (orders totalprice), 'drift' = the
+    KS/chi-square drift statistics computed over merged event-value
+    histograms. Merged to free a board slot for the stream-stream join
+    (r6); each face keeps its exact replay."""
+    bins = q_totalprice_histogram(spark, sf_dir).select(
+        F.lit("bins").alias("face"),
+        F.col("bin").cast("int").alias("bin"),
+        F.col("bin_count").cast("long").alias("bin_count"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("ks_stat"),
+        F.lit(None).cast("double").alias("chi2_stat"),
+        F.lit(None).cast("long").alias("n_base"),
+        F.lit(None).cast("long").alias("n_curr"),
+        F.lit(None).cast("long").alias("n_bins"),
+    )
+    drift = q_distribution_drift_events(spark, sf_dir).select(
+        F.lit("drift").alias("face"),
+        F.lit(None).cast("int").alias("bin"),
+        F.lit(None).cast("long").alias("bin_count"),
+        "event_type",
+        "ks_stat",
+        "chi2_stat",
+        "n_base",
+        "n_curr",
+        "n_bins",
+    )
+    return bins.unionByName(drift)
+
+
+def _oracle_histogram_drift_merged() -> str:
+    return f"""
+SELECT 'bins' AS face, CAST(bin AS INT) AS bin, CAST(bin_count AS BIGINT) AS bin_count,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS ks_stat,
+       CAST(NULL AS DOUBLE) AS chi2_stat, CAST(NULL AS BIGINT) AS n_base,
+       CAST(NULL AS BIGINT) AS n_curr, CAST(NULL AS BIGINT) AS n_bins
+FROM ({ORACLE_HISTOGRAM}) hh
+UNION ALL
+SELECT 'drift' AS face, CAST(NULL AS INT), CAST(NULL AS BIGINT),
+       event_type, ks_stat, chi2_stat, CAST(n_base AS BIGINT),
+       CAST(n_curr AS BIGINT), CAST(n_bins AS BIGINT)
+FROM ({ORACLE_DRIFT_EVENTS}) dd
+"""
+
+
 def q_order_chain_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both per-customer order window certifications in one entry,
     tagged by `face`: 'chain' = lag-linked order lineage, 'latest' =
@@ -3563,6 +3609,83 @@ SELECT e.event_id, e.user_id, e.event_type,
        CAST(floor(epoch(iv.s_end)) AS BIGINT) AS end_epoch
 FROM events e JOIN iv
   ON e.user_id = iv.user_id AND e.ts BETWEEN iv.s_start AND iv.s_end
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded INNER join certified whole-stream:
+    purchases and views stream in micro-batches (1 file per trigger per
+    side over 4-way random splits); views within 1h after a same-user
+    purchase must pair EXACTLY ONCE across the run — the union of every
+    emitted micro-batch equals the plain SQL time-bounded join (inner
+    matches emit when both rows have arrived; the watermark bounds the
+    buffered state, not the output). Emissions spanning >=2
+    micro-batches are gated, so cross-batch buffered matching is
+    actually exercised."""
+    import shutil
+
+    from schema_drift_detector_spark.streaming.epochs import stream_time_bounded_join
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
+    _write_once(ev.repartition(4), src)
+    out = f"{_ARTIFACTS}/stream_windows/out_ssjoin_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+
+    def side() -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    purchases = side().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = side().filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = stream_time_bounded_join(
+        purchases, views, "user_id", "v_user", "p_ts", "v_ts",
+        within="1 hour", watermark="60 days",
+    ).select("p_id", "v_id", "user_id")
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_stream_join did not finish within 300s")
+    rows = spark.read.parquet(out)
+    n_batches = rows.select("batch_id").distinct().count()
+    if rows.limit(1).count() == 0 or n_batches < 2:
+        raise RuntimeError(
+            f"vacuous stream-stream join: no matches or all emissions in one "
+            f"micro-batch (batches with output: {n_batches})"
+        )
+    return rows.select(
+        "p_id", "v_id", F.col("user_id").cast("long").alias("user_id")
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT p.event_id AS p_id, v.event_id AS v_id, CAST(p.user_id AS BIGINT) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 1 HOUR
 """
 
 
@@ -3754,8 +3877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_users": q_heavy_hitter_users,
         "stratified_split": q_stratified_split,
         "source_quota": q_source_quota,
-        "totalprice_histogram": q_totalprice_histogram,
-        "distribution_drift_events": q_distribution_drift_events,
+        "histogram_drift": q_histogram_drift_merged,
+        "stream_stream_join": q_stream_stream_join,
         "exact_dedup_props": q_exact_dedup_props,
         "jaccard_pairs": q_jaccard_pairs_merged,
         "token_stats_by_lang": q_token_stats_by_lang,
@@ -3809,8 +3932,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": ORACLE_HEAVY_HITTER_USERS,
         "stratified_split": _oracle_stratified_split(),
         "source_quota": ORACLE_SOURCE_QUOTA,
-        "totalprice_histogram": ORACLE_HISTOGRAM,
-        "distribution_drift_events": ORACLE_DRIFT_EVENTS,
+        "histogram_drift": _oracle_histogram_drift_merged(),
+        "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
         "exact_dedup_props": ORACLE_EXACT_DEDUP,
         "jaccard_pairs": ORACLE_JACCARD_MERGED,
         "token_stats_by_lang": ORACLE_TOKEN_STATS,

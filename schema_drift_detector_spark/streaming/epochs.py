@@ -84,6 +84,41 @@ def session_event_counts(
     )
 
 
+def stream_time_bounded_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join, time-bounded: pair every left row with
+    the right rows of the same key whose timestamp falls in
+    [left_ts, left_ts + within]. Both sides are watermarked — the time
+    bound plus the watermarks let Spark EVICT buffered rows that can no
+    longer match, so state is proportional to rate × horizon, not the
+    stream's history (the property that makes stream-stream joins
+    viable at all at scale).
+
+    Inner-join semantics on a finite replay: matches emit as soon as
+    BOTH rows have arrived (the watermark bounds state, it does not
+    gate inner-join output), so the UNION of all emitted micro-batches
+    equals the batch join — the certifiable face. Outer variants DO
+    hold rows until the watermark passes; on a finite stream their
+    null-padded rows may never flush (same class as the append-mode
+    window trap) — certify those per-horizon, not whole-stream."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def stream_dedup_exact(
     docs_stream: DataFrame,
     ts_col: str = "ingest_ts",
