@@ -2285,6 +2285,36 @@ FROM d LEFT JOIN a ON d.partition_id = a.partition_id
 """
 
 
+def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared streaming-replay source of every streaming entry: the
+    events table written once as a 4-way random split, streamed one
+    file per trigger. Watermarks require TIMESTAMP; the parquet column
+    reads as TIMESTAMP_NTZ — the cast is value-preserving under the
+    UTC session timezone (session.py pins it)."""
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
+    _write_once(ev.repartition(4), src)
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _stream_out_dir(spark: SparkSession, sf_dir: str, out_suffix: str) -> str:
+    """Fresh per-run output + checkpoint location for a streaming
+    entry."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"{_ARTIFACTS}/stream_windows/out_{out_suffix}_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
+    return out
+
+
 def _run_complete_stream(
     spark: SparkSession, sf_dir: str, agg_fn, out_suffix: str
 ) -> DataFrame:
@@ -2296,25 +2326,8 @@ def _run_complete_stream(
     the FINAL batch — which must equal the batch-mode answer exactly
     (append mode would hold back windows inside the watermark horizon
     forever on a finite stream)."""
-    import shutil
-
-    ev = _t(spark, sf_dir, "events")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
-    _write_once(ev.repartition(4), src)
-    out = f"{_ARTIFACTS}/stream_windows/out_{out_suffix}_{tag}"
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        # watermarks require TIMESTAMP; the parquet column reads as
-        # TIMESTAMP_NTZ — the cast is value-preserving under the UTC
-        # session timezone (session.py pins it)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
-    agg = agg_fn(stream)
+    out = _stream_out_dir(spark, sf_dir, out_suffix)
+    agg = agg_fn(_stream_events_source(spark, sf_dir))
 
     def sink(batch_df, batch_id):
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
@@ -3576,9 +3589,17 @@ def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("s_start").cast("timestamp").cast("double")).cast("long").alias("start_epoch"),
         F.floor(F.col("s_end").cast("timestamp").cast("double")).cast("long").alias("end_epoch"),
     ).localCheckpoint(eager=True)
-    multibin = out.filter(F.col("end_epoch") - F.col("start_epoch") > 3600).limit(1).count()
-    if out.limit(1).count() == 0 or not multibin:
-        raise RuntimeError("vacuous range join: no matches or no multi-bin interval")
+    # every interval is >= 4h by construction (±2h padding), i.e.
+    # multi-bin at 1h bins — so multi-bin coverage needs no separate
+    # gate; what CAN silently degenerate is the interval-length spread,
+    # so require an interval well beyond the construction minimum
+    # (a real multi-purchase session) alongside plain non-emptiness
+    long_iv = out.filter(F.col("end_epoch") - F.col("start_epoch") > 6 * 3600)
+    if out.limit(1).count() == 0 or long_iv.limit(1).count() == 0:
+        raise RuntimeError(
+            "vacuous range join: no matches or no interval beyond the "
+            "4h construction minimum"
+        )
     return out
 
 
@@ -3622,30 +3643,15 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffered state, not the output). Emissions spanning >=2
     micro-batches are gated, so cross-batch buffered matching is
     actually exercised."""
-    import shutil
-
     from schema_drift_detector_spark.streaming.epochs import stream_time_bounded_join
 
-    ev = _t(spark, sf_dir, "events")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"{_ARTIFACTS}/stream_windows/events4_{tag}"
-    _write_once(ev.repartition(4), src)
-    out = f"{_ARTIFACTS}/stream_windows/out_ssjoin_{tag}"
-    shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(f"{out}_ckpt", ignore_errors=True)
-
-    def side() -> DataFrame:
-        return (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-        )
-
-    purchases = side().filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
-    )
-    views = side().filter(F.col("event_type") == "view").select(
+    out = _stream_out_dir(spark, sf_dir, "ssjoin")
+    purchases = _stream_events_source(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+    views = _stream_events_source(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    ).select(
         F.col("event_id").alias("v_id"),
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
@@ -3656,7 +3662,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_id", "v_id", "user_id")
 
     def sink(batch_df, batch_id):
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+        # foreachBatch is AT-LEAST-ONCE (a failed batch re-runs with the
+        # same batch_id): since this entry certifies the UNION of every
+        # batch, the sink must be idempotent — static overwrite of a
+        # batch_id-keyed subdir, so a retry replaces rather than appends
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
     q = (
         joined.writeStream.outputMode("append")
@@ -3693,10 +3703,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time correctness certified against DuckDB's NATIVE
     ASOF JOIN: for every 'view' event, the same user's latest
     'purchase' at-or-before it (backward inclusive; equal-ts purchase
-    ties broken by greatest event_id — the engine pre-dedupes, which is
-    also what makes the native replay unambiguous). ~7% of views have
-    no preceding purchase at every SF, so matched AND unmatched rows
-    are both certified non-vacuously (gated)."""
+    ties broken by greatest event_id — resolved INSIDE the engine's
+    carry ordering, while the oracle pre-dedupes to the same winner so
+    the native replay is unambiguous). ~7% of views have no preceding
+    purchase at every SF, so matched AND unmatched rows are both
+    certified non-vacuously (gated)."""
     from schema_drift_detector_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -3729,8 +3740,9 @@ ORACLE_ASOF_JOIN = """
 WITH views AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
 ), purchases AS (
-  -- the engine's determinism pre-step: one purchase per (user, ts),
-  -- greatest event_id wins
+  -- mirror the engine's tie rule (greatest event_id wins at equal
+  -- (user, ts)) as a pre-dedup, making the native ASOF unambiguous;
+  -- the engine itself resolves the tie inside its carry ordering
   SELECT user_id, ts, event_id, value FROM events
   WHERE event_type = 'purchase'
   QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1

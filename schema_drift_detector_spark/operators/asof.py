@@ -73,15 +73,34 @@ def interval_join(
     )
     sb = F.floor(ep(start_col) / bin_seconds).cast("long")
     eb = F.floor(ep(end_col) / bin_seconds).cast("long")
-    guarded_eb = F.when(eb - sb < max_bins_per_interval, eb).otherwise(
-        F.raise_error(
-            F.format_string(
-                "interval spans more than %d bins of %ds — raise bin_seconds "
-                "or split the interval",
-                F.lit(max_bins_per_interval),
-                F.lit(bin_seconds),
-            )
-        ).cast("long")
+    # two loud failure arms, both checked BEFORE sequence() runs:
+    # an inverted interval (end before start) would make sequence()
+    # DESCEND — sb > eb generates |sb-eb|+1 rows — so the span check
+    # alone (eb-sb negative, passes any cap) is a silent-explosion
+    # bypass; inverted almost always means swapped columns, so raise
+    guarded_eb = (
+        F.when(
+            eb < sb,
+            F.raise_error(
+                F.format_string(
+                    "inverted interval: %s before %s — swapped columns?",
+                    F.col(end_col).cast("string"),
+                    F.col(start_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .when(
+            eb - sb >= max_bins_per_interval,
+            F.raise_error(
+                F.format_string(
+                    "interval spans more than %d bins of %ds — raise "
+                    "bin_seconds or split the interval",
+                    F.lit(max_bins_per_interval),
+                    F.lit(bin_seconds),
+                )
+            ).cast("long"),
+        )
+        .otherwise(eb)
     )
     iv = intervals.withColumn("__bin", F.explode(F.sequence(sb, guarded_eb)))
     return (
@@ -124,29 +143,29 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
-        F.struct(*[F.col(c) for c in tb_cols]).alias("__tb"),
     )
     payload_type = r_full.schema["__payload"].dataType
-    tb_type = r_full.schema["__tb"].dataType
     l_full = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_type).alias("__payload"),
-        F.lit(None).cast(tb_type).alias("__tb"),
     )
 
     # nulls-first ascending order: a NULL left __ts sorts before every
     # right row, so the carry finds nothing — unmatched, by contract.
-    # __tb only differentiates equal-(key, ts) RIGHT rows (sides are
-    # already separated by __side): ascending ⇒ the last-carried right
-    # row is the greatest (tiebreak, payload) — the deterministic winner
+    # The tiebreak orders by FIELD REFERENCES into the one payload
+    # struct (no second struct shipped through the shuffle): field
+    # access on the left side's NULL struct yields NULL, and __side
+    # already separates the sides, so the extra keys only differentiate
+    # equal-(key, ts) RIGHT rows — ascending ⇒ the last-carried right
+    # row is the greatest (tiebreak, payload), the deterministic winner
     carry_w = (
         Window.partitionBy(key)
         .orderBy(
             F.col("__ts").asc_nulls_first(),
             F.col("__side").asc(),
-            F.col("__tb").asc_nulls_first(),
+            *[F.col(f"__payload.{c}").asc_nulls_first() for c in tb_cols],
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

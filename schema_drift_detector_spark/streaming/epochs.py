@@ -91,8 +91,8 @@ def stream_time_bounded_join(
     right_key: str,
     left_ts: str,
     right_ts: str,
-    within: str = "1 hour",
-    watermark: str = "2 hours",
+    within: str,
+    watermark: str,
 ) -> DataFrame:
     """Stream-stream INNER join, time-bounded: pair every left row with
     the right rows of the same key whose timestamp falls in
@@ -102,13 +102,22 @@ def stream_time_bounded_join(
     stream's history (the property that makes stream-stream joins
     viable at all at scale).
 
-    Inner-join semantics on a finite replay: matches emit as soon as
-    BOTH rows have arrived (the watermark bounds state, it does not
-    gate inner-join output), so the UNION of all emitted micro-batches
-    equals the batch join — the certifiable face. Outer variants DO
-    hold rows until the watermark passes; on a finite stream their
-    null-padded rows may never flush (same class as the append-mode
-    window trap) — certify those per-horizon, not whole-stream."""
+    ``watermark`` is deliberately REQUIRED (no default): it must cover
+    the source's worst-case EVENT-TIME DISORDER, not the join bound —
+    a buffered row is evicted once the watermark passes it, and a
+    late-arriving counterpart then finds nothing and the pair is
+    silently LOST (the same silent-loss class as the session-window
+    WATERMARK WARNING above). Over a non-time-ordered finite replay
+    (e.g. random file splits) it must exceed the full data span.
+
+    Inner-join semantics on a finite replay with sufficient watermark:
+    matches emit as soon as BOTH rows have arrived (the watermark
+    bounds state, it does not gate inner-join output), so the UNION of
+    all emitted micro-batches equals the batch join — the certifiable
+    face. Outer variants DO hold rows until the watermark passes; on a
+    finite stream their null-padded rows may never flush (same class
+    as the append-mode window trap) — certify those per-horizon, not
+    whole-stream."""
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (

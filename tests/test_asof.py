@@ -105,3 +105,21 @@ def test_interval_join_semantics_and_guard(spark):
     )
     with pytest.raises(Exception, match="bins"):
         interval_join(pts, bad, ["user_id"], bin_seconds=60, max_bins_per_interval=100).count()
+
+
+def test_interval_join_inverted_interval_fails_loud(spark):
+    """An inverted interval (end before start — swapped columns) must
+    raise, not silently explode into a descending bin sequence."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 10, D(2024, 1, 1, 5, 0, 0))], "event_id long, user_id long, ts timestamp"
+    )
+    inverted = spark.createDataFrame(
+        [(10, 1, D(2024, 1, 1, 12, 0, 0), D(2024, 1, 1, 3, 0, 0))],
+        "user_id long, sid long, s_start timestamp, s_end timestamp",
+    )
+    with pytest.raises(Exception, match="inverted"):
+        interval_join(pts, inverted, ["user_id"], bin_seconds=60).count()
