@@ -3291,7 +3291,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already broadcasts the measured hit side here, and forcing it
     # adds an eager extra evaluation of the hit DAG (measured 6.0 s vs
     # 3.5 s at sf0.1).
-    out = substring_dedup(docs, n=8, min_df=4).select(
+    out = substring_dedup(docs, n=8, min_df=4, materialize_grams=True).select(
         "doc_id",
         "n_tokens",
         "n_removed",

@@ -126,6 +126,7 @@ def substring_dedup(
     n: int = 8,
     min_df: int = 2,
     broadcast_hits: bool = False,
+    materialize_grams: bool = False,
 ) -> DataFrame:
     """Strip every boilerplate-gram-covered token from every document.
 
@@ -138,21 +139,45 @@ def substring_dedup(
     the corpus never shuffles — use when boilerplate-carrying docs are
     a small fraction (the common case); the default plain join lets
     AQE decide from the measured hit size.
+
+    ``materialize_grams=True`` localCheckpoints the slim exploded
+    (id, pos, gh) gram frame so the gram pass runs ONCE instead of
+    once per consumer (df count + coverage) — measured ~1.6× the whole
+    operator at sf0.1. Default OFF because it is the 100 TB-unsafe
+    choice: gram rows are ~12 bytes × corpus tokens (often larger than
+    the text itself), and re-running the vectorized gram pass against
+    the OS page cache beats writing that frame to executor disks at
+    full scale. Turn it on when the corpus (or the gram frame) fits
+    comfortably on local storage.
     """
     from pyspark.sql.functions import pandas_udf
 
-    # boilerplate_grams validates min_df and explodes only the hash
-    # array (positions are paid for only on the hit branch below).
-    # Spark recomputes the gram udf per consumer (two scans) —
-    # deliberate: persisting corpus-scale gram rows loses to a parquet
-    # rescan (OS page cache shares the bytes; see the cache-vs-rescan
-    # measurement in BENCH/BASELINE.md r2 notes).
-    boiler = boilerplate_grams(docs, id_col, text_col, n, min_df)
     g = docs.select(F.col(id_col), token_gram_occurrences(text_col, n).alias("g"))
     occ = g.select(
         F.col(id_col),
         F.explode(F.arrays_zip(F.col("g.pos"), F.col("g.gh"))).alias("z"),
     ).select(id_col, F.col("z.pos").alias("pos"), F.col("z.gh").alias("gh"))
+    if materialize_grams:
+        occ = occ.localCheckpoint(eager=False)
+        if min_df < 2:
+            raise ValueError(
+                f"min_df must be >= 2 (a gram unique to one doc is "
+                f"content, not boilerplate), got {min_df}"
+            )
+        boiler = (
+            occ.select(F.col(id_col), "gh")
+            .distinct()
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df)
+            .select("gh")
+        )
+    else:
+        # boilerplate_grams validates min_df and explodes only the hash
+        # array (positions are paid for only on the hit branch below);
+        # Spark recomputes the gram udf per consumer — the deliberate
+        # at-scale default (see materialize_grams above)
+        boiler = boilerplate_grams(docs, id_col, text_col, n, min_df)
     hit_starts = (
         occ.join(boiler, "gh")
         .groupBy(id_col)

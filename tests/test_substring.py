@@ -95,3 +95,20 @@ def test_gram_occurrences_positions_are_one_based(spark):
     row = df.select(token_gram_occurrences("t", 8).alias("g")).first()["g"]
     assert list(row["pos"]) == [1, 2]
     assert len(row["gh"]) == 2 and len(set(row["gh"])) == 2
+
+
+def test_substring_dedup_materialize_grams_same_result(spark):
+    docs = _docs(spark)
+    plain = {
+        (r["doc_id"], r["text"], r["n_removed"])
+        for r in substring_dedup(docs, min_df=3).collect()
+    }
+    mat = {
+        (r["doc_id"], r["text"], r["n_removed"])
+        for r in substring_dedup(docs, min_df=3, materialize_grams=True).collect()
+    }
+    assert plain == mat
+    import pytest
+
+    with pytest.raises(ValueError, match="min_df"):
+        substring_dedup(docs, min_df=1, materialize_grams=True).collect()
