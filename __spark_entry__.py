@@ -517,8 +517,13 @@ LIMIT 20
 
 
 def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation: order counts with (region, nation) subtotals
-    and a grand total."""
+    """Multi-dimensional aggregation, both grouping-set shapes in one
+    entry tagged by `shape`: ROLLUP (hierarchical subtotals + grand
+    total) and CUBE (r6: every grouping-set combination, including the
+    nation-only marginals ROLLUP lacks). Disambiguation: a NULL in a
+    grouping column can mean 'subtotal' or a genuinely-NULL value —
+    both engines expose the grouping-id bitmask (Spark F.grouping_id,
+    DuckDB GROUPING()), certified alongside the aggregates."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -528,18 +533,36 @@ def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
-    return joined.rollup("r_name", "n_name").agg(
+    aggs = [
+        F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    ]
+    ru = joined.rollup("r_name", "n_name").agg(*aggs).select(
+        F.lit("rollup").alias("shape"), "*"
     )
+    cu = joined.cube("r_name", "n_name").agg(*aggs).select(
+        F.lit("cube").alias("shape"), "*"
+    )
+    return ru.unionByName(cu)
 
 
 ORACLE_NATION_ROLLUP = """
-SELECT r_name, n_name, count(*) AS n_orders, round(max(o_totalprice), 2) AS max_price
-FROM orders JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
+WITH j AS (
+  SELECT r_name, n_name, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+)
+SELECT 'rollup' AS shape, r_name, n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       count(*) AS n_orders, round(max(o_totalprice), 2) AS max_price
+FROM j GROUP BY ROLLUP (r_name, n_name)
+UNION ALL
+SELECT 'cube' AS shape, r_name, n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       count(*) AS n_orders, round(max(o_totalprice), 2) AS max_price
+FROM j GROUP BY CUBE (r_name, n_name)
 """
 
 
