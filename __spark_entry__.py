@@ -235,22 +235,67 @@ GROUP BY n_name
 """
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event profiling, two faces: 'profile' = per-type stats; 'pivot'
+    (r6) = the long→wide reshaping surface — per-user counts pivoted
+    over an explicit event-type value list (.pivot(col, values), the
+    scale-safe form: no distinct-scan to discover columns). Spark
+    leaves EMPTY pivot cells NULL (not 0); the oracle mirrors with
+    NULLIF(count FILTER ...)."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    prof = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         (1.0 - F.count("value") / F.count(F.lit(1))).alias("null_ratio"),
+    ).select(
+        F.lit("profile").alias("face"),
+        "*",
+        F.lit(None).cast("bigint").alias("user_id"),
+        *[F.lit(None).cast("bigint").alias(f"n_{t}") for t in _PIVOT_TYPES],
     )
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .select(
+            F.lit("pivot").alias("face"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("bigint").alias("n_rows"),
+            F.lit(None).cast("bigint").alias("n_users"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+            F.lit(None).cast("double").alias("null_ratio"),
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES],
+        )
+    )
+    return prof.unionByName(piv)
 
 
-ORACLE_PROFILE_EVENTS = """
-SELECT event_type, count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+_PIVOT_ORACLE_COLS = ",\n       ".join(
+    f"NULLIF(count(*) FILTER (WHERE event_type = '{t}'), 0) AS n_{t}"
+    for t in _PIVOT_TYPES
+)
+
+ORACLE_PROFILE_EVENTS = f"""
+SELECT 'profile' AS face, event_type, count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users,
        round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
-       1.0 - count(value) / count(*) AS null_ratio
+       1.0 - count(value) / count(*) AS null_ratio,
+       CAST(NULL AS BIGINT) AS user_id,
+       {", ".join(f"CAST(NULL AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)}
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'pivot' AS face, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), user_id,
+       {_PIVOT_ORACLE_COLS}
+FROM events GROUP BY user_id
 """
 
 
