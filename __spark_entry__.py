@@ -363,24 +363,44 @@ WHERE bs < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
 
 
 def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source hard cap (corpus balancing): keep at most 10 docs per
-    source, chosen by smallest (hash, doc_id) — deterministic, not
-    file-order-biased. The cap BINDS on every source at sf0.01 (each has
-    25 docs), so the certification covers a non-vacuous selection, and
-    DuckDB replays the exact QUALIFY rule — the member set itself is
-    certified."""
-    from schema_drift_detector_spark.operators.sampling import cap_per_group
+    """Corpus balancing, both cap units in one entry tagged by `face`:
+    'docs_cap' = at most 10 DOCUMENTS per source (cap_per_group);
+    'token_budget' (r6) = at most 400 TOKENS per source
+    (take_token_budget — the data-mixing primitive: mixture ratios are
+    token ratios, so each source contributes a greedy deterministic
+    prefix in (hash, doc_id) order whose running token total stays
+    within budget). Both caps BIND on every source at sf0.01 (25 docs
+    ≈ 1350 tokens each), and DuckDB replays the exact member sets."""
+    from schema_drift_detector_spark.operators.sampling import (
+        cap_per_group,
+        take_token_budget,
+    )
+    from schema_drift_detector_spark.functions.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
-    return cap_per_group(docs, "source", "doc_id", 10).select("doc_id", "source")
+    capped = cap_per_group(docs, "source", "doc_id", 10).select(
+        F.lit("docs_cap").alias("face"), "doc_id", "source"
+    )
+    n_tok = F.when(F.col("text").isNull(), 0).otherwise(token_count("text"))
+    budgeted = take_token_budget(
+        docs.withColumn("__nt", n_tok), "source", "doc_id", "__nt", 400
+    ).select(F.lit("token_budget").alias("face"), "doc_id", "source")
+    out = capped.unionByName(budgeted).localCheckpoint(eager=True)
+    n_docs = docs.count()
+    n_budget = out.filter(F.col("face") == "token_budget").count()
+    if not (0 < n_budget < n_docs):
+        raise RuntimeError(
+            f"vacuous token budget: kept {n_budget} of {n_docs} docs"
+        )
+    return out
 
 
-# null-key rows pass through unchanged (exempt from the quota) — the
-# UNION ALL branch mirrors cap_per_group's passthrough contract even
-# though sf-synth documents have no null doc_id (the branch is empty
-# here; the unit test exercises it with real nulls)
+# null-key rows pass through unchanged (exempt from both caps) — the
+# UNION ALL branches mirror the passthrough contract even though
+# sf-synth documents have no null doc_id (the branches are empty here;
+# the unit tests exercise them with real nulls)
 ORACLE_SOURCE_QUOTA = """
-SELECT doc_id, source FROM documents
+SELECT 'docs_cap' AS face, doc_id, source FROM documents
 WHERE doc_id IS NOT NULL
 QUALIFY row_number() OVER (
   PARTITION BY source
@@ -389,7 +409,20 @@ QUALIFY row_number() OVER (
            doc_id ASC
 ) <= 10
 UNION ALL
-SELECT doc_id, source FROM documents WHERE doc_id IS NULL
+SELECT 'docs_cap' AS face, doc_id, source FROM documents WHERE doc_id IS NULL
+UNION ALL
+SELECT 'token_budget' AS face, doc_id, source FROM (
+  SELECT doc_id, source,
+         sum(coalesce(len(string_split(text, ' ')), 0)) OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15) AS BIGINT)
+                      % 1000000 ASC,
+                    doc_id ASC
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents WHERE doc_id IS NOT NULL) b
+WHERE cum <= 400
+UNION ALL
+SELECT 'token_budget' AS face, doc_id, source FROM documents WHERE doc_id IS NULL
 """
 
 

@@ -88,6 +88,56 @@ def stratified_sample_by_hash(
     return df.filter(hash_bucket(key, salt=salt) < threshold)
 
 
+def take_token_budget(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    tokens_col: Column | str,
+    budget_tokens: int,
+    salt: str = ":budget",
+    keep_null_keys: bool = True,
+) -> DataFrame:
+    """Per-group TOKEN budget (the data-mixing primitive: each
+    source/domain contributes at most ``budget_tokens`` tokens, not at
+    most N documents — mixture ratios are token ratios). Walks each
+    group's rows in the deterministic (hash_bucket(key, salt), key)
+    order and keeps a row iff the running token total INCLUDING it
+    stays ≤ budget — a strict greedy PREFIX, reproducible bit-for-bit
+    across runs, engines, and cluster sizes. Strict means the first
+    over-budget row TRUNCATES its group (later smaller rows are NOT
+    back-filled — the running total counts dropped rows too): that is
+    what keeps the rule a pure window expression both engines replay
+    exactly; skip-and-continue filling is a sequential fold — use
+    pack_next_fit's machinery if bin-filling is what you need. A doc
+    larger than the whole budget is never kept and blocks its group's
+    tail. Rows with a NULL key cannot be ordered and
+    pass through exempt (``keep_null_keys=False`` drops them instead)
+    — mirror of cap_per_group's contract.
+
+    One shuffle on ``group_col`` (the window), token counting stays in
+    codegen; the same shape as cap_per_group with a SUM frame instead
+    of row_number."""
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(key, salt=salt).asc(), F.col(key).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = df.filter(F.col(key).isNotNull())
+    kept = (
+        keyed.withColumn("__cum", F.sum(t).over(w))
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
+    if keep_null_keys:
+        return kept.unionByName(df.filter(F.col(key).isNull()))
+    return kept
+
+
 def weighted_keep(
     key: Column | str,
     weight: Column | str,

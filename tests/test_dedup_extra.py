@@ -293,3 +293,36 @@ def test_weighted_sample_by_hash_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="rate_scale"):
         weighted_sample_by_hash(df, "doc_id", "w", rate_scale=0)
+
+
+def test_take_token_budget_semantics(spark):
+    """Greedy deterministic prefix per group: running total including
+    the row must stay within budget; order is (hash, key); null keys
+    pass through exempt (or drop with keep_null_keys=False); oversize
+    docs are never kept; rerun-identical."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.sampling import take_token_budget
+
+    rows = [(i, "s1", 100) for i in range(10)] + [
+        (100, "s2", 10_000),     # oversize: alone exceeds any 500 budget
+        (101, "s2", 300),
+        (None, "s3", 50),        # null key: passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nt long")
+    kept = take_token_budget(df, "source", "doc_id", "nt", 500)
+    got = kept.groupBy("source").agg(F.count("*").alias("n"), F.sum("nt").alias("t")).collect()
+    by = {r.source: (r.n, r.t) for r in got}
+    assert by["s1"] == (5, 500)            # exactly 5 of the 100-token docs
+    # s2: the oversize doc is skippable only if it sorts AFTER 101 —
+    # either way total stays <= 500 and the 10k doc is never kept
+    assert by["s2"][1] <= 500 and by["s2"][0] <= 1
+    assert by["s3"] == (1, 50)             # null-key passthrough
+    # deterministic rerun
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in take_token_budget(df, "source", "doc_id", "nt", 500).collect()}
+    assert a == b
+    assert take_token_budget(df, "source", "doc_id", "nt", 500, keep_null_keys=False) \
+        .filter(F.col("doc_id").isNull()).count() == 0
+    with pytest.raises(ValueError, match="budget_tokens"):
+        take_token_budget(df, "source", "doc_id", "nt", 0)
