@@ -114,28 +114,46 @@ def take_token_budget(
     pass through exempt (``keep_null_keys=False`` drops them instead)
     — mirror of cap_per_group's contract.
 
+    Token-count contract: a NULL token count spends nothing (treated
+    as 0 — the row is kept for free if the budget isn't already blown);
+    a NEGATIVE count fails LOUD at runtime — it would shrink the
+    running sum and re-admit rows past the truncation point (the
+    classic trap is passing F.size on NULL text, which is -1 under
+    legacy sizeOfNull).
+
     One shuffle on ``group_col`` (the window), token counting stays in
     codegen; the same shape as cap_per_group with a SUM frame instead
-    of row_number."""
+    of row_number — including its single-pass null handling: null-key
+    rows ride their own window partition and pass (or drop) by
+    predicate, so the source is scanned ONCE, never filter+union
+    twice."""
     if budget_tokens < 1:
         raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    t = F.coalesce(t, F.lit(0))
+    t = F.when(
+        t < 0,
+        F.raise_error(
+            F.format_string(
+                "negative token count %s — F.size on NULL text?", t.cast("string")
+            )
+        ).cast("long"),
+    ).otherwise(t.cast("long"))
     from pyspark.sql import Window
 
+    # null keys get their own window partition so the one pass covers
+    # them; their cum is irrelevant — the keep predicate decides
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(group_col, F.col(key).isNull())
         .orderBy(hash_bucket(key, salt=salt).asc(), F.col(key).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    keyed = df.filter(F.col(key).isNotNull())
-    kept = (
-        keyed.withColumn("__cum", F.sum(t).over(w))
-        .filter(F.col("__cum") <= budget_tokens)
-        .drop("__cum")
-    )
+    cum = df.withColumn("__cum", F.sum(t).over(w))
     if keep_null_keys:
-        return kept.unionByName(df.filter(F.col(key).isNull()))
-    return kept
+        keep = F.col(key).isNull() | (F.col("__cum") <= budget_tokens)
+    else:
+        keep = F.col(key).isNotNull() & (F.col("__cum") <= budget_tokens)
+    return cum.filter(keep).drop("__cum")
 
 
 def weighted_keep(

@@ -93,6 +93,26 @@ def token_gram_occurrences(text: Column | str, n: int) -> Column:
     return _grams(c)
 
 
+def _validate_min_df(min_df: int) -> None:
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (a gram unique to one doc "
+                         f"is content, not boilerplate), got {min_df}")
+
+
+def _boilerplate_from_occurrences(occ: DataFrame, id_col: str, min_df: int) -> DataFrame:
+    """df-threshold rule over an exploded (id, gh) occurrence frame —
+    THE single definition shared by boilerplate_grams and the
+    materialize_grams fast path, so the rule can never fork."""
+    return (
+        occ.select(F.col(id_col), "gh")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gh")
+    )
+
+
 def boilerplate_grams(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -103,20 +123,12 @@ def boilerplate_grams(
     """The boilerplate gram-hash set: one column ``gh`` holding every
     gram hash whose document frequency (DISTINCT docs) >= ``min_df``.
     One scan + one narrow shuffle of (gh, id) pairs."""
-    if min_df < 2:
-        raise ValueError(f"min_df must be >= 2 (a gram unique to one doc "
-                         f"is content, not boilerplate), got {min_df}")
+    _validate_min_df(min_df)
     occ = docs.select(
         F.col(id_col),
         F.explode(token_gram_occurrences(text_col, n)["gh"]).alias("gh"),
     )
-    return (
-        occ.distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("gh")
-    )
+    return _boilerplate_from_occurrences(occ, id_col, min_df)
 
 
 def substring_dedup(
@@ -152,6 +164,7 @@ def substring_dedup(
     """
     from pyspark.sql.functions import pandas_udf
 
+    _validate_min_df(min_df)
     g = docs.select(F.col(id_col), token_gram_occurrences(text_col, n).alias("g"))
     occ = g.select(
         F.col(id_col),
@@ -159,24 +172,12 @@ def substring_dedup(
     ).select(id_col, F.col("z.pos").alias("pos"), F.col("z.gh").alias("gh"))
     if materialize_grams:
         occ = occ.localCheckpoint(eager=False)
-        if min_df < 2:
-            raise ValueError(
-                f"min_df must be >= 2 (a gram unique to one doc is "
-                f"content, not boilerplate), got {min_df}"
-            )
-        boiler = (
-            occ.select(F.col(id_col), "gh")
-            .distinct()
-            .groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") >= min_df)
-            .select("gh")
-        )
+        boiler = _boilerplate_from_occurrences(occ, id_col, min_df)
     else:
-        # boilerplate_grams validates min_df and explodes only the hash
-        # array (positions are paid for only on the hit branch below);
-        # Spark recomputes the gram udf per consumer — the deliberate
-        # at-scale default (see materialize_grams above)
+        # boilerplate_grams explodes only the hash array (positions are
+        # paid for only on the hit branch below); Spark recomputes the
+        # gram udf per consumer — the deliberate at-scale default (see
+        # materialize_grams above)
         boiler = boilerplate_grams(docs, id_col, text_col, n, min_df)
     hit_starts = (
         occ.join(boiler, "gh")

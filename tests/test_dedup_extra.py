@@ -314,9 +314,14 @@ def test_take_token_budget_semantics(spark):
     got = kept.groupBy("source").agg(F.count("*").alias("n"), F.sum("nt").alias("t")).collect()
     by = {r.source: (r.n, r.t) for r in got}
     assert by["s1"] == (5, 500)            # exactly 5 of the 100-token docs
-    # s2: the oversize doc is skippable only if it sorts AFTER 101 —
-    # either way total stays <= 500 and the 10k doc is never kept
-    assert by["s2"][1] <= 500 and by["s2"][0] <= 1
+    # s2 is hash-order-dependent BY DESIGN (strict prefix): if the
+    # oversize doc sorts first it truncates the whole group (0 kept);
+    # if it sorts last, doc 101 fits (1 kept). Both orders must keep
+    # total <= 500, and the oversize doc itself must NEVER be kept.
+    n2, t2 = by.get("s2", (0, 0))
+    assert t2 <= 500 and n2 <= 1
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert 100 not in kept_ids             # oversize never kept
     assert by["s3"] == (1, 50)             # null-key passthrough
     # deterministic rerun
     a = {r.doc_id for r in kept.collect()}
@@ -326,3 +331,26 @@ def test_take_token_budget_semantics(spark):
         .filter(F.col("doc_id").isNull()).count() == 0
     with pytest.raises(ValueError, match="budget_tokens"):
         take_token_budget(df, "source", "doc_id", "nt", 0)
+
+
+def test_take_token_budget_null_and_negative_tokens(spark):
+    """Contract: NULL token counts spend nothing (kept for free inside
+    the budget); NEGATIVE counts fail loud (they would re-admit rows
+    past the truncation point)."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.sampling import take_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "s", 300), (2, "s", None), (3, "s", 300)],
+        "doc_id long, source string, nt long",
+    )
+    kept = take_token_budget(df, "source", "doc_id", "nt", 400)
+    ids = {r.doc_id for r in kept.collect()}
+    # whatever the hash order, the NULL row consumes nothing: total
+    # spent is <= 400 means at most one 300-token doc plus the free row
+    spent = sum(300 for i in ids if i in (1, 3))
+    assert spent <= 400
+    neg = spark.createDataFrame([(1, "s", -1)], "doc_id long, source string, nt long")
+    with pytest.raises(Exception, match="negative token count"):
+        take_token_budget(neg, "source", "doc_id", "nt", 400).count()
