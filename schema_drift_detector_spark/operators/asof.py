@@ -63,7 +63,15 @@ def interval_join(
     near the typical interval length (fan-out ~2×). A runtime guard
     fails LOUD (raise, not truncate) on any interval spanning more than
     ``max_bins_per_interval`` bins — the degenerate interval that would
-    silently explode the build side at scale."""
+    silently explode the build side at scale.
+
+    NULL contract: an interval with a NULL start or end RAISES (same
+    fail-loud arm as the inverted-interval guard — a half-open interval
+    must be closed explicitly by the caller, not silently dropped by
+    ``sequence(NULL, …)``). A point with a NULL ``point_ts`` gets a
+    NULL ``__bin`` and is dropped by the inner equi-join — the standard
+    inner-join NULL-key semantics, matching ``asof_join``'s NULL-ts
+    contract."""
     overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
     if overlap:
         raise ValueError(f"colliding non-key columns: {sorted(overlap)}")
@@ -71,9 +79,30 @@ def interval_join(
     p = points.withColumn(
         "__bin", F.floor(ep(point_ts) / bin_seconds).cast("long")
     )
-    sb = F.floor(ep(start_col) / bin_seconds).cast("long")
-    eb = F.floor(ep(end_col) / bin_seconds).cast("long")
-    # two loud failure arms, both checked BEFORE sequence() runs:
+    # NULL-bound guard FIRST, and threaded through guarded copies
+    # (__gs/__ge) that every downstream use — bin sequence AND residual
+    # BETWEEN — reads instead of the raw columns. A plain when() guard
+    # on the sequence alone is silently bypassed: the BETWEEN on raw
+    # columns lets Catalyst infer isnotnull(start/end) and push them
+    # below the explode, dropping NULL-bound rows before the raise ever
+    # evaluates (observed on Spark 4.1). CaseWhen is not null-intolerant,
+    # so no isnotnull can be inferred past these copies — and a pushed
+    # isnotnull(__gs) still evaluates the raise arm.
+    null_guard = lambda c: F.when(  # noqa: E731
+        F.col(start_col).isNull() | F.col(end_col).isNull(),
+        F.raise_error(
+            F.format_string(
+                "interval with NULL bound: start=%s end=%s — close "
+                "half-open intervals explicitly before the join",
+                F.col(start_col).cast("string"),
+                F.col(end_col).cast("string"),
+            )
+        ).cast("timestamp"),
+    ).otherwise(F.col(c).cast("timestamp"))
+    gs, ge = null_guard(start_col), null_guard(end_col)
+    sb = F.floor(gs.cast("double") / bin_seconds).cast("long")
+    eb = F.floor(ge.cast("double") / bin_seconds).cast("long")
+    # two more loud failure arms, both checked BEFORE sequence() runs:
     # an inverted interval (end before start) would make sequence()
     # DESCEND — sb > eb generates |sb-eb|+1 rows — so the span check
     # alone (eb-sb negative, passes any cap) is a silent-explosion
@@ -102,11 +131,17 @@ def interval_join(
         )
         .otherwise(eb)
     )
-    iv = intervals.withColumn("__bin", F.explode(F.sequence(sb, guarded_eb)))
+    iv = intervals.withColumns(
+        {
+            "__bin": F.explode(F.sequence(sb, guarded_eb)),
+            "__gs": gs,
+            "__ge": ge,
+        }
+    )
     return (
         p.join(iv, [*keys, "__bin"])
-        .filter(F.col(point_ts).between(F.col(start_col), F.col(end_col)))
-        .drop("__bin")
+        .filter(F.col(point_ts).between(F.col("__gs"), F.col("__ge")))
+        .drop("__bin", "__gs", "__ge")
     )
 
 

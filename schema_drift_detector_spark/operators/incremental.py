@@ -280,11 +280,25 @@ def _check_bucketed_neardup_consistency(
     have_sigs = spark.catalog.tableExists(sigs_t)
     have_bands = spark.catalog.tableExists(bands_t)
     if have_sigs != have_bands:
+        # A crash on the very FIRST ingest leaves one orphan table. If
+        # that orphan holds only the epoch being re-ingested (or nothing),
+        # let the ingest proceed — its static overwrite recreates both
+        # faces, which IS the repair. Any other content cannot be repaired
+        # by re-ingesting this epoch, so name the drop explicitly instead
+        # of advising a re-ingest that would hit this same error.
+        lone_t = sigs_t if have_sigs else bands_t
+        lone_epochs = {
+            r[0]
+            for r in spark.table(lone_t).select("ingest_epoch").distinct().collect()
+        }
+        if lone_epochs <= {int(epoch)}:
+            return
         raise ValueError(
             f"bucketed near-dup index {bucket_table!r} is inconsistent: "
             f"{'_sigs exists without _bands' if have_sigs else '_bands exists without _sigs'}"
-            f" — a prior ingest crashed between the two writes; re-ingest "
-            f"the affected epoch to repair"
+            f" — a prior ingest crashed between the two writes and the "
+            f"orphan table holds epoch(s) {sorted(lone_epochs)}; drop "
+            f"table {lone_t!r} and re-ingest those epochs to repair"
         )
     if not have_sigs:
         return

@@ -144,7 +144,10 @@ def substring_dedup(
 
     Returns ``docs``'s columns with ``text_col`` REPLACED by the
     cleaned text, plus ``n_tokens`` (original token count) and
-    ``n_removed`` (tokens stripped; 0 for untouched docs). Null text
+    ``n_removed`` (tokens stripped; 0 for untouched docs). If the input
+    already carries ``n_tokens``/``n_removed`` (pipelines often
+    precompute token counts), those columns are OVERWRITTEN — the
+    output always has exactly one of each, positioned last. Null text
     passes through as null with n_tokens = n_removed = 0.
 
     ``broadcast_hits=True`` broadcasts the per-doc hit-start arrays so
@@ -218,6 +221,8 @@ def substring_dedup(
     out_cols = [
         F.col(c) if c != text_col else F.col("__sub.cleaned").alias(text_col)
         for c in docs.columns
+        # pre-existing counts are superseded by this pass's (see docstring)
+        if c not in ("n_tokens", "n_removed")
     ]
     return (
         docs.join(rhs, id_col, "left")

@@ -34,15 +34,16 @@ def windowed_event_counts(
     slide: str | None = None,
     watermark: str = "2 hours",
     group_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
-    """Watermarked (sliding) window counts + value stats per group.
-    Works on a streaming OR batch DataFrame (same plan)."""
+    """Watermarked (sliding) window counts + ``value_col`` min/max stats
+    per group. Works on a streaming OR batch DataFrame (same plan)."""
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     win = F.window(F.col(ts_col), window, slide or window)
     return src.groupBy(win.alias("win"), F.col(group_col)).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
     )
 
 
@@ -52,8 +53,10 @@ def session_event_counts(
     gap: str = "1 hour",
     watermark: str = "2 hours",
     group_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
-    """Session-window (dynamic gap) counts + value stats per group —
+    """Session-window (dynamic gap) counts + ``value_col`` min/max per
+    group —
     the windowing cell tumbling/sliding cannot express: window extent
     is data-driven (a session closes only when the group goes quiet for
     ``gap``), so the state store MERGES adjacent windows as events
@@ -79,8 +82,8 @@ def session_event_counts(
         F.session_window(F.col(ts_col), gap).alias("win"), F.col(group_col)
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
     )
 
 

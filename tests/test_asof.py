@@ -123,3 +123,33 @@ def test_interval_join_inverted_interval_fails_loud(spark):
     )
     with pytest.raises(Exception, match="inverted"):
         interval_join(pts, inverted, ["user_id"], bin_seconds=60).count()
+
+
+def test_interval_join_null_contract(spark):
+    """NULL bounds raise (a half-open interval must be closed by the
+    caller, not silently dropped by sequence(NULL, …)); NULL point
+    timestamps drop via standard inner-join NULL-key semantics."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.asof import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 10, D(2024, 1, 1, 5, 0, 0)), (2, 10, None)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(10, 1, D(2024, 1, 1, 4, 0, 0), D(2024, 1, 1, 6, 0, 0))],
+        "user_id long, sid long, s_start timestamp, s_end timestamp",
+    )
+    # NULL point ts: dropped, matched point survives
+    got = interval_join(pts, ivs, ["user_id"], bin_seconds=3600).collect()
+    assert [r.event_id for r in got] == [1]
+    for null_iv in (
+        [(10, 2, None, D(2024, 1, 1, 6, 0, 0))],
+        [(10, 3, D(2024, 1, 1, 4, 0, 0), None)],
+    ):
+        bad = spark.createDataFrame(
+            null_iv, "user_id long, sid long, s_start timestamp, s_end timestamp"
+        )
+        with pytest.raises(Exception, match="NULL bound"):
+            interval_join(pts, bad, ["user_id"], bin_seconds=3600).count()

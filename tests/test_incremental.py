@@ -397,13 +397,27 @@ def test_bucketed_neardup_bands_gate_and_crash_detection(spark, tmp_path_factory
         spark.sql(f"DROP TABLE IF EXISTS {bt}_sigs")
         spark.sql(f"DROP TABLE IF EXISTS {bt}_bands")
 
-    # (b) crash detection: missing band table entirely
+    # (b) crash detection: missing band table entirely. A DIFFERENT
+    # epoch's ingest cannot repair it and must name the drop; but
+    # re-ingesting the orphaned epoch itself IS the repair (the static
+    # overwrite recreates both faces) and must proceed — otherwise the
+    # error's own advice wedges the index (round-7 advisor finding)
     bt2 = f"ndc_{uuid.uuid4().hex[:8]}"
     try:
         ingest_epoch_neardup(spark, None, b0, 0, bucket_table=bt2, buckets=8)
         spark.sql(f"DROP TABLE {bt2}_bands")  # simulate crash before band write
         with pytest.raises(ValueError, match="_sigs exists without _bands"):
             ingest_epoch_neardup(spark, None, b1, 1, bucket_table=bt2, buckets=8)
+        a0 = ingest_epoch_neardup(
+            spark, None, b0, 0, bucket_table=bt2, buckets=8
+        ).collect()
+        assert [r.doc_id for r in a0] == [2]
+        assert spark.catalog.tableExists(f"{bt2}_bands")
+        # index healthy again: the next epoch's near-dup is rejected
+        a1 = ingest_epoch_neardup(
+            spark, None, b1, 1, bucket_table=bt2, buckets=8
+        ).collect()
+        assert a1 == []
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bt2}_sigs")
         spark.sql(f"DROP TABLE IF EXISTS {bt2}_bands")

@@ -433,3 +433,12 @@ def test_session_event_counts_batch_semantics(spark):
     assert got[("a", "2024-01-01 03:00:01")] == (1, 9.0, 9.0)
     assert got[("b", "2024-01-01 05:00:00")] == (1, 7.0, 7.0)
     assert len(got) == 3
+    # value_col seam: a frame without a 'value' column works once the
+    # stat column is named (round-7 advisor finding — the signature
+    # looked generic but hardcoded F.min/max('value'))
+    ev2 = ev.withColumnRenamed("value", "amount")
+    got2 = {
+        (r.event_type, str(r.win.start)): (r.n_events, r.min_value, r.max_value)
+        for r in session_event_counts(ev2, gap="1 hour", value_col="amount").collect()
+    }
+    assert got2 == got

@@ -61,6 +61,24 @@ def test_substring_dedup_strips_footer_keeps_bodies(spark):
     assert by_id[8]["text"] is None and by_id[8]["n_tokens"] == 0
 
 
+def test_substring_dedup_overwrites_preexisting_count_columns(spark):
+    """Pipelines often precompute n_tokens; substring_dedup must
+    overwrite (not duplicate) colliding count columns — a duplicate
+    name makes every downstream F.col('n_tokens') ambiguous (round-7
+    advisor finding)."""
+    docs = _docs(spark).withColumn("n_tokens", F.lit(-1)).withColumn(
+        "n_removed", F.lit(-1)
+    )
+    out = substring_dedup(docs, min_df=3)
+    assert out.columns.count("n_tokens") == 1
+    assert out.columns.count("n_removed") == 1
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    # values are THIS pass's, not the stale precomputed -1s
+    assert by_id[1]["n_tokens"] == 17 and by_id[1]["n_removed"] == 8
+    # and the column stays selectable downstream
+    assert out.filter(F.col("n_tokens") > 0).count() > 0
+
+
 def test_substring_dedup_overlapping_runs(spark):
     # two overlapping boilerplate grams must strip the UNION of their
     # covered ranges, not double-count: plant a 9-token shared run →
