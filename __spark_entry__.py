@@ -3511,13 +3511,25 @@ FROM ({_oracle_corpus_prep_full()}) cp_full
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking certified end-to-end: 24-token windows,
-    stride 12 (overlapping), every chunk's exact token slice
+    """Context-window chunking certified end-to-end, two faces:
+
+    'ws' — 24-token windows, stride 12 (overlapping), over the default
+    single-space tokenization; every chunk's exact token slice
     md5-fingerprinted — so window arithmetic, end clipping, and overlap
     boundaries are all hash-checked. Null text (injected on
     doc_id%97==3, the fixtures carry none) yields NO rows — certified
     by the oracle's identical WHERE. Docs span 10-99 tokens at every
-    SF, so single-chunk and up-to-8-chunk docs both occur (gated)."""
+    SF, so single-chunk and up-to-8-chunk docs both occur (gated).
+
+    'chargram' (r7) — the TOKENIZER SEAM face: the same windows over a
+    PRECOMPUTED token array (character 4-gram pieces via
+    regexp_extract_all — a deterministic stand-in for BPE output,
+    which the offline sandbox can't ship) passed through ``tokens_col``
+    with joiner '' — proving chunk boundaries follow the provided
+    tokens, not the engine's whitespace split. Gated non-vacuous: the
+    chargram tokenization must produce MORE chunks than the whitespace
+    one (4-char pieces outnumber words), so the face can't silently
+    collapse into the default path."""
     from schema_drift_detector_spark.operators.packing import chunk_documents
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -3526,30 +3538,59 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    out = chunk_documents(docs, chunk_tokens=24, stride=12).select(
+    ws = chunk_documents(docs, chunk_tokens=24, stride=12).select(
+        F.lit("ws").alias("face"),
         "doc_id",
         "chunk_index",
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_fp"),
-    ).localCheckpoint(eager=True)
-    multi = out.filter(F.col("chunk_index") >= 2).limit(1).count()
+    )
+    toks = docs.withColumn(
+        "toks", F.regexp_extract_all(F.col("text"), F.lit("(?s).{1,4}"), 0)
+    )
+    cg = chunk_documents(
+        toks, chunk_tokens=24, stride=12, tokens_col="toks", joiner=""
+    ).select(
+        F.lit("chargram").alias("face"),
+        "doc_id",
+        "chunk_index",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+    out = ws.unionByName(cg).localCheckpoint(eager=True)
+    counts = {
+        r["face"]: (r["n"], r["mx"])
+        for r in out.groupBy("face")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("chunk_index").alias("mx"))
+        .collect()
+    }
     single = (
-        out.groupBy("doc_id").agg(F.max("chunk_index").alias("mx"))
+        out.filter(F.col("face") == "ws")
+        .groupBy("doc_id").agg(F.max("chunk_index").alias("mx"))
         .filter(F.col("mx") == 0).limit(1).count()
     )
-    if not (multi and single):
+    if not (counts["ws"][1] >= 2 and single):
         raise RuntimeError(
             "vacuous chunking: need both a single-chunk doc and a >2-chunk doc"
+        )
+    if counts["chargram"][0] <= counts["ws"][0]:
+        raise RuntimeError(
+            "vacuous tokenizer seam: chargram face must out-chunk the "
+            f"whitespace face, got {counts['chargram'][0]} <= {counts['ws'][0]}"
         )
     return out
 
 
-ORACLE_CHUNK_DOCUMENTS = """
+def _oracle_chunk_face(face: str, tok_expr: str, joiner_lit: str) -> str:
+    # one face's full replay; array_to_string demands a CONSTANT
+    # separator in DuckDB, so each face is a complete branch with its
+    # joiner inlined as a literal
+    return f"""
 WITH docs AS (
   SELECT doc_id, CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END AS text
   FROM documents
 ), tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+  SELECT doc_id, {tok_expr} AS t, len({tok_expr}) AS n
   FROM docs WHERE text IS NOT NULL
 ), ks AS (
   SELECT doc_id, t, n,
@@ -3558,12 +3599,23 @@ WITH docs AS (
                 ELSE CAST(ceil((n - 24) * 1.0 / 12) AS INT) END)) AS k
   FROM tok
 )
-SELECT doc_id, CAST(k AS INT) AS chunk_index,
+SELECT '{face}' AS face, doc_id, CAST(k AS INT) AS chunk_index,
        CAST(least(n - k * 12, 24) AS INT) AS n_chunk_tokens,
-       md5(array_to_string(t[CAST(k * 12 + 1 AS INT):CAST(k * 12 + 24 AS INT)], ' '))
-         AS chunk_fp
+       md5(array_to_string(t[CAST(k * 12 + 1 AS INT):CAST(k * 12 + 24 AS INT)],
+           {joiner_lit})) AS chunk_fp
 FROM ks
 """
+
+
+ORACLE_CHUNK_DOCUMENTS = (
+    "SELECT * FROM (\n"
+    + _oracle_chunk_face("ws", "string_split(text, ' ')", "' '")
+    + "\n) UNION ALL SELECT * FROM (\n"
+    + _oracle_chunk_face(
+        "chargram", "regexp_extract_all(text, '(?s).{1,4}')", "''"
+    )
+    + "\n)"
+)
 
 
 def q_histogram_drift_merged(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,6 +44,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "500000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
+# Core-pin the whole process tree (JVM compute AND helper threads, probe
+# workers) to cores 0..CPUS-1 — the same discipline tools/bench_scaling.py
+# applies to scaling runs. On this host-steal-prone VM, unpinned helper
+# threads migrate across the advertised-but-contended cores and add
+# run-to-run variance that three rounds of bench adjudication traced to
+# the host, not the engine. Done before the JVM exists so it inherits.
+try:
+    os.sched_setaffinity(0, set(range(CPUS)))
+    PINNED = True
+except (AttributeError, OSError):  # non-Linux / restricted
+    PINNED = False
+
 # The bench input is a few hundred MB, so the 128MB cluster default for
 # maxPartitionBytes would give the scan fewer tasks than cores; 8MB keeps
 # scan parallelism ≥ cores here. (On a 100TB table the default is right —
@@ -90,6 +102,23 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join_sessions",
 ]
+
+
+# Per-face sub-timings for BENCH_QUERIES rows whose helper computes a
+# UNION of faces: the row's headline time prices all faces together, so
+# the moment a new face merges into an existing q_<name> helper its time
+# series silently re-prices (profile_events r6 jumped 2.18× this way).
+# Each face is timed via .filter(face == v) — the face column is a
+# per-branch literal, so Catalyst folds the other branches to empty and
+# the timing isolates that face's plan. RULE: any future face merge into
+# a BENCH_QUERIES helper must add its faces here AND write a series-break
+# annotation in BENCH/BASELINE.md.
+FACE_SPLITS: dict[str, list[str]] = {
+    "profile_events": ["profile", "pivot"],
+    # r7: tokenizer-seam face merged into the entry — 'ws' continues the
+    # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
+    "chunk_documents": ["ws", "chargram"],
+}
 
 
 def _burn(n: int) -> int:
@@ -221,6 +250,7 @@ def main() -> None:
     import __spark_entry__ as E
 
     qtimes: dict[str, float] = {}
+    qface: dict[str, float] = {}
     qs = E.queries()
     for name in BENCH_QUERIES:
         # per-variant q_<name> helper FIRST; registry as fallback — the
@@ -236,6 +266,13 @@ def main() -> None:
             _force(fn(spark, SF_DIR))
             samples.append(time.time() - t0)
         qtimes[name] = round(min(samples), 3)
+        for face in FACE_SPLITS.get(name, ()):
+            fsamples = []
+            for _ in range(3):
+                t0 = time.time()
+                _force(fn(spark, SF_DIR).filter(F.col("face") == face))
+                fsamples.append(time.time() - t0)
+            qface[f"{name}:{face}"] = round(min(fsamples), 3)
 
     probe_post = host_probe()  # steal drifts within a session — bracket it
 
@@ -247,8 +284,12 @@ def main() -> None:
         "value": round(elapsed, 3),
         "unit": "sec",
         "queries": qtimes,
+        # per-face sub-timings for face-merged rows (see FACE_SPLITS):
+        # compare a merged row across rounds via its faces, not its total
+        "query_faces": qface,
         "sf": SF_DIR,
         "n_docs": N_DOCS,
+        "pinned_cores": PINNED,
         "docs_per_sec": round(N_DOCS / elapsed, 1),
         "cores": CPUS,
         # host-capacity probes bracketing the run (see host_probe docstring):

@@ -57,14 +57,28 @@ def pack_next_fit(
     shard) and null/negative token counts fail the job with a
     ValueError raised FROM THE FOLD (surfacing as PythonException) —
     validated in-stream, not by a separate pre-scan of the input.
+
+    ``tokens_col`` is the TOKENIZER SEAM: either a numeric count or a
+    precomputed token ARRAY (e.g. BPE pieces from an upstream
+    tokenizer), in which case its size is the budget unit — the engine
+    never imposes its whitespace tokenization on callers that carry
+    real tokenizer output. A null array is a null count (fails the
+    in-fold validation like any null count).
     """
+    from pyspark.sql.types import ArrayType
+
     if cap_tokens <= 0:
         raise ValueError(f"cap_tokens must be positive, got {cap_tokens}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    tok = F.col(tokens_col)
+    if isinstance(df.schema[tokens_col].dataType, ArrayType):
+        # size() returns -1 for null arrays pre-ANSI; keep nulls null so
+        # the fold's null check (not the negative check) names the issue
+        tok = F.when(tok.isNotNull(), F.size(tok))
     slim = df.select(
         F.col(id_col),
-        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        tok.cast("bigint").alias("n_tokens"),
         hash_bucket(id_col, salt=salt).alias("__h"),
     ).withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
 
@@ -124,6 +138,8 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 512,
     stride: int = 256,
+    tokens_col: str | None = None,
+    joiner: str = " ",
 ) -> DataFrame:
     """Context-window chunking with overlap — the complement of packing
     for documents LONGER than the window: slide a ``chunk_tokens``
@@ -144,7 +160,17 @@ def chunk_documents(
     explode) — one scan, a narrow per-row fan-out, zero shuffle; the
     per-doc chunk count is bounded by n/stride so the explode is
     linear in corpus tokens, and DuckDB replays the identical slices
-    (generate_series + inclusive list slicing)."""
+    (generate_series + inclusive list slicing).
+
+    TOKENIZER SEAM: pass ``tokens_col`` naming a precomputed
+    array<string> column (BPE/SentencePiece pieces, character n-grams,
+    …) and chunk boundaries follow THOSE tokens — ``text_col`` is then
+    ignored and nullness is judged on the array. ``joiner`` is the
+    detokenizer: how chunk_text reassembles pieces (" " for word
+    tokens, "" for character-level/BPE-with-markers). The single-space
+    split stays the certified default; real mixing pipelines budget
+    tokenizer units, and this seam accepts them without shipping a
+    tokenizer."""
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if not (0 < stride <= chunk_tokens):
@@ -153,9 +179,14 @@ def chunk_documents(
         )
     from ..functions.text import tokens
 
-    t = tokens(text_col)  # THE single-space tokenization helper —
-    # one definition shared with token_count/corpus stats so chunk
-    # boundaries can never desynchronize from the token identity
+    if tokens_col is not None:
+        t = F.col(tokens_col)
+        null_gate = F.col(tokens_col).isNotNull()
+    else:
+        t = tokens(text_col)  # THE single-space tokenization helper —
+        # one definition shared with token_count/corpus stats so chunk
+        # boundaries can never desynchronize from the token identity
+        null_gate = F.col(text_col).isNotNull()
     n = F.size(t)
     extra = F.when(
         n > chunk_tokens,
@@ -170,12 +201,12 @@ def chunk_documents(
             .cast("int")
             .alias("n_chunk_tokens"),
             F.array_join(
-                F.slice(t, k * F.lit(stride) + 1, F.lit(chunk_tokens)), " "
+                F.slice(t, k * F.lit(stride) + 1, F.lit(chunk_tokens)), joiner
             ).alias("chunk_text"),
         ),
     )
     return (
-        docs.filter(F.col(text_col).isNotNull())
+        docs.filter(null_gate)
         .select(F.col(id_col), F.explode(chunks).alias("c"))
         .select(
             id_col,

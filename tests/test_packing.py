@@ -114,3 +114,57 @@ def test_chunk_documents_windows_and_clipping(spark):
         chunk_documents(docs, chunk_tokens=4, stride=5)
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_documents(docs, chunk_tokens=0, stride=1)
+
+
+def test_pack_next_fit_array_tokens_col(spark):
+    """Tokenizer seam: an array<string> tokens_col packs by its SIZE —
+    identical assignment to the precomputed-count path — and a null
+    array fails the in-fold null check (not a silent size()=-1)."""
+    rows = [(i, [f"p{j}" for j in range(10 * i)]) for i in range(1, 7)]
+    arr = spark.createDataFrame(rows, "doc_id long, pieces array<string>")
+    cnt = arr.select("doc_id", F.size("pieces").alias("n_tokens"))
+    via_arr = {
+        (r.doc_id): (r.shard, r.bin, r.n_tokens, r.truncated)
+        for r in pack_next_fit(arr, "doc_id", "pieces", cap_tokens=50).collect()
+    }
+    via_cnt = {
+        (r.doc_id): (r.shard, r.bin, r.n_tokens, r.truncated)
+        for r in pack_next_fit(cnt, "doc_id", "n_tokens", cap_tokens=50).collect()
+    }
+    assert via_arr == via_cnt and len(via_arr) == 6
+    assert via_arr[6][3] is True  # 60 pieces > 50 cap -> truncated
+    null_arr = spark.createDataFrame(
+        [(1, None)], "doc_id long, pieces array<string>"
+    )
+    with pytest.raises(Exception, match="non-null, non-negative pieces"):
+        pack_next_fit(null_arr, "doc_id", "pieces").collect()
+
+
+def test_chunk_documents_tokens_col_seam(spark):
+    """Tokenizer seam: with tokens_col the chunk boundaries follow the
+    PROVIDED token array (here character 4-grams), not the whitespace
+    split, and joiner reassembles chunk_text; a null array yields no
+    rows while text stays unread."""
+    from schema_drift_detector_spark.operators.packing import chunk_documents
+
+    text = "abcdefgh ijklmnop qrstuvwx"  # 3 words, 26 chars
+    docs = spark.createDataFrame([(1, text), (2, None)], "doc_id long, text string")
+    toks = docs.withColumn(
+        "toks", F.regexp_extract_all(F.col("text"), F.lit("(?s).{1,4}"), 0)
+    )
+    out = {
+        r.chunk_index: (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            toks, chunk_tokens=4, stride=2, tokens_col="toks", joiner=""
+        ).collect()
+    }
+    # 26 chars -> 7 pieces (6x4 + 1x2): 1 + ceil(3/2) = 3 chunks of
+    # 4-char-gram tokens — boundaries at char multiples, NOT at spaces
+    assert sorted(out) == [0, 1, 2]
+    assert out[0] == (4, "abcdefgh ijklmno")  # pieces 1-4 joined by ''
+    assert out[1] == (4, " ijklmnop qrstuv")  # pieces 3-6 (overlap)
+    assert out[2] == (3, "p qrstuvwx")        # pieces 5-7, clipped
+    # whitespace default on the same doc: 3 words -> ONE chunk — the
+    # seam demonstrably changes boundaries
+    ws = chunk_documents(docs, chunk_tokens=4, stride=2).collect()
+    assert len(ws) == 1 and ws[0].chunk_text == text
