@@ -2404,6 +2404,49 @@ def _stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_events_source_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME-ORDERED streaming replay: the events table split into
+    4 ts-quartile files whose mtimes are forced ascending (the file
+    stream source processes oldest-mtime first), so event time arrives
+    monotonically up to quartile width. Required by the left-outer join
+    face: with the random 4-way split, a matching row can arrive AFTER
+    the watermark already passed its window — the left row would have
+    emitted a null-pad and the true pair would be lost (nondeterminism,
+    not just loss; see stream_time_bounded_join's left_outer
+    contract)."""
+    import glob
+    import shutil
+
+    ev = _t(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"{_ARTIFACTS}/stream_windows/events4_ordered_{tag}"
+    if not os.path.exists(os.path.join(src, "_DONE")):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        qt = ev.withColumn(
+            "__q",
+            F.ntile(4).over(Window.orderBy("ts", "event_id")),
+        )
+        for k in range(1, 5):
+            tmp = f"{src}_tmp"
+            qt.filter(F.col("__q") == k).drop("__q").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{src}/q{k}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000 + 100 * k,) * 2)
+            shutil.rmtree(tmp)
+        with open(os.path.join(src, "_DONE"), "w") as fh:
+            fh.write("ok")
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
 def _stream_out_dir(spark: SparkSession, sf_dir: str, out_suffix: str) -> str:
     """Fresh per-run output + checkpoint location for a streaming
     entry."""
@@ -3464,6 +3507,162 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 ORACLE_SUBSTRING_DEDUP = _oracle_substring_dedup()
 
 
+def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED LLM-corpus pipeline end-to-end (r6 verdict #4), the
+    full hygiene chain a pretraining data job actually runs, certified
+    as ONE DuckDB replay:
+
+      exact dedup → substring (boilerplate) strip → PII redaction →
+      benchmark decontamination → MinHash near-dup drop → per-source
+      token-budget mixing → context chunking → next-fit packing
+
+    Every stage BINDS (gated): planted clones (doc_id+1e6, %10) make
+    exact dedup drop rows; the planted footer (%7) reaches min_df so
+    the substring pass strips; planted e-mails (%11) redact; a 4%
+    eval-prefix sample contaminates (those docs drop); LSH finds
+    near-dup survivors to drop; the 400-token budget truncates every
+    source; multi-chunk docs and multi-chunk bins exist. The untested
+    surface this certifies is the COMPOSITION: substring cleaning and
+    PII redaction change the gram identities decontamination and
+    MinHash see, and the post-clean token counts feed the budget —
+    the oracle replays the exact chain, so any stage reading stale
+    upstream text would hash-mismatch. Output: the packed-chunk
+    manifest (chunk_uid, shard, bin, n_tokens, truncated, chunk_fp) —
+    chunk_fp pins final text content, bin/shard pin the pack fold.
+
+    Scale shape: each stage is the already-certified operator at its
+    certified plan (one md5 shuffle; two gram passes; codegen regexps;
+    broadcast eval grams; banded LSH — never all-pairs; one window;
+    zero-shuffle chunk explode; two-column pack fold). The composition
+    adds ONE extra join (chunk_fp back onto the pack manifest, key
+    co-partitioned)."""
+    from schema_drift_detector_spark.functions.pii import pii_redact
+    from schema_drift_detector_spark.functions.text import token_count
+    from schema_drift_detector_spark.operators.decontam import (
+        contamination_hits,
+        eval_gram_hashes,
+    )
+    from schema_drift_detector_spark.operators.dedup import (
+        connected_components,
+        drop_exact_duplicates,
+        minhash_near_duplicates,
+    )
+    from schema_drift_detector_spark.operators.packing import (
+        chunk_documents,
+        pack_next_fit,
+    )
+    from schema_drift_detector_spark.operators.sampling import (
+        hash_bucket,
+        take_token_budget,
+    )
+    from schema_drift_detector_spark.operators.substring import substring_dedup
+
+    raw = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(_SUBSTR_FOOTER)),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.org now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    max_id = raw.agg(F.max("doc_id")).first()[0]
+    if max_id is None or max_id >= 1_000_000:
+        raise RuntimeError(
+            f"corpus_pipeline_e2e fixture assumes doc_id < 1e6 (max={max_id})"
+        )
+    clones = raw.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+    )
+    base = raw.unionByName(clones)
+    n_base = base.count()
+
+    exact = drop_exact_duplicates(base, "doc_id", "text")
+    sub = substring_dedup(exact, n=8, min_df=4).localCheckpoint(eager=True)
+    n_exact = sub.count()
+
+    red = sub.select(
+        "doc_id",
+        "source",
+        pii_redact("text").alias("text"),
+        (pii_redact("text") != F.col("text")).alias("__was_redacted"),
+        "n_removed",
+    )
+    eval_df = red.filter(hash_bucket("doc_id", salt=":eval") < 40_000).select(
+        F.substring("text", 1, 200).alias("text")
+    )
+    hits = contamination_hits(
+        red, eval_gram_hashes(eval_df, "text", n=8), "doc_id", "text", n=8
+    )
+    decon = red.join(hits.select("doc_id"), "doc_id", "left_anti")
+
+    pairs = minhash_near_duplicates(
+        decon, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
+    )
+    drops = connected_components(pairs).filter(F.col("doc") != F.col("cluster"))
+    surv = decon.join(
+        drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
+    )
+    budgeted = take_token_budget(
+        surv.withColumn("__nt", token_count("text")), "source", "doc_id", "__nt", 400
+    ).localCheckpoint(eager=True)
+
+    stage = budgeted.agg(
+        F.count(F.lit(1)).alias("n_budgeted"),
+        F.max((F.col("n_removed") > 0).cast("int")).alias("any_strip"),
+        F.max(F.col("__was_redacted").cast("int")).alias("any_redact"),
+    ).first()
+    n_decon, n_surv = decon.count(), surv.count()
+    binding = {
+        "exact_dedup": n_exact < n_base,
+        "substring_strip": bool(stage.any_strip),
+        "pii_redact": bool(stage.any_redact),
+        "decontaminate": n_decon < n_exact,
+        "neardup_drop": n_surv < n_decon,
+        "token_budget": stage.n_budgeted < n_surv,
+    }
+    dead = [k for k, ok in binding.items() if not ok]
+    if dead:
+        raise RuntimeError(f"vacuous pipeline stage(s): {dead}")
+
+    ch = chunk_documents(budgeted, chunk_tokens=24, stride=12).select(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("chunk_index")).alias(
+            "chunk_uid"
+        ),
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+        "chunk_index",
+    ).localCheckpoint(eager=True)
+    if ch.filter(F.col("chunk_index") >= 1).limit(1).count() == 0:
+        raise RuntimeError("vacuous pipeline chunking: no multi-chunk doc survived")
+    packed = pack_next_fit(
+        ch, "chunk_uid", "n_chunk_tokens", cap_tokens=40, n_shards=8
+    )
+    out = packed.join(ch.select("chunk_uid", "chunk_fp"), "chunk_uid").select(
+        "chunk_uid",
+        "shard",
+        "bin",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "truncated",
+        "chunk_fp",
+    ).localCheckpoint(eager=True)
+    multi = (
+        out.groupBy("shard", "bin").count().filter(F.col("count") >= 2).limit(1).count()
+    )
+    if not multi:
+        raise RuntimeError("vacuous pipeline packing: no multi-chunk bin")
+    return out
+
+
 def q_corpus_prep_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both corpus-prep certifications in one entry, tagged by `face`:
     'stats' = exact dedup → quality gate → per-(source, lang) corpus
@@ -3786,34 +3985,19 @@ FROM events e JOIN iv
 """
 
 
-def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream time-bounded INNER join certified whole-stream:
-    purchases and views stream in micro-batches (1 file per trigger per
-    side over 4-way random splits); views within 1h after a same-user
-    purchase must pair EXACTLY ONCE across the run — the union of every
-    emitted micro-batch equals the plain SQL time-bounded join (inner
-    matches emit when both rows have arrived; the watermark bounds the
-    buffered state, not the output). Emissions spanning >=2
-    micro-batches are gated, so cross-batch buffered matching is
-    actually exercised."""
-    from schema_drift_detector_spark.streaming.epochs import stream_time_bounded_join
-
-    out = _stream_out_dir(spark, sf_dir, "ssjoin")
-    purchases = _stream_events_source(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    ).select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
-    views = _stream_events_source(spark, sf_dir).filter(
-        F.col("event_type") == "view"
-    ).select(
+def _ssjoin_sides(src: DataFrame) -> tuple[DataFrame, DataFrame]:
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    views = src.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("v_id"),
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
     )
-    joined = stream_time_bounded_join(
-        purchases, views, "user_id", "v_user", "p_ts", "v_ts",
-        within="1 hour", watermark="60 days",
-    ).select("p_id", "v_id", "user_id")
+    return purchases, views
 
+
+def _run_ssjoin_stream(spark: SparkSession, joined: DataFrame, out: str) -> DataFrame:
     def sink(batch_df, batch_id):
         # foreachBatch is AT-LEAST-ONCE (a failed batch re-runs with the
         # same batch_id): since this entry certifies the UNION of every
@@ -3831,24 +4015,144 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("stream_stream_join did not finish within 300s")
-    rows = spark.read.parquet(out)
-    n_batches = rows.select("batch_id").distinct().count()
-    if rows.limit(1).count() == 0 or n_batches < 2:
+    return spark.read.parquet(out)
+
+
+# the outer face's watermark delay; odd-second so no event's window end
+# can land exactly on the ms-floored watermark boundary by construction
+_SSJOIN_OUTER_DELAY_SECONDS = 48 * 3600 + 61
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join, two faces:
+
+    'inner' — certified whole-stream: purchases and views stream in
+    micro-batches (1 file per trigger per side over 4-way random
+    splits); views within 1h after a same-user purchase must pair
+    EXACTLY ONCE across the run — the union of every emitted
+    micro-batch equals the plain SQL time-bounded join (inner matches
+    emit when both rows have arrived; the watermark bounds the
+    buffered state, not the output). Emissions spanning >=2
+    micro-batches are gated, so cross-batch buffered matching is
+    actually exercised.
+
+    'outer' (r7) — the left-outer variant certified PER-HORIZON, the
+    only honest certification for outer results on a finite stream
+    (epochs.py's left_outer contract): over an event-time-ORDERED
+    replay (ts-quartile files, forced mtime order — required: random
+    arrival would emit null-pads for rows whose match arrives late),
+    matched pairs emit like the inner join, and an unmatched purchase
+    emits ONE null-padded row iff the FINAL watermark — min over both
+    sides of ms-floored max event time seen, minus the 48h1m1s delay —
+    STRICTLY passes its window end (p_ts + 1h < wm; the strict
+    boundary and the ms floor are pinned empirically in
+    tests/test_multimodal_streaming.py). The oracle replays exactly
+    that rule; unmatched purchases in the unflushed tail are gated
+    present-and-held-back, so the horizon cut is certified
+    non-vacuously from both sides."""
+    from schema_drift_detector_spark.streaming.epochs import stream_time_bounded_join
+
+    # ---- inner face: random splits, whole-stream union ----
+    out_i = _stream_out_dir(spark, sf_dir, "ssjoin")
+    purchases, views = _ssjoin_sides(_stream_events_source(spark, sf_dir))
+    rows_i = _run_ssjoin_stream(
+        spark,
+        stream_time_bounded_join(
+            purchases, views, "user_id", "v_user", "p_ts", "v_ts",
+            within="1 hour", watermark="60 days",
+        ).select("p_id", "v_id", "user_id"),
+        out_i,
+    )
+    n_batches = rows_i.select("batch_id").distinct().count()
+    if rows_i.limit(1).count() == 0 or n_batches < 2:
         raise RuntimeError(
             f"vacuous stream-stream join: no matches or all emissions in one "
             f"micro-batch (batches with output: {n_batches})"
         )
-    return rows.select(
-        "p_id", "v_id", F.col("user_id").cast("long").alias("user_id")
+
+    # ---- outer face: ordered replay, per-horizon ----
+    out_o = _stream_out_dir(spark, sf_dir, "ssjoin_outer")
+    purchases_o, views_o = _ssjoin_sides(_stream_events_source_ordered(spark, sf_dir))
+    rows_o = _run_ssjoin_stream(
+        spark,
+        stream_time_bounded_join(
+            purchases_o, views_o, "user_id", "v_user", "p_ts", "v_ts",
+            within="1 hour",
+            watermark=f"{_SSJOIN_OUTER_DELAY_SECONDS} seconds",
+            how="left_outer",
+        ).select("p_id", "v_id", "user_id", "p_ts"),
+        out_o,
+    )
+    n_pads = rows_o.filter(F.col("v_id").isNull()).count()
+    ev = _t(spark, sf_dir, "events")
+    p_all, v_all = _ssjoin_sides(ev.withColumn("ts", F.col("ts").cast("timestamp")))
+    n_unmatched_total = p_all.join(
+        v_all,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") >= F.col("p_ts"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    ).count()
+    if not (0 < n_pads < n_unmatched_total):
+        raise RuntimeError(
+            f"vacuous per-horizon certification: {n_pads} null-pads emitted of "
+            f"{n_unmatched_total} unmatched purchases — need both flushed and "
+            f"held-back rows"
+        )
+    return (
+        rows_i.select(
+            F.lit("inner").alias("face"),
+            "p_id",
+            "v_id",
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+        .unionByName(
+            rows_o.select(
+                F.lit("outer").alias("face"),
+                "p_id",
+                "v_id",
+                F.col("user_id").cast("long").alias("user_id"),
+            )
+        )
     )
 
 
-ORACLE_STREAM_STREAM_JOIN = """
-SELECT p.event_id AS p_id, v.event_id AS v_id, CAST(p.user_id AS BIGINT) AS user_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-JOIN (SELECT * FROM events WHERE event_type = 'view') v
-  ON v.user_id = p.user_id
- AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 1 HOUR
+ORACLE_STREAM_STREAM_JOIN = f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS v_id, user_id AS v_user, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+), matches AS (
+  SELECT p.p_id, v.v_id, CAST(p.user_id AS BIGINT) AS user_id
+  FROM p JOIN v
+    ON v.v_user = p.user_id
+   AND v.v_ts >= p.p_ts AND v.v_ts <= p.p_ts + INTERVAL 1 HOUR
+), wm AS (
+  -- the stream's FINAL global watermark: min over both sides of the
+  -- ms-FLOORED max event time seen (Spark tracks event-time stats in
+  -- milliseconds), minus the outer face's delay
+  SELECT make_timestamp(
+    least(
+      (SELECT epoch_ms(max(p_ts)) FROM p),
+      (SELECT epoch_ms(max(v_ts)) FROM v)
+    ) * 1000 - CAST({_SSJOIN_OUTER_DELAY_SECONDS} AS BIGINT) * 1000000
+  ) AS w
+)
+SELECT 'inner' AS face, p_id, v_id, user_id FROM matches
+UNION ALL
+SELECT 'outer' AS face, p_id, v_id, user_id FROM matches
+UNION ALL
+SELECT 'outer' AS face, p.p_id, NULL AS v_id, CAST(p.user_id AS BIGINT) AS user_id
+FROM p, wm
+WHERE NOT EXISTS (
+  SELECT 1 FROM v
+  WHERE v.v_user = p.user_id
+    AND v.v_ts >= p.p_ts AND v.v_ts <= p.p_ts + INTERVAL 1 HOUR
+)
+  -- STRICT boundary, pinned empirically: window end == watermark holds back
+  AND p.p_ts + INTERVAL 1 HOUR < wm.w
 """
 
 

@@ -96,14 +96,16 @@ def stream_time_bounded_join(
     right_ts: str,
     within: str,
     watermark: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER join, time-bounded: pair every left row with
+    """Stream-stream join, time-bounded: pair every left row with
     the right rows of the same key whose timestamp falls in
     [left_ts, left_ts + within]. Both sides are watermarked — the time
     bound plus the watermarks let Spark EVICT buffered rows that can no
     longer match, so state is proportional to rate × horizon, not the
     stream's history (the property that makes stream-stream joins
-    viable at all at scale).
+    viable at all at scale). ``how`` is 'inner' (default) or
+    'left_outer' — see the per-``how`` emission contracts below.
 
     ``watermark`` is deliberately REQUIRED (no default): it must cover
     the source's worst-case EVENT-TIME DISORDER, not the join bound —
@@ -117,10 +119,26 @@ def stream_time_bounded_join(
     matches emit as soon as BOTH rows have arrived (the watermark
     bounds state, it does not gate inner-join output), so the UNION of
     all emitted micro-batches equals the batch join — the certifiable
-    face. Outer variants DO hold rows until the watermark passes; on a
-    finite stream their null-padded rows may never flush (same class
-    as the append-mode window trap) — certify those per-horizon, not
-    whole-stream."""
+    face.
+
+    Left-outer semantics (how='left_outer'): matched pairs emit like
+    the inner join; a left row that found NO match emits ONE
+    null-padded row only when the watermark passes the end of its
+    match window (left_ts + within) — before that, a match could still
+    arrive. Two consequences, both certified per-horizon
+    (tests/test_multimodal_streaming.py + the stream_stream_join
+    'outer' face): (a) on a finite stream, unmatched left rows whose
+    window the FINAL watermark (min over both sides of max event time
+    seen − delay) never passes are silently HELD BACK forever — the
+    certifiable set is the flushed horizon, not the whole stream;
+    (b) correctness of the null-pads requires event-time-ordered
+    arrival relative to the watermark delay: if a matching right row
+    arrives after the watermark already passed the window, the left
+    row has ALREADY emitted a null-pad and the true pair is lost —
+    the same silent-loss class as the session-window warning above,
+    but here it manufactures a WRONG row, not just a missing one."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -128,7 +146,7 @@ def stream_time_bounded_join(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def stream_dedup_exact(

@@ -442,3 +442,89 @@ def test_session_event_counts_batch_semantics(spark):
         for r in session_event_counts(ev2, gap="1 hour", value_col="amount").collect()
     }
     assert got2 == got
+
+
+def test_stream_left_outer_join_flush_horizon_pinned(spark, tmp_path_factory):
+    """Left-outer time-bounded stream-stream join, per-horizon flush
+    semantics pinned empirically (Spark 4.1):
+
+      - matched pairs emit when both rows have arrived (like inner);
+      - an unmatched left row emits its null-pad iff the FINAL global
+        watermark (min over both sides of max-event-time-seen − delay)
+        passes the END of its match window STRICTLY:
+        left_ts + within < watermark — a window end EXACTLY equal to
+        the watermark is still held back;
+      - rows beyond the horizon never flush on a finite stream.
+
+    Arrival order is forced via explicit file mtimes (the file stream
+    source processes oldest-mtime first), making the watermark
+    trajectory deterministic."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime, timezone
+
+    from schema_drift_detector_spark.streaming.epochs import stream_time_bounded_join
+
+    base = str(tmp_path_factory.mktemp("ssj_outer"))
+    T = lambda s: datetime.fromtimestamp(1700000000 + s, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    # final watermark will be min(20000, 20000) - 2000 = 18000
+    l_batches = [
+        [(1, "u", T(1000)),   # unmatched, window end 4600 < 18000 -> null-pad
+         (2, "u", T(5000)),   # matched by right 102
+         (4, "u", T(14400))], # BOUNDARY: window end 18000 == wm -> held back
+        [(3, "u", T(17000)),  # window end 20600 > wm -> held back
+         (9, "u", T(20000))], # left clock row, held back
+    ]
+    r_batches = [[(102, "u", T(5100))], [(109, "x", T(20000))]]  # clock row
+
+    def write_side(side, batches):
+        d = f"{base}/{side}"
+        os.makedirs(d, exist_ok=True)
+        for k, rows in enumerate(batches):
+            tmp = f"{base}/tmp_{side}_{k}"
+            spark.createDataFrame(
+                rows, "id long, user string, ts timestamp"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{d}/b{k}.parquet"
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000 + 100 * k,) * 2)
+            shutil.rmtree(tmp)
+        return d
+
+    ld = write_side("L", l_batches)
+    rd = write_side("R", r_batches)
+    read = lambda d: (
+        spark.readStream.schema("id long, user string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    ls = read(ld).withColumnsRenamed({"id": "l_id", "ts": "l_ts"})
+    rs = read(rd).withColumnsRenamed({"id": "r_id", "ts": "r_ts", "user": "r_user"})
+    j = stream_time_bounded_join(
+        ls, rs, "user", "r_user", "l_ts", "r_ts",
+        within="1 hour", watermark="2000 seconds", how="left_outer",
+    )
+    out = f"{base}/out"
+    q = (
+        j.select("l_id", "r_id")
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: bdf.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted((r.l_id, r.r_id) for r in spark.read.parquet(out).collect())
+    assert got == [(1, None), (2, 102)]
+
+    with pytest.raises(ValueError, match="left_outer"):
+        stream_time_bounded_join(
+            ls, rs, "user", "r_user", "l_ts", "r_ts",
+            within="1 hour", watermark="1 hour", how="full_outer",
+        )
