@@ -594,6 +594,58 @@ LIMIT 20
 """
 
 
+def q_pricing_summary_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both TPC-H-style aggregation certifications in one entry, tagged
+    by `face` ('q1' = wide partial+final hash-agg; 'top_revenue' =
+    3-way join → deterministic top-20). Merged in r7 under the 50-row
+    driver attestation cap to make room for `corpus_pipeline_e2e`;
+    each face keeps its exact DuckDB replay (the merge recipe from r6:
+    tag + null-pad + union)."""
+    q1 = q_pricing_summary(spark, sf_dir).select(
+        F.lit("q1").alias("face"),
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "avg_qty",
+        "avg_disc",
+        F.col("count_order").cast("bigint").alias("count_order"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    top = q_top_revenue_orders(spark, sf_dir).select(
+        F.lit("top_revenue").alias("face"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("double").alias("sum_base_price"),
+        F.lit(None).cast("double").alias("sum_disc_price"),
+        F.lit(None).cast("double").alias("avg_qty"),
+        F.lit(None).cast("double").alias("avg_disc"),
+        F.lit(None).cast("bigint").alias("count_order"),
+        "o_orderkey",
+        "o_custkey",
+        "revenue",
+    )
+    return q1.unionByName(top)
+
+
+def _oracle_pricing_summary_merged() -> str:
+    return f"""
+SELECT 'q1' AS face, l_returnflag, l_linestatus, sum_qty, sum_base_price,
+       sum_disc_price, avg_qty, avg_disc, CAST(count_order AS BIGINT) AS count_order,
+       CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+       CAST(NULL AS DOUBLE) AS revenue
+FROM ({ORACLE_PRICING})
+UNION ALL
+SELECT 'top_revenue', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       o_orderkey, o_custkey, revenue
+FROM ({ORACLE_TOP_REVENUE})
+"""
+
+
 def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional aggregation, both grouping-set shapes in one
     entry tagged by `shape`: ROLLUP (hierarchical subtotals + grand
@@ -3695,6 +3747,186 @@ def q_corpus_prep_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.unionByName(full)
 
 
+def _oracle_corpus_pipeline_e2e() -> str:
+    """ONE DuckDB replay of the whole corpus pipeline — every stage's
+    SQL comes from the same builders its standalone certification uses
+    (gram_hash64_sql / tokhash_list_sql / pii_redact_sql /
+    _minhash_oracle_parts / the pack lockstep fold), re-based on the
+    previous stage's CTE instead of the raw table, so the composition
+    cannot desynchronize from the per-operator replays."""
+    from schema_drift_detector_spark.functions.pii import pii_redact_sql
+    from schema_drift_detector_spark.functions.text import (
+        gram_hash64_sql,
+        tokhash_list_sql,
+    )
+
+    gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
+    mh_ctes, mh_pairs = _minhash_oracle_parts(table="decon")
+    h60 = lambda e: (  # noqa: E731
+        f"CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT) % 1000000"
+    )
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT doc_id, source,
+         (CASE WHEN doc_id % 7 = 0 THEN text || '{_SUBSTR_FOOTER}' ELSE text END)
+         || (CASE WHEN doc_id % 11 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now'
+                  ELSE '' END) AS text
+  FROM documents
+),
+base AS (
+  SELECT * FROM raw
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text FROM raw WHERE doc_id % 10 = 0
+),
+exact AS MATERIALIZED (
+  SELECT * FROM base QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+),
+stok AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM exact),
+sth AS (SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM stok WHERE len(t) >= 8),
+sgrams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {gh} AS gh
+  FROM sth, unnest(generate_series(1, len(t) - 7)) s(i)
+),
+boiler AS (
+  SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df FROM sgrams GROUP BY 1)
+  WHERE df >= 4
+),
+shits AS (SELECT DISTINCT g.doc_id, g.pos FROM sgrams g JOIN boiler USING (gh)),
+stoks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS token
+  FROM stok, unnest(generate_series(1, len(t))) s(i)
+),
+scov AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM stoks tk JOIN shits hh ON hh.doc_id = tk.doc_id
+   AND tk.pos BETWEEN hh.pos AND hh.pos + 7
+),
+sagg AS (
+  SELECT tk.doc_id,
+         coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS kept
+  FROM stoks tk LEFT JOIN scov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+  GROUP BY tk.doc_id
+),
+redacted AS MATERIALIZED (
+  SELECT e.doc_id, e.source, {pii_redact_sql('coalesce(a.kept, e.text)')} AS text
+  FROM exact e LEFT JOIN sagg a USING (doc_id)
+),
+dtok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM redacted
+),
+etok AS (
+  SELECT list_filter(string_split_regex(lower(substr(text, 1, 200)), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM redacted
+  WHERE {h60("CAST(doc_id AS VARCHAR) || ':eval'")} < 40000
+),
+eth AS (SELECT {tokhash_list_sql('t')} AS h FROM etok WHERE len(t) >= 8),
+dth AS (SELECT doc_id, {tokhash_list_sql('t')} AS h FROM dtok WHERE len(t) >= 8),
+egrams AS (
+  SELECT DISTINCT {gh} AS gh
+  FROM eth, unnest(generate_series(1, len(h) - 7)) u(i)
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, {gh} AS gh
+  FROM dth, unnest(generate_series(1, len(h) - 7)) u(i)
+),
+contaminated AS (SELECT DISTINCT d.doc_id FROM dgrams d JOIN egrams e ON d.gh = e.gh),
+decon AS MATERIALIZED (
+  SELECT r.* FROM redacted r LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+),
+{mh_ctes},
+pairs AS ({mh_pairs}),
+edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+),
+cl AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+ndrops AS (SELECT doc FROM cl WHERE doc <> cluster),
+surv AS (
+  SELECT d.* FROM decon d LEFT JOIN ndrops ON d.doc_id = ndrops.doc
+  WHERE ndrops.doc IS NULL
+),
+budget AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           sum(len(string_split(text, ' '))) OVER (
+             PARTITION BY source
+             ORDER BY {h60("CAST(doc_id AS VARCHAR) || ':budget'")} ASC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM surv) b
+  WHERE cum <= 400
+),
+ctok AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM budget
+),
+cks AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= 24 THEN 0
+                ELSE CAST(ceil((n - 24) * 1.0 / 12) AS INT) END)) AS k
+  FROM ctok
+),
+chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) AS chunk_uid,
+         CAST(least(n - k * 12, 24) AS BIGINT) AS n_tokens,
+         md5(array_to_string(t[CAST(k * 12 + 1 AS INT):CAST(k * 12 + 24 AS INT)], ' '))
+           AS chunk_fp
+  FROM cks
+),
+po AS (
+  SELECT chunk_uid, n_tokens, chunk_fp,
+         {h60("chunk_uid || ':pack'")} AS ph
+  FROM chunks
+),
+po2 AS MATERIALIZED (
+  SELECT *, CAST(ph % 8 AS INTEGER) AS shard,
+         row_number() OVER (PARTITION BY ph % 8 ORDER BY ph, chunk_uid) AS rn
+  FROM po
+),
+fold AS (
+  SELECT shard, rn, chunk_uid, n_tokens, chunk_fp,
+         CAST(0 AS BIGINT) AS bin,
+         n_tokens > 40 AS truncated,
+         CASE WHEN n_tokens > 40 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS cur_bin,
+         CASE WHEN n_tokens > 40 THEN CAST(0 AS BIGINT) ELSE n_tokens END AS cur_fill,
+         n_tokens <= 40 AS started
+  FROM po2 WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.chunk_uid, o.n_tokens, o.chunk_fp,
+         CASE WHEN o.n_tokens > 40
+              THEN f.cur_bin + CASE WHEN f.started THEN 1 ELSE 0 END
+              WHEN f.started AND f.cur_fill + o.n_tokens > 40
+              THEN f.cur_bin + 1
+              ELSE f.cur_bin END AS bin,
+         o.n_tokens > 40 AS truncated,
+         CASE WHEN o.n_tokens > 40
+              THEN f.cur_bin + CASE WHEN f.started THEN 1 ELSE 0 END + 1
+              WHEN f.started AND f.cur_fill + o.n_tokens > 40
+              THEN f.cur_bin + 1
+              ELSE f.cur_bin END AS cur_bin,
+         CASE WHEN o.n_tokens > 40 THEN CAST(0 AS BIGINT)
+              WHEN f.started AND f.cur_fill + o.n_tokens > 40 THEN o.n_tokens
+              ELSE f.cur_fill + o.n_tokens END AS cur_fill,
+         o.n_tokens <= 40 AS started
+  FROM fold f JOIN po2 o ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT chunk_uid, shard, bin, n_tokens, truncated, chunk_fp FROM fold
+"""
+
+
 def _oracle_corpus_prep_merged() -> str:
     return f"""
 SELECT 'stats' AS face, source, lang, CAST(n_docs AS BIGINT) AS n_docs,
@@ -4338,8 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_chain": q_order_chain_merged,
         "customers_without_open_orders": q_customers_without_open_orders,
         "nations_order_stats": q_nations_order_stats,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
+        "pricing_summary": q_pricing_summary_merged,
         "nation_rollup": q_nation_rollup,
         "sessionize_events": q_sessionize_events,
         "profile_events": q_profile_events,
@@ -4382,6 +4613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hll_rollup": q_hll_rollup,
         "span_kind_histogram": q_span_kind_histogram,
+        "corpus_pipeline_e2e": q_corpus_pipeline_e2e,
     }
 
 
@@ -4393,8 +4625,7 @@ def oracle_sql() -> dict[str, str]:
         "order_chain": _oracle_order_chain_merged(),
         "customers_without_open_orders": ORACLE_CUST_NO_OPEN,
         "nations_order_stats": ORACLE_NATION_STATS,
-        "pricing_summary": ORACLE_PRICING,
-        "top_revenue_orders": ORACLE_TOP_REVENUE,
+        "pricing_summary": _oracle_pricing_summary_merged(),
         "nation_rollup": ORACLE_NATION_ROLLUP,
         "sessionize_events": ORACLE_SESSIONIZE,
         "profile_events": ORACLE_PROFILE_EVENTS,
@@ -4437,4 +4668,5 @@ def oracle_sql() -> dict[str, str]:
         "winnowing": ORACLE_WINNOWING,
         "media_features": ORACLE_MEDIA_FEATURES,
         "pii_scrub": ORACLE_PII_SCRUB,
+        "corpus_pipeline_e2e": _oracle_corpus_pipeline_e2e(),
     }

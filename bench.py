@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "chunk_documents",
     "asof_join",
     "range_join_sessions",
+    # r7: the composed corpus pipeline (dedup → substring strip → PII →
+    # decontam → near-dup drop → token budget → chunk → pack) priced
+    # end-to-end; NEW row, no series break
+    "corpus_pipeline_e2e",
 ]
 
 
