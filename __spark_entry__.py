@@ -3458,15 +3458,29 @@ _SUBSTR_FOOTER = (
 
 
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level exact dedup certified end-to-end: boilerplate
-    word 8-grams (document frequency >= 4) detected corpus-wide and
-    stripped from every document. The oracle replays gram hashing
-    (gram_hash64: the 64-bit polynomial fold over per-token
-    portable-hash60s, HUGEINT-replayed), the df threshold, run
-    coverage, and the md5 of the RECONSTRUCTED cleaned text — so token
-    order and every removal boundary are hash-checked, not just
-    counts."""
-    from schema_drift_detector_spark.operators.substring import substring_dedup
+    """Both substring-granular strip passes in one entry, tagged by
+    `face`:
+
+    'cross' — substring-level exact dedup: boilerplate word 8-grams
+    (document frequency >= 4) detected corpus-wide and stripped from
+    every document. The oracle replays gram hashing (gram_hash64: the
+    64-bit polynomial fold over per-token portable-hash60s,
+    HUGEINT-replayed), the df threshold, run coverage, and the md5 of
+    the RECONSTRUCTED cleaned text — so token order and every removal
+    boundary are hash-checked, not just counts.
+
+    'intra' — r7: intra-document repetition strip (the removal half of
+    the Gopher repetition hygiene pass): tokens covered by a non-first
+    occurrence of an 8-gram already seen earlier in the SAME document
+    are removed, one copy surviving. Fixture plants self-repetition
+    (every 13th doc re-appends its own first 10 tokens twice) so the
+    strip binds non-vacuously; the oracle replays first-occurrence
+    detection (min(pos) per (doc, gram)) + run coverage + the
+    reconstructed-text md5."""
+    from schema_drift_detector_spark.operators.substring import (
+        strip_repeated_runs,
+        substring_dedup,
+    )
 
     # every 97th(+3) doc gets NULL text — the fixtures carry no nulls,
     # so without this injection the null-passthrough contract (row kept,
@@ -3487,26 +3501,109 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already broadcasts the measured hit side here, and forcing it
     # adds an eager extra evaluation of the hit DAG (measured 6.0 s vs
     # 3.5 s at sf0.1).
-    out = substring_dedup(docs, n=8, min_df=4, materialize_grams=True).select(
+    cross = substring_dedup(docs, n=8, min_df=4, materialize_grams=True).select(
+        F.lit("cross").alias("face"),
         "doc_id",
         "n_tokens",
         "n_removed",
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cleaned_fp"),
     ).localCheckpoint(eager=True)
-    if out.filter(F.col("n_removed") > 0).limit(1).count() == 0:
+    if cross.filter(F.col("n_removed") > 0).limit(1).count() == 0:
         raise RuntimeError(
             "vacuous fixture: no boilerplate stripped — footer grams never hit min_df"
         )
-    return out
+
+    head10 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
+    idocs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat_ws(" ", F.col("text"), head10, head10),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    intra = strip_repeated_runs(idocs, n=8).select(
+        F.lit("intra").alias("face"),
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cleaned_fp"),
+    ).localCheckpoint(eager=True)
+    if intra.filter(F.col("n_removed") > 0).limit(1).count() == 0:
+        raise RuntimeError(
+            "vacuous fixture: no intra-doc repetition stripped — planted"
+            " self-repeats never produced duplicate grams"
+        )
+    return cross.unionByName(intra)
 
 
 def _oracle_substring_dedup() -> str:
+    """Two faces, one replay each: 'cross' re-derives the corpus-wide
+    boilerplate df threshold + coverage strip; 'intra' re-derives
+    first-occurrence gram detection (min(pos) per (doc, gram), the SQL
+    twin of pd.duplicated(keep='first')) + coverage strip over the
+    self-repetition fixture."""
     from schema_drift_detector_spark.functions.text import (
         gram_hash64_sql,
         tokhash_list_sql,
     )
 
     gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
+    intra = f"""
+WITH idocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 3 THEN NULL
+              WHEN doc_id % 13 = 0 THEN text || ' ' || rep || ' ' || rep
+              ELSE text END AS text
+  FROM (SELECT doc_id, text,
+               array_to_string(string_split(text, ' ')[1:10], ' ') AS rep
+        FROM documents)
+), itok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM idocs
+), ith AS (
+  SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM itok WHERE len(t) >= 8
+), igrams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {gh} AS gh
+  FROM ith, unnest(generate_series(1, len(t) - 7)) s(i)
+), ifirst AS (
+  SELECT doc_id, gh, min(pos) AS fpos FROM igrams GROUP BY doc_id, gh
+), irep AS (
+  -- non-first occurrences: the SQL twin of pd.duplicated(keep='first')
+  SELECT g.doc_id, g.pos FROM igrams g
+  JOIN ifirst f ON f.doc_id = g.doc_id AND f.gh = g.gh AND g.pos > f.fpos
+), itoks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS token, len(t) AS n
+  FROM itok, unnest(generate_series(1, len(t))) s(i)
+), icov AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM itoks tk JOIN irep r
+    ON r.doc_id = tk.doc_id AND tk.pos BETWEEN r.pos AND r.pos + 7
+), iagg AS (
+  SELECT tk.doc_id, max(tk.n) AS n_tokens, count(c.pos) AS n_removed,
+         coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS kept
+  FROM itoks tk LEFT JOIN icov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(coalesce(a.n_removed, 0) AS INT) AS n_removed,
+       md5(coalesce(a.kept, '')) AS cleaned_fp
+FROM idocs d LEFT JOIN iagg a USING (doc_id)
+"""
+    cross = _oracle_substring_cross(gh)
+    return f"""
+SELECT 'cross' AS face, doc_id, n_tokens, n_removed, cleaned_fp FROM ({cross})
+UNION ALL
+SELECT 'intra' AS face, doc_id, n_tokens, n_removed, cleaned_fp FROM ({intra})
+"""
+
+
+def _oracle_substring_cross(gh: str) -> str:
+    from schema_drift_detector_spark.functions.text import tokhash_list_sql
+
     return f"""
 WITH docs AS (
   SELECT doc_id,

@@ -122,6 +122,9 @@ FACE_SPLITS: dict[str, list[str]] = {
     # r7: tokenizer-seam face merged into the entry — 'ws' continues the
     # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "chunk_documents": ["ws", "chargram"],
+    # r7: intra-doc repetition strip merged in — 'cross' continues the
+    # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
+    "substring_dedup": ["cross", "intra"],
 }
 
 

@@ -230,3 +230,85 @@ def substring_dedup(
         .select(*out_cols, F.col("__sub.n_tokens").alias("n_tokens"),
                 F.col("__sub.n_removed").alias("n_removed"))
     )
+
+
+def strip_repeated_runs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Intra-document repetition STRIP — the removal half of the Gopher
+    repetition hygiene pass (functions.text.repetition_features measures
+    frac_dup_tokens/top_bigram_frac/dup_5gram_frac; this removes the
+    runs those signals flag). Complements substring_dedup, which strips
+    runs repeated ACROSS documents: a crawl page that repeats its own
+    nav block 40 times is unique corpus-wide yet still the memorization
+    hazard.
+
+    Rule (deterministic, DuckDB-replayable): a token is removed iff it
+    is covered by a NON-FIRST occurrence of a word ``n``-gram whose
+    identical gram (same gram_hash64) occurred EARLIER in the same
+    document — i.e. exactly one copy of every repeated run survives, at
+    its first position. For periodic text the survivor is one period:
+    'a b c' × 40 with n=3 keeps 'a b c'. Tokens are the literal
+    single-space split (reconstructible verbatim, same contract as
+    substring_dedup). Null text passes through null with
+    n_tokens = n_removed = 0; pre-existing n_tokens/n_removed columns
+    are overwritten (same discipline as substring_dedup).
+
+    Scale shape: repetition is doc-LOCAL, so unlike the cross-doc pass
+    there is no df shuffle, no join — the whole operator is ONE Arrow
+    pandas_udf over the text column (vectorized gram hashing via
+    gram_hashes64_batch, pd.duplicated for the first-occurrence mask,
+    difference-array run coverage). Zero Exchange at any scale;
+    embarrassingly parallel over whatever partitioning the corpus
+    already has."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import gram_hashes64_batch
+
+    @pandas_udf("struct<cleaned: string, n_tokens: int, n_removed: int>")
+    def _strip_runs(texts: pd.Series) -> pd.DataFrame:
+        tok_lists = [t.split(" ") if t is not None else None for t in texts]
+        grams = gram_hashes64_batch(tok_lists, n, positions=True)
+        cleaned, n_toks, n_rem = [], [], []
+        for toks, (pos, gh) in zip(tok_lists, grams):
+            if toks is None:
+                cleaned.append(None)
+                n_toks.append(0)
+                n_rem.append(0)
+                continue
+            n_toks.append(len(toks))
+            if not gh:
+                cleaned.append(" ".join(toks))
+                n_rem.append(0)
+                continue
+            # positions are the consecutive 1..m occurrence starts, so the
+            # duplicated mask indexes map straight to 1-based gram starts
+            dup = pd.Series(gh).duplicated(keep="first").to_numpy()
+            starts = np.nonzero(dup)[0]  # 0-based = (1-based start) - 1
+            if len(starts) == 0:
+                cleaned.append(" ".join(toks))
+                n_rem.append(0)
+                continue
+            mark = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.add.at(mark, starts, 1)
+            np.add.at(mark, np.minimum(starts + n, len(toks)), -1)
+            cov = np.cumsum(mark[:-1]) > 0
+            cleaned.append(" ".join(tok for tok, c in zip(toks, cov) if not c))
+            n_rem.append(int(cov.sum()))
+        return pd.DataFrame({"cleaned": cleaned, "n_tokens": n_toks, "n_removed": n_rem})
+
+    out_cols = [
+        F.col(c) if c != text_col else F.col("__rr.cleaned").alias(text_col)
+        for c in docs.columns
+        if c not in ("n_tokens", "n_removed")
+    ]
+    return docs.withColumn("__rr", _strip_runs(F.col(text_col))).select(
+        *out_cols,
+        F.col("__rr.n_tokens").alias("n_tokens"),
+        F.col("__rr.n_removed").alias("n_removed"),
+    )

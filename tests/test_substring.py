@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from schema_drift_detector_spark.operators.substring import (
     boilerplate_grams,
+    strip_repeated_runs,
     substring_dedup,
     token_gram_occurrences,
 )
@@ -113,6 +114,64 @@ def test_gram_occurrences_positions_are_one_based(spark):
     row = df.select(token_gram_occurrences("t", 8).alias("g")).first()["g"]
     assert list(row["pos"]) == [1, 2]
     assert len(row["gh"]) == 2 and len(set(row["gh"])) == 2
+
+
+def test_strip_repeated_runs_periodic_keeps_one_period(spark):
+    # 'a b c' × 4 with n=3: every gram after the first period is a
+    # repeat of one of the first three grams → exactly one period kept
+    rows = [(1, "a b c a b c a b c a b c")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_repeated_runs(docs, n=3).first()
+    assert out["text"] == "a b c"
+    assert out["n_tokens"] == 12 and out["n_removed"] == 9
+
+
+def test_strip_repeated_runs_non_adjacent_repeat(spark):
+    # the second occurrence of 'one two three' strips even though it is
+    # separated from the first — gram identity, not run adjacency
+    rows = [(1, "one two three alpha beta gamma one two three")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_repeated_runs(docs, n=3).first()
+    assert out["text"] == "one two three alpha beta gamma"
+    assert out["n_removed"] == 3
+
+
+def test_strip_repeated_runs_passthrough_and_doc_locality(spark):
+    rows = [
+        (1, "all tokens here are distinct from each other entirely"),
+        (2, "short doc"),  # < n tokens: no grams
+        (3, None),  # null passthrough
+        # doc 4 repeats doc 1's text VERBATIM — cross-doc repetition is
+        # substring_dedup's job; the intra pass must NOT touch it
+        (4, "all tokens here are distinct from each other entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    by_id = {r["doc_id"]: r for r in strip_repeated_runs(docs, n=3).collect()}
+    assert by_id[1]["text"] == rows[0][1] and by_id[1]["n_removed"] == 0
+    assert by_id[2]["text"] == "short doc" and by_id[2]["n_tokens"] == 2
+    assert by_id[3]["text"] is None and by_id[3]["n_tokens"] == 0
+    assert by_id[4]["text"] == rows[0][1] and by_id[4]["n_removed"] == 0
+
+
+def test_strip_repeated_runs_overwrites_count_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    ).withColumn("n_tokens", F.lit(-1)).withColumn("n_removed", F.lit(-1))
+    out = strip_repeated_runs(docs, n=3)
+    assert out.columns.count("n_tokens") == 1
+    assert out.columns.count("n_removed") == 1
+    row = out.first()
+    assert row["n_tokens"] == 6 and row["n_removed"] == 3
+    with pytest.raises(ValueError, match="n must be"):
+        strip_repeated_runs(docs, n=0)
+
+
+def test_strip_repeated_runs_zero_shuffle_plan(spark):
+    """Intra-doc repetition is doc-local: the plan must contain NO
+    Exchange — the operator is one Arrow eval over the scan."""
+    docs = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
+    plan = strip_repeated_runs(docs, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_substring_dedup_materialize_grams_same_result(spark):
