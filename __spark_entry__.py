@@ -3476,15 +3476,41 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 13th doc re-appends its own first 10 tokens twice) so the
     strip binds non-vacuously; the oracle replays first-occurrence
     detection (min(pos) per (doc, gram)) + run coverage + the
-    reconstructed-text md5."""
-    from schema_drift_detector_spark.operators.substring import (
-        strip_repeated_runs,
-        substring_dedup,
-    )
+    reconstructed-text md5.
 
-    # every 97th(+3) doc gets NULL text — the fixtures carry no nulls,
-    # so without this injection the null-passthrough contract (row kept,
-    # n_tokens 0, md5('') fingerprint) would be certified vacuously
+    Fixture note: every 97th(+3) doc gets NULL text on BOTH faces — the
+    fixtures carry no nulls, so without this injection the
+    null-passthrough contract (row kept, n_tokens 0, md5('')
+    fingerprint) would be certified vacuously.
+    """
+    # one compute: checkpoint the stripped frame, then both the
+    # non-vacuity gate and the returned result read the blocks (a bare
+    # filter+count would replay the whole two-gram-pass DAG; measured
+    # ~2× the entry cost at sf0.1).
+    cross = q_substring_dedup__cross(spark, sf_dir).localCheckpoint(eager=True)
+    if cross.filter(F.col("n_removed") > 0).limit(1).count() == 0:
+        raise RuntimeError(
+            "vacuous fixture: no boilerplate stripped — footer grams never hit min_df"
+        )
+    intra = q_substring_dedup__intra(spark, sf_dir).localCheckpoint(eager=True)
+    if intra.filter(F.col("n_removed") > 0).limit(1).count() == 0:
+        raise RuntimeError(
+            "vacuous fixture: no intra-doc repetition stripped — planted"
+            " self-repeats never produced duplicate grams"
+        )
+    return cross.unionByName(intra)
+
+
+def q_substring_dedup__cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'cross' face PLAN of q_substring_dedup, un-checkpointed and
+    un-gated — bench.py times q_<name>__<face> helpers directly because
+    the merged entry eagerly checkpoints both faces before returning,
+    so a post-hoc .filter(face) would price the whole union (review
+    catch, r7). broadcast_hits stays False — AQE already broadcasts the
+    measured hit side here, and forcing it adds an eager extra
+    evaluation of the hit DAG (measured 6.0 s vs 3.5 s at sf0.1)."""
+    from schema_drift_detector_spark.operators.substring import substring_dedup
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
@@ -3494,24 +3520,18 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    # one compute: checkpoint the stripped frame, then both the
-    # non-vacuity gate and the returned result read the blocks (a bare
-    # filter+count would replay the whole two-gram-pass DAG; measured
-    # ~2× the entry cost at sf0.1). broadcast_hits stays False — AQE
-    # already broadcasts the measured hit side here, and forcing it
-    # adds an eager extra evaluation of the hit DAG (measured 6.0 s vs
-    # 3.5 s at sf0.1).
-    cross = substring_dedup(docs, n=8, min_df=4, materialize_grams=True).select(
+    return substring_dedup(docs, n=8, min_df=4, materialize_grams=True).select(
         F.lit("cross").alias("face"),
         "doc_id",
         "n_tokens",
         "n_removed",
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cleaned_fp"),
-    ).localCheckpoint(eager=True)
-    if cross.filter(F.col("n_removed") > 0).limit(1).count() == 0:
-        raise RuntimeError(
-            "vacuous fixture: no boilerplate stripped — footer grams never hit min_df"
-        )
+    )
+
+
+def q_substring_dedup__intra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'intra' face PLAN of q_substring_dedup (see __cross)."""
+    from schema_drift_detector_spark.operators.substring import strip_repeated_runs
 
     head10 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
     idocs = _t(spark, sf_dir, "documents").select(
@@ -3524,19 +3544,13 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    intra = strip_repeated_runs(idocs, n=8).select(
+    return strip_repeated_runs(idocs, n=8).select(
         F.lit("intra").alias("face"),
         "doc_id",
         "n_tokens",
         "n_removed",
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cleaned_fp"),
-    ).localCheckpoint(eager=True)
-    if intra.filter(F.col("n_removed") > 0).limit(1).count() == 0:
-        raise RuntimeError(
-            "vacuous fixture: no intra-doc repetition stripped — planted"
-            " self-repeats never produced duplicate grams"
-        )
-    return cross.unionByName(intra)
+    )
 
 
 def _oracle_substring_dedup() -> str:
@@ -3857,11 +3871,10 @@ def _oracle_corpus_pipeline_e2e() -> str:
         tokhash_list_sql,
     )
 
+    from schema_drift_detector_spark.operators.sampling import hash_bucket_sql
+
     gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
     mh_ctes, mh_pairs = _minhash_oracle_parts(table="decon")
-    h60 = lambda e: (  # noqa: E731
-        f"CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT) % 1000000"
-    )
     return f"""
 WITH RECURSIVE raw AS (
   SELECT doc_id, source,
@@ -3919,7 +3932,7 @@ etok AS (
   SELECT list_filter(string_split_regex(lower(substr(text, 1, 200)), '[^a-z0-9]+'),
                      x -> x <> '') AS t
   FROM redacted
-  WHERE {h60("CAST(doc_id AS VARCHAR) || ':eval'")} < 40000
+  WHERE {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':eval')} < 40000
 ),
 eth AS (SELECT {tokhash_list_sql('t')} AS h FROM etok WHERE len(t) >= 8),
 dth AS (SELECT doc_id, {tokhash_list_sql('t')} AS h FROM dtok WHERE len(t) >= 8),
@@ -3959,7 +3972,7 @@ budget AS (
     SELECT doc_id, text,
            sum(len(string_split(text, ' '))) OVER (
              PARTITION BY source
-             ORDER BY {h60("CAST(doc_id AS VARCHAR) || ':budget'")} ASC, doc_id ASC
+             ORDER BY {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':budget')} ASC, doc_id ASC
              ROWS UNBOUNDED PRECEDING) AS cum
     FROM surv) b
   WHERE cum <= 400
@@ -3985,7 +3998,7 @@ chunks AS (
 ),
 po AS (
   SELECT chunk_uid, n_tokens, chunk_fp,
-         {h60("chunk_uid || ':pack'")} AS ph
+         {hash_bucket_sql('chunk_uid', salt=':pack')} AS ph
   FROM chunks
 ),
 po2 AS MATERIALIZED (
@@ -4058,25 +4071,74 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chargram tokenization must produce MORE chunks than the whitespace
     one (4-char pieces outnumber words), so the face can't silently
     collapse into the default path."""
-    from schema_drift_detector_spark.operators.packing import chunk_documents
+    ws = q_chunk_documents__ws(spark, sf_dir)
+    cg = q_chunk_documents__chargram(spark, sf_dir)
+    out = ws.unionByName(cg).localCheckpoint(eager=True)
+    counts = {
+        r["face"]: (r["n"], r["mx"])
+        for r in out.groupBy("face")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("chunk_index").alias("mx"))
+        .collect()
+    }
+    # a face absent from the groupBy result means ZERO rows — the most
+    # vacuous outcome of all; .get with a (0, -1) sentinel keeps the
+    # diagnostic RuntimeErrors below reachable instead of a bare
+    # KeyError (review catch, r7)
+    n_ws, mx_ws = counts.get("ws", (0, -1))
+    n_cg, _ = counts.get("chargram", (0, -1))
+    single = (
+        out.filter(F.col("face") == "ws")
+        .groupBy("doc_id").agg(F.max("chunk_index").alias("mx"))
+        .filter(F.col("mx") == 0).limit(1).count()
+    )
+    if not (mx_ws is not None and mx_ws >= 2 and single):
+        raise RuntimeError(
+            "vacuous chunking: need both a single-chunk doc and a >2-chunk doc"
+        )
+    if n_cg <= n_ws:
+        raise RuntimeError(
+            "vacuous tokenizer seam: chargram face must out-chunk the "
+            f"whitespace face, got {n_cg} <= {n_ws}"
+        )
+    return out
 
-    docs = _t(spark, sf_dir, "documents").select(
+
+def _chunk_entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    ws = chunk_documents(docs, chunk_tokens=24, stride=12).select(
+
+
+def q_chunk_documents__ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'ws' face PLAN of q_chunk_documents, un-checkpointed and
+    un-gated — bench.py times q_<name>__<face> helpers directly because
+    the merged entry eagerly checkpoints both faces before returning,
+    so a post-hoc .filter(face) would price the whole union (review
+    catch, r7)."""
+    from schema_drift_detector_spark.operators.packing import chunk_documents
+
+    docs = _chunk_entry_docs(spark, sf_dir)
+    return chunk_documents(docs, chunk_tokens=24, stride=12).select(
         F.lit("ws").alias("face"),
         "doc_id",
         "chunk_index",
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_fp"),
     )
-    toks = docs.withColumn(
+
+
+def q_chunk_documents__chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'chargram' (tokenizer-seam) face PLAN of q_chunk_documents
+    (see __ws)."""
+    from schema_drift_detector_spark.operators.packing import chunk_documents
+
+    toks = _chunk_entry_docs(spark, sf_dir).withColumn(
         "toks", F.regexp_extract_all(F.col("text"), F.lit("(?s).{1,4}"), 0)
     )
-    cg = chunk_documents(
+    return chunk_documents(
         toks, chunk_tokens=24, stride=12, tokens_col="toks", joiner=""
     ).select(
         F.lit("chargram").alias("face"),
@@ -4085,28 +4147,6 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_fp"),
     )
-    out = ws.unionByName(cg).localCheckpoint(eager=True)
-    counts = {
-        r["face"]: (r["n"], r["mx"])
-        for r in out.groupBy("face")
-        .agg(F.count(F.lit(1)).alias("n"), F.max("chunk_index").alias("mx"))
-        .collect()
-    }
-    single = (
-        out.filter(F.col("face") == "ws")
-        .groupBy("doc_id").agg(F.max("chunk_index").alias("mx"))
-        .filter(F.col("mx") == 0).limit(1).count()
-    )
-    if not (counts["ws"][1] >= 2 and single):
-        raise RuntimeError(
-            "vacuous chunking: need both a single-chunk doc and a >2-chunk doc"
-        )
-    if counts["chargram"][0] <= counts["ws"][0]:
-        raise RuntimeError(
-            "vacuous tokenizer seam: chargram face must out-chunk the "
-            f"whitespace face, got {counts['chargram'][0]} <= {counts['ws'][0]}"
-        )
-    return out
 
 
 def _oracle_chunk_face(face: str, tok_expr: str, joiner_lit: str) -> str:

@@ -112,11 +112,14 @@ BENCH_QUERIES = [
 # UNION of faces: the row's headline time prices all faces together, so
 # the moment a new face merges into an existing q_<name> helper its time
 # series silently re-prices (profile_events r6 jumped 2.18× this way).
-# Each face is timed via .filter(face == v) — the face column is a
-# per-branch literal, so Catalyst folds the other branches to empty and
-# the timing isolates that face's plan. RULE: any future face merge into
-# a BENCH_QUERIES helper must add its faces here AND write a series-break
-# annotation in BENCH/BASELINE.md.
+# Each face is timed via a dedicated q_<name>__<face> helper building
+# ONLY that face's plan when one exists (mandatory for entries that
+# checkpoint/gate eagerly — there a post-hoc filter prices the whole
+# union), else via .filter(face == v) on the un-checkpointed union,
+# where the per-branch face literal lets Catalyst fold the other
+# branches to empty. RULE: any future face merge into a BENCH_QUERIES
+# helper must add its faces here (plus a __face helper if the entry
+# checkpoints) AND write a series-break annotation in BENCH/BASELINE.md.
 FACE_SPLITS: dict[str, list[str]] = {
     "profile_events": ["profile", "pivot"],
     # r7: tokenizer-seam face merged into the entry — 'ws' continues the
@@ -274,10 +277,21 @@ def main() -> None:
             samples.append(time.time() - t0)
         qtimes[name] = round(min(samples), 3)
         for face in FACE_SPLITS.get(name, ()):
+            # a dedicated q_<name>__<face> helper builds ONLY that
+            # face's plan — required when the merged entry eagerly
+            # checkpoints/gates both faces before returning (there a
+            # post-hoc .filter(face) would price the whole union; r7
+            # review catch). The filter fallback is correct only for
+            # non-checkpointed unions (profile_events), where the face
+            # literal lets Catalyst fold the other branches to empty.
+            ffn = getattr(E, f"q_{name}__{face}", None)
             fsamples = []
             for _ in range(3):
                 t0 = time.time()
-                _force(fn(spark, SF_DIR).filter(F.col("face") == face))
+                if ffn is not None:
+                    _force(ffn(spark, SF_DIR))
+                else:
+                    _force(fn(spark, SF_DIR).filter(F.col("face") == face))
                 fsamples.append(time.time() - t0)
             qface[f"{name}:{face}"] = round(min(fsamples), 3)
 

@@ -139,6 +139,14 @@ def portable_hash60(value: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash60_sql(expr: str) -> str:
+    """The DuckDB replay of portable_hash60 over an already-VARCHAR SQL
+    expression. Lives beside the Column and Python twins so the three
+    call forms can never desynchronize (several oracles previously
+    inlined this string by hand — r7 review)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def portable_hash60_py(value: str) -> int:
     """Python-side twin of portable_hash60, for Arrow UDF bodies that
     hash inside a batch loop (decontamination grams). SAME definition,

@@ -53,6 +53,17 @@ def hash_bucket(key: Column | str, buckets: int = _DENOM, salt: str = "") -> Col
     return F.pmod(portable_hash60(s), F.lit(buckets))
 
 
+def hash_bucket_sql(key_expr: str, buckets: int = _DENOM, salt: str = "") -> str:
+    """The DuckDB replay of hash_bucket over an already-VARCHAR SQL
+    expression — lives beside hash_bucket so the bucket rule can never
+    fork between the engine and an oracle (hash60 is < 2^60, so plain
+    ``%`` equals pmod here)."""
+    from ..functions.text import portable_hash60_sql
+
+    s = f"{key_expr} || '{salt}'" if salt else key_expr
+    return f"({portable_hash60_sql(s)} % {buckets})"
+
+
 def sample_by_hash(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
     """Deterministic ``fraction`` sample: keep rows whose key bucket
     falls below fraction·1e6. Same key (and salt) → same decision,
