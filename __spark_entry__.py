@@ -300,16 +300,33 @@ FROM events GROUP BY user_id
 
 
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus carving, certified end-to-end: per-language
-    hash-rate downsample (en 50%, zh 100%, others 20%) composed with a
-    leakage-free 70/15/15 split — both pure portable-md5 expressions,
-    so DuckDB reproduces the EXACT member set and split labels (not
-    just counts). r6 adds the QUALITY-WEIGHTED sampling decision
-    (weighted_keep: accept with probability quality_score, its own
-    ':wsample' salt) as a certified column — the decision for every
-    surviving doc, both-valued by construction (gated)."""
+    """Deterministic corpus-carving decisions, two faces:
+
+    'carve' — per-language hash-rate downsample (en 50%, zh 100%,
+    others 20%) composed with a leakage-free 70/15/15 split — both pure
+    portable-md5 expressions, so DuckDB reproduces the EXACT member set
+    and split labels (not just counts). r6 adds the QUALITY-WEIGHTED
+    sampling decision (weighted_keep: accept with probability
+    quality_score, its own ':wsample' salt) as a certified column — the
+    decision for every surviving doc, both-valued by construction
+    (gated).
+
+    'dsir' (r7) — DSIR-style importance selection (Xie et al. 2023):
+    every doc scored by the hashed-unigram log importance ratio against
+    a 5%-hash target sample (1024 buckets, add-0.5 smoothing, score
+    rounded to 5), then the top 20 per source selected by
+    (score desc, doc_id asc) rank. The oracle replays bucket hashing,
+    both smoothed distributions, the ordered log-ratio sum, and the
+    rank rule — scores AND the exact selected sets are hash-certified.
+    Gated: scores must vary and the selection must be non-trivial
+    (some selected, some not, in >= 2 sources)."""
     from schema_drift_detector_spark.functions.text import quality_score
+    from schema_drift_detector_spark.operators.importance import (
+        dsir_scores,
+        select_top_k,
+    )
     from schema_drift_detector_spark.operators.sampling import (
+        hash_bucket,
         split_by_hash,
         stratified_sample_by_hash,
         weighted_keep,
@@ -319,17 +336,53 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = stratified_sample_by_hash(
         docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.2
     )
-    out = split_by_hash(sampled, "doc_id", [0.7, 0.15, 0.15]).select(
+    carve = split_by_hash(sampled, "doc_id", [0.7, 0.15, 0.15]).select(
+        F.lit("carve").alias("face"),
         "doc_id",
         "lang",
         "split",
         weighted_keep("doc_id", quality_score("text")).alias("q_keep"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("dsir_score"),
+        F.lit(None).cast("boolean").alias("selected"),
     ).localCheckpoint(eager=True)
-    kept = out.filter(F.col("q_keep")).limit(1).count()
-    dropped = out.filter(~F.col("q_keep")).limit(1).count()
+    kept = carve.filter(F.col("q_keep")).limit(1).count()
+    dropped = carve.filter(~F.col("q_keep")).limit(1).count()
     if not (kept and dropped):
         raise RuntimeError("vacuous weighted-sampling certification: q_keep single-valued")
-    return out
+
+    target = docs.filter(hash_bucket("doc_id", salt=":dsirT") < 50_000)
+    scored = dsir_scores(
+        docs.select("doc_id", "source", "text"),
+        target,
+        n_buckets=1024,
+        alpha=0.5,
+        round_digits=5,
+    ).select("doc_id", "source", "dsir_score")
+    sel = select_top_k(scored, k=20, group_col="source").select(
+        "doc_id", F.lit(True).alias("selected")
+    )
+    dsir = scored.join(sel, "doc_id", "left").select(
+        F.lit("dsir").alias("face"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("boolean").alias("q_keep"),
+        "source",
+        "dsir_score",
+        F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
+    ).localCheckpoint(eager=True)
+    st = dsir.agg(
+        F.min("dsir_score").alias("lo"),
+        F.max("dsir_score").alias("hi"),
+        F.count_distinct(F.when(F.col("selected"), F.col("source"))).alias("nsel"),
+        F.count(F.when(~F.col("selected"), 1)).alias("nout"),
+    ).first()
+    if not (st.lo is not None and st.lo < st.hi and st.nsel >= 2 and st.nout > 0):
+        raise RuntimeError(
+            f"vacuous DSIR certification: scores/selection degenerate ({st})"
+        )
+    return carve.unionByName(dsir)
 
 
 # three INDEPENDENT salted buckets: bs (unsalted) gates the sample, bsp
@@ -339,7 +392,9 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100% in 'train'). Built lazily (function, not constant) because it
 # embeds ORACLE_QUALITY, defined later in this module.
 def _oracle_stratified_split() -> str:
-    return f"""
+    from schema_drift_detector_spark.operators.sampling import hash_bucket_sql
+
+    carve = f"""
 WITH h AS (
   SELECT doc_id, lang,
          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
@@ -359,6 +414,54 @@ SELECT h.doc_id, h.lang,
 FROM h JOIN ({ORACLE_QUALITY}) q ON q.doc_id = h.doc_id
 WHERE bs < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
            ELSE 200000 END
+"""
+    # DSIR replay: bucket hashing (the ':dsir' salt), both add-0.5
+    # smoothed bucket distributions (denominator totals = occurrence
+    # counts), the per-doc log-ratio sum rounded to 5 (round absorbs
+    # summation-order/libm ULP — the engine-wide double discipline),
+    # and the (score desc NULLS LAST, doc_id asc) top-20-per-source rank
+    bkt = hash_bucket_sql("tok", 1024, ":dsir")
+    dsir = f"""
+WITH occ AS (
+  SELECT doc_id, {bkt} AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+), tocc AS (
+  SELECT doc_id, {bkt} AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE text IS NOT NULL
+          AND {hash_bucket_sql("CAST(doc_id AS VARCHAR)", salt=":dsirT")} < 50000)
+), bg AS (SELECT bucket, count(*) AS n_bg FROM occ GROUP BY 1),
+tg AS (SELECT bucket, count(*) AS n_tg FROM tocc GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM occ) AS g, (SELECT count(*) FROM tocc) AS t),
+r AS (
+  SELECT bucket,
+         ln((coalesce(n_tg, 0) + 0.5) / (tot.t + 0.5 * 1024))
+       - ln((coalesce(n_bg, 0) + 0.5) / (tot.g + 0.5 * 1024)) AS lr
+  FROM bg FULL OUTER JOIN tg USING (bucket), tot
+), sc AS (
+  SELECT o.doc_id, round(sum(r.lr), 5) AS dsir_score
+  FROM occ o JOIN r USING (bucket) GROUP BY 1
+), ranked AS (
+  SELECT d.doc_id, d.source, sc.dsir_score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY sc.dsir_score DESC NULLS LAST,
+                                     d.doc_id ASC) AS rk
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id, source, dsir_score, (rk <= 20) AS selected FROM ranked
+"""
+    return f"""
+SELECT 'carve' AS face, doc_id, lang, split, q_keep,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS dsir_score,
+       CAST(NULL AS BOOLEAN) AS selected
+FROM ({carve})
+UNION ALL
+SELECT 'dsir' AS face, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BOOLEAN) AS q_keep,
+       source, dsir_score, selected
+FROM ({dsir})
 """
 
 

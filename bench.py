@@ -131,6 +131,36 @@ FACE_SPLITS: dict[str, list[str]] = {
 }
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+    Hypervisor steal is DIRECTLY measurable on this host — bracketing
+    the run with these readings turns 'the drift is probably steal'
+    (three rounds of adjudication, r4-r6) into a number."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:11]]
+    return vals[7], sum(vals)
+
+
+def steal_bracket(fn):
+    """Run fn(), returning (result, steal_metrics): steal jiffies and
+    the steal fraction of total machine capacity over fn's wall time."""
+    import os
+
+    hz = os.sysconf("SC_CLK_TCK")
+    s0, t0 = _cpu_jiffies()
+    w0 = time.time()
+    result = fn()
+    wall = time.time() - w0
+    s1, t1 = _cpu_jiffies()
+    cap = CPUS * wall * hz  # jiffies of capacity the wall clock offered
+    return result, {
+        "steal_jiffies": s1 - s0,
+        "steal_pct_of_capacity": round(100.0 * (s1 - s0) / cap, 2) if cap else 0.0,
+        "wall_s": round(wall, 1),
+    }
+
+
 def _burn(n: int) -> int:
     x = 0
     for i in range(n):
@@ -255,45 +285,53 @@ def main() -> None:
     # warm-up (JVM/codegen/page cache), excluded; best of 3 timed passes
     # (the virtualized host has time-varying steal — single samples are noisy)
     validate_pass(spark, docs_path, cat_path)
-    elapsed = min(validate_pass(spark, docs_path, cat_path) for _ in range(3))
+    elapsed, steal_validate = steal_bracket(
+        lambda: min(validate_pass(spark, docs_path, cat_path) for _ in range(3))
+    )
 
     import __spark_entry__ as E
 
     qtimes: dict[str, float] = {}
     qface: dict[str, float] = {}
     qs = E.queries()
-    for name in BENCH_QUERIES:
-        # per-variant q_<name> helper FIRST; registry as fallback — the
-        # round-6 board merges (jaccard full+sample, ann brute/ivf/
-        # trained, corpus_prep stats+full, …) kept every q_<name>
-        # function precisely so this time series stays comparable
-        # across rounds; registry-first would silently re-point a name
-        # like corpus_prep at its merged union and distort the series
-        fn = getattr(E, f"q_{name}", None) or qs[name]
-        samples = []
-        for _ in range(3):  # best of 3 — host steal noise
-            t0 = time.time()
-            _force(fn(spark, SF_DIR))
-            samples.append(time.time() - t0)
-        qtimes[name] = round(min(samples), 3)
-        for face in FACE_SPLITS.get(name, ()):
-            # a dedicated q_<name>__<face> helper builds ONLY that
-            # face's plan — required when the merged entry eagerly
-            # checkpoints/gates both faces before returning (there a
-            # post-hoc .filter(face) would price the whole union; r7
-            # review catch). The filter fallback is correct only for
-            # non-checkpointed unions (profile_events), where the face
-            # literal lets Catalyst fold the other branches to empty.
-            ffn = getattr(E, f"q_{name}__{face}", None)
-            fsamples = []
-            for _ in range(3):
+
+    def _queries_section() -> None:
+        for name in BENCH_QUERIES:
+            # per-variant q_<name> helper FIRST; registry as fallback —
+            # the round-6 board merges (jaccard full+sample, ann brute/
+            # ivf/trained, corpus_prep stats+full, …) kept every
+            # q_<name> function precisely so this time series stays
+            # comparable across rounds; registry-first would silently
+            # re-point a name like corpus_prep at its merged union and
+            # distort the series
+            fn = getattr(E, f"q_{name}", None) or qs[name]
+            samples = []
+            for _ in range(3):  # best of 3 — host steal noise
                 t0 = time.time()
-                if ffn is not None:
-                    _force(ffn(spark, SF_DIR))
-                else:
-                    _force(fn(spark, SF_DIR).filter(F.col("face") == face))
-                fsamples.append(time.time() - t0)
-            qface[f"{name}:{face}"] = round(min(fsamples), 3)
+                _force(fn(spark, SF_DIR))
+                samples.append(time.time() - t0)
+            qtimes[name] = round(min(samples), 3)
+            for face in FACE_SPLITS.get(name, ()):
+                # a dedicated q_<name>__<face> helper builds ONLY that
+                # face's plan — required when the merged entry eagerly
+                # checkpoints/gates both faces before returning (there a
+                # post-hoc .filter(face) would price the whole union; r7
+                # review catch). The filter fallback is correct only for
+                # non-checkpointed unions (profile_events), where the
+                # face literal lets Catalyst fold the other branches to
+                # empty.
+                ffn = getattr(E, f"q_{name}__{face}", None)
+                fsamples = []
+                for _ in range(3):
+                    t0 = time.time()
+                    if ffn is not None:
+                        _force(ffn(spark, SF_DIR))
+                    else:
+                        _force(fn(spark, SF_DIR).filter(F.col("face") == face))
+                    fsamples.append(time.time() - t0)
+                qface[f"{name}:{face}"] = round(min(fsamples), 3)
+
+    _, steal_queries = steal_bracket(_queries_section)
 
     probe_post = host_probe()  # steal drifts within a session — bracket it
 
@@ -319,6 +357,14 @@ def main() -> None:
         # hypervisor steal, not an engine change
         "host_probe_pre": probe_pre,
         "host_probe_post": probe_post,
+        # DIRECTLY measured hypervisor steal (Δ/proc/stat steal jiffies
+        # as % of CPUS×wall capacity) bracketing the validate pass and
+        # the per-query section — r4-r6 spent a round each adjudicating
+        # wall drift the probes could only suggest was steal; this
+        # measures it. A round with steal_pct_of_capacity >> the
+        # comparison round's is re-priced by the host, not the engine.
+        "steal_validate": steal_validate,
+        "steal_queries": steal_queries,
         # self-normalized headline (r3 verdict housekeeping): docs/sec per
         # host-probe M ops/s, using the mean of the bracketing aggregate
         # probes — directly comparable across rounds without manual
