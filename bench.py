@@ -293,6 +293,7 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     qface: dict[str, float] = {}
+    qsteals: dict[str, float] = {}
     qs = E.queries()
 
     def _queries_section() -> None:
@@ -306,11 +307,19 @@ def main() -> None:
             # distort the series
             fn = getattr(E, f"q_{name}", None) or qs[name]
             samples = []
-            for _ in range(3):  # best of 3 — host steal noise
-                t0 = time.time()
-                _force(fn(spark, SF_DIR))
-                samples.append(time.time() - t0)
+
+            def _three() -> None:
+                for _ in range(3):  # best of 3 — host steal noise
+                    t0 = time.time()
+                    _force(fn(spark, SF_DIR))
+                    samples.append(time.time() - t0)
+
+            # per-row steal bracket: section-level averages hide the
+            # BURSTS that actually re-price individual queries (r7:
+            # median 1.12x drift vs r6 at 1.67% section-average steal)
+            _, qsteal = steal_bracket(_three)
             qtimes[name] = round(min(samples), 3)
+            qsteals[name] = qsteal["steal_pct_of_capacity"]
             for face in FACE_SPLITS.get(name, ()):
                 # a dedicated q_<name>__<face> helper builds ONLY that
                 # face's plan — required when the merged entry eagerly
@@ -365,6 +374,10 @@ def main() -> None:
         # comparison round's is re-priced by the host, not the engine.
         "steal_validate": steal_validate,
         "steal_queries": steal_queries,
+        # steal % of capacity over each row's own 3-sample window —
+        # adjudicate a single row's drift against ITS steal, not the
+        # section average
+        "query_steal_pct": qsteals,
         # self-normalized headline (r3 verdict housekeeping): docs/sec per
         # host-probe M ops/s, using the mean of the bracketing aggregate
         # probes — directly comparable across rounds without manual
