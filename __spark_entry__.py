@@ -359,10 +359,11 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=0.5,
         round_digits=5,
     ).select("doc_id", "source", "dsir_score")
-    sel = select_top_k(scored, k=20, group_col="source").select(
-        "doc_id", F.lit(True).alias("selected")
-    )
-    dsir = scored.join(sel, "doc_id", "left").select(
+    # flag form: one window over the scored frame — no self-join, the
+    # plan is structurally the oracle's ranked CTE (review catch, r7)
+    dsir = select_top_k(
+        scored, k=20, group_col="source", flag_col="selected"
+    ).select(
         F.lit("dsir").alias("face"),
         "doc_id",
         F.lit(None).cast("string").alias("lang"),
@@ -370,7 +371,7 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("q_keep"),
         "source",
         "dsir_score",
-        F.coalesce(F.col("selected"), F.lit(False)).alias("selected"),
+        "selected",
     ).localCheckpoint(eager=True)
     st = dsir.agg(
         F.min("dsir_score").alias("lo"),
@@ -394,15 +395,13 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_stratified_split() -> str:
     from schema_drift_detector_spark.operators.sampling import hash_bucket_sql
 
+    did = "CAST(doc_id AS VARCHAR)"
     carve = f"""
 WITH h AS (
   SELECT doc_id, lang,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-           % 1000000 AS bs,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15) AS BIGINT)
-           % 1000000 AS bsp,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15) AS BIGINT)
-           % 1000000 AS bw
+         {hash_bucket_sql(did)} AS bs,
+         {hash_bucket_sql(did, salt=":split")} AS bsp,
+         {hash_bucket_sql(did, salt=":wsample")} AS bw
   FROM documents
 )
 SELECT h.doc_id, h.lang,
@@ -423,15 +422,18 @@ WHERE bs < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000
     bkt = hash_bucket_sql("tok", 1024, ":dsir")
     dsir = f"""
 WITH occ AS (
+  -- '' split artifacts are not tokens (mirrors bucket_counts)
   SELECT doc_id, {bkt} AS bucket
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents WHERE text IS NOT NULL)
+  WHERE tok <> ''
 ), tocc AS (
   SELECT doc_id, {bkt} AS bucket
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents
         WHERE text IS NOT NULL
           AND {hash_bucket_sql("CAST(doc_id AS VARCHAR)", salt=":dsirT")} < 50000)
+  WHERE tok <> ''
 ), bg AS (SELECT bucket, count(*) AS n_bg FROM occ GROUP BY 1),
 tg AS (SELECT bucket, count(*) AS n_tg FROM tocc GROUP BY 1),
 tot AS (SELECT (SELECT count(*) FROM occ) AS g, (SELECT count(*) FROM tocc) AS t),

@@ -131,29 +131,32 @@ FACE_SPLITS: dict[str, list[str]] = {
 }
 
 
-def _cpu_jiffies() -> tuple[int, int]:
-    """(steal, total) jiffies from the aggregate /proc/stat cpu line.
+def _steal_jiffies() -> int:
+    """Steal jiffies from the aggregate /proc/stat cpu line (field 8).
     Hypervisor steal is DIRECTLY measurable on this host — bracketing
     the run with these readings turns 'the drift is probably steal'
     (three rounds of adjudication, r4-r6) into a number."""
     with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:11]]
-    return vals[7], sum(vals)
+        return int(f.readline().split()[8])
 
 
 def steal_bracket(fn):
     """Run fn(), returning (result, steal_metrics): steal jiffies and
-    the steal fraction of total machine capacity over fn's wall time."""
+    the steal fraction of total machine capacity over fn's wall time.
+    The numerator is MACHINE-wide (aggregate cpu line), so the
+    capacity denominator must be machine-wide too — os.cpu_count(),
+    NOT the CPUS knob (review catch: SPARK_GRAFT_CPUS=16 on a 32-core
+    host would double-read steal)."""
     import os
 
     hz = os.sysconf("SC_CLK_TCK")
-    s0, t0 = _cpu_jiffies()
+    ncpu = os.cpu_count() or CPUS
+    s0 = _steal_jiffies()
     w0 = time.time()
     result = fn()
     wall = time.time() - w0
-    s1, t1 = _cpu_jiffies()
-    cap = CPUS * wall * hz  # jiffies of capacity the wall clock offered
+    s1 = _steal_jiffies()
+    cap = ncpu * wall * hz  # jiffies of capacity the wall clock offered
     return result, {
         "steal_jiffies": s1 - s0,
         "steal_pct_of_capacity": round(100.0 * (s1 - s0) / cap, 2) if cap else 0.0,

@@ -76,10 +76,13 @@ def bucket_counts(
     result has at most ``n_buckets`` rows — collectable and
     broadcastable at any corpus size."""
     _validate(n_buckets, 1.0)
-    tok = F.explode(F.split(F.col(text_col), " ")).alias("__tok")
     return (
         docs.filter(F.col(text_col).isNotNull())
-        .select(tok)
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
+        # '' tokens (empty text, runs of spaces) are split artifacts,
+        # not evidence — dropping them here also makes token-less docs
+        # score NULL in dsir_scores (no occurrence rows) as documented
+        .filter(F.col("__tok") != "")
         .select(hash_bucket(F.col("__tok"), n_buckets, _DSIR_SALT).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -97,8 +100,9 @@ def dsir_scores(
     round_digits: int = 5,
 ) -> DataFrame:
     """Per-document DSIR importance score: ``docs``'s columns plus
-    ``dsir_score`` (rounded double; docs whose text is NULL or empty of
-    tokens score NULL — no evidence is not zero evidence).
+    ``dsir_score`` (rounded double; docs whose text is NULL or holds no
+    non-empty tokens score NULL — no evidence is not zero evidence;
+    '' split artifacts from empty text or space runs are not tokens).
 
     The log-ratio table ln(p_target[b]) - ln(p_background[b]) is built
     from two bucket-count aggregates and joined back BROADCAST, so the
@@ -141,6 +145,7 @@ def dsir_scores(
             F.col(id_col),
             F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
         )
+        .filter(F.col("__tok") != "")  # same '' rule as bucket_counts
         .select(
             id_col,
             hash_bucket(F.col("__tok"), n_buckets, _DSIR_SALT).alias("bucket"),
@@ -160,19 +165,24 @@ def select_top_k(
     score_col: str = "dsir_score",
     id_col: str = "doc_id",
     group_col: str | None = None,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Deterministic rank-based selection: keep the ``k`` highest-score
     rows (ties broken by ``id_col`` ascending — a total order), per
     ``group_col`` when given, globally otherwise. NULL scores rank
     LAST (never selected while any scored row remains) — a doc with no
     evidence must not beat a scored one. One window shuffle; the same
-    shape as take_token_budget."""
+    shape as take_token_budget.
+
+    ``flag_col``: instead of filtering, return EVERY row with a boolean
+    selection column of that name — the audit form (a selection
+    manifest needs the rejected rows too), and the form that avoids a
+    self-join when a caller wants both the scores and the decision."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
     w = part.orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col).asc())
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    if flag_col is not None:
+        return ranked.withColumn(flag_col, F.col("__rk") <= k).drop("__rk")
+    return ranked.filter(F.col("__rk") <= k).drop("__rk")

@@ -315,3 +315,45 @@ def test_gram_hashes64_batch_matches_scalar(tok_lists, n):
         ref = [gram_hash64_py(toks[i : i + n]) for i in range(m)]
         assert g == sorted(set(ref))
         assert p == list(range(1, m + 1)) and gh == ref
+
+
+def test_hash_sql_builders_cross_engine_parity(spark):
+    """portable_hash60_sql / hash_bucket_sql (the DuckDB replay
+    builders) must produce the SAME values as the Spark Columns they
+    mirror — evaluated in both engines over awkward strings (unicode,
+    empties, quotes-free SQL-safe forms)."""
+    import duckdb
+
+    from schema_drift_detector_spark.functions.text import (
+        portable_hash60,
+        portable_hash60_sql,
+    )
+    from schema_drift_detector_spark.operators.sampling import (
+        hash_bucket,
+        hash_bucket_sql,
+    )
+    from pyspark.sql import functions as F
+
+    vals = ["", "a", "doc-000042", "héllo wörld", "x" * 100, "42"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got_spark = {
+        r["s"]: (r["h"], r["b"], r["bs"])
+        for r in df.select(
+            "s",
+            portable_hash60(F.col("s")).alias("h"),
+            hash_bucket(F.col("s"), 1024).alias("b"),
+            hash_bucket(F.col("s"), 1024, salt=":p").alias("bs"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(
+            f"SELECT s, {portable_hash60_sql('s')} AS h, "
+            f"{hash_bucket_sql('s', 1024)} AS b, "
+            f"{hash_bucket_sql('s', 1024, salt=':p')} AS bs FROM t"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
