@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from schema_drift_detector_spark.functions.text import portable_hash60_sql
+from schema_drift_detector_spark.operators.sampling import hash_bucket_sql
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
@@ -504,13 +507,12 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNION ALL branches mirror the passthrough contract even though
 # sf-synth documents have no null doc_id (the branches are empty here;
 # the unit tests exercise them with real nulls)
-ORACLE_SOURCE_QUOTA = """
+ORACLE_SOURCE_QUOTA = f"""
 SELECT 'docs_cap' AS face, doc_id, source FROM documents
 WHERE doc_id IS NOT NULL
 QUALIFY row_number() OVER (
   PARTITION BY source
-  ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':quota'), 1, 15) AS BIGINT)
-             % 1000000 ASC,
+  ORDER BY {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':quota')} ASC,
            doc_id ASC
 ) <= 10
 UNION ALL
@@ -520,8 +522,7 @@ SELECT 'token_budget' AS face, doc_id, source FROM (
   SELECT doc_id, source,
          sum(coalesce(len(string_split(text, ' ')), 0)) OVER (
            PARTITION BY source
-           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':budget'), 1, 15) AS BIGINT)
-                      % 1000000 ASC,
+           ORDER BY {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':budget')} ASC,
                     doc_id ASC
            ROWS UNBOUNDED PRECEDING) AS cum
   FROM documents WHERE doc_id IS NOT NULL) b
@@ -1358,11 +1359,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-ORACLE_PACK_SEQUENCES = """
+ORACLE_PACK_SEQUENCES = f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 15) AS BIGINT)
-           % 1000000 AS h
+         {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':pack')} AS h
   FROM documents WHERE text IS NOT NULL
 ),
 o AS (
@@ -1729,8 +1729,7 @@ eval_tok AS (
   SELECT list_filter(string_split_regex(lower(substr(text, 1, 200)), '[^a-z0-9]+'),
                      x -> x <> '') AS t
   FROM documents
-  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 15) AS BIGINT)
-        % 1000000 < 40000
+  WHERE {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':eval')} < 40000
 ),
 eval_th AS (SELECT {tokhash_list_sql('t')} AS h FROM eval_tok WHERE len(t) >= 8),
 doc_th AS (SELECT doc_id, {tokhash_list_sql('t')} AS h FROM tok WHERE len(t) >= 8),
@@ -2036,7 +2035,7 @@ def _minhash_oracle_parts_sfx(table: str, sfx: str) -> dict:
   SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
   FROM {table}, unnest(generate_series(1, greatest(len(text) - 4, 1))) t(i)
 ), hashed{sfx} AS (
-  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % {MERSENNE31} AS h31
+  SELECT doc_id, {portable_hash60_sql('s')} % {MERSENNE31} AS h31
   FROM sh{sfx}
 ), sig{sfx} AS (
   SELECT doc_id, {mins}
@@ -2185,8 +2184,7 @@ WITH RECURSIVE base AS (
   SELECT 'dup-' || CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, n_chars
   FROM documents
   WHERE doc_id IS NOT NULL
-    AND CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':clone'), 1, 15) AS BIGINT)
-          % 1000000 < 200000
+    AND {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':clone')} < 200000
 ),
 exact AS (
   SELECT * FROM base
@@ -2197,8 +2195,7 @@ capped AS (
   WHERE doc_id IS NOT NULL
   QUALIFY row_number() OVER (
     PARTITION BY source
-    ORDER BY CAST('0x' || substr(md5(doc_id || ':quota'), 1, 15) AS BIGINT)
-               % 1000000 ASC,
+    ORDER BY {hash_bucket_sql('doc_id', salt=':quota')} ASC,
              doc_id ASC
   ) <= 20
 ),
@@ -2217,8 +2214,7 @@ reach(doc, r) AS (
 cl AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
 drops AS (SELECT doc FROM cl WHERE doc <> cluster)
 SELECT c.doc_id, c.source,
-       CASE WHEN CAST('0x' || substr(md5(c.doc_id || ':split'), 1, 15) AS BIGINT)
-                   % 1000000 < 800000
+       CASE WHEN {hash_bucket_sql('c.doc_id', salt=':split')} < 800000
             THEN 'train' ELSE 'validation' END AS split
 FROM capped c LEFT JOIN drops ON c.doc_id = drops.doc
 WHERE drops.doc IS NULL
@@ -2273,7 +2269,7 @@ def _oracle_simhash() -> str:
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ), hashed AS (
-  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  SELECT doc_id, {portable_hash60_sql('t')} AS h
   FROM tok
 ), sigs AS (
   SELECT doc_id, {sig} AS sig
