@@ -3776,30 +3776,34 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     full hygiene chain a pretraining data job actually runs, certified
     as ONE DuckDB replay:
 
-      exact dedup → substring (boilerplate) strip → PII redaction →
-      benchmark decontamination → MinHash near-dup drop → per-source
-      token-budget mixing → context chunking → next-fit packing
+      exact dedup → substring (boilerplate) strip → intra-doc
+      repetition strip → PII redaction → benchmark decontamination →
+      MinHash near-dup drop → per-source token-budget mixing →
+      context chunking → next-fit packing
 
     Every stage BINDS (gated): planted clones (doc_id+1e6, %10) make
     exact dedup drop rows; the planted footer (%7) reaches min_df so
-    the substring pass strips; planted e-mails (%11) redact; a 4%
-    eval-prefix sample contaminates (those docs drop); LSH finds
-    near-dup survivors to drop; the 400-token budget truncates every
-    source; multi-chunk docs and multi-chunk bins exist. The untested
-    surface this certifies is the COMPOSITION: substring cleaning and
-    PII redaction change the gram identities decontamination and
-    MinHash see, and the post-clean token counts feed the budget —
-    the oracle replays the exact chain, so any stage reading stale
-    upstream text would hash-mismatch. Output: the packed-chunk
-    manifest (chunk_uid, shard, bin, n_tokens, truncated, chunk_fp) —
-    chunk_fp pins final text content, bin/shard pin the pack fold.
+    the cross-doc substring pass strips; planted self-repeats (%13:
+    the doc's own first 10 tokens appended twice) make the intra pass
+    strip; planted e-mails (%11) redact; a 4% eval-prefix sample
+    contaminates (those docs drop); LSH finds near-dup survivors to
+    drop; the 400-token budget truncates every source; multi-chunk
+    docs and multi-chunk bins exist. The untested surface this
+    certifies is the COMPOSITION: cross-doc cleaning changes the gram
+    identities the intra pass sees, both strips change what
+    decontamination and MinHash see, and the post-clean token counts
+    feed the budget — the oracle replays the exact chain, so any
+    stage reading stale upstream text would hash-mismatch. Output:
+    the packed-chunk manifest (chunk_uid, shard, bin, n_tokens,
+    truncated, chunk_fp) — chunk_fp pins final text content,
+    bin/shard pin the pack fold.
 
     Scale shape: each stage is the already-certified operator at its
-    certified plan (one md5 shuffle; two gram passes; codegen regexps;
-    broadcast eval grams; banded LSH — never all-pairs; one window;
-    zero-shuffle chunk explode; two-column pack fold). The composition
-    adds ONE extra join (chunk_fp back onto the pack manifest, key
-    co-partitioned)."""
+    certified plan (one md5 shuffle; two gram passes; one ZERO-shuffle
+    Arrow intra pass; codegen regexps; broadcast eval grams; banded
+    LSH — never all-pairs; one window; zero-shuffle chunk explode;
+    two-column pack fold). The composition adds ONE extra join
+    (chunk_fp back onto the pack manifest, key co-partitioned)."""
     from schema_drift_detector_spark.functions.pii import pii_redact
     from schema_drift_detector_spark.functions.text import token_count
     from schema_drift_detector_spark.operators.decontam import (
@@ -3819,8 +3823,12 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket,
         take_token_budget,
     )
-    from schema_drift_detector_spark.operators.substring import substring_dedup
+    from schema_drift_detector_spark.operators.substring import (
+        strip_repeated_runs,
+        substring_dedup,
+    )
 
+    head10 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
     raw = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -3836,6 +3844,10 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").cast("string"),
                     F.lit("@example.org now"),
                 ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" "), head10, F.lit(" "), head10),
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
@@ -3853,13 +3865,18 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = drop_exact_duplicates(base, "doc_id", "text")
     sub = substring_dedup(exact, n=8, min_df=4).localCheckpoint(eager=True)
     n_exact = sub.count()
+    any_cross = sub.filter(F.col("n_removed") > 0).limit(1).count() > 0
 
-    red = sub.select(
+    intra = strip_repeated_runs(
+        sub.select("doc_id", "source", "text"), n=8
+    ).localCheckpoint(eager=True)
+    any_intra = intra.filter(F.col("n_removed") > 0).limit(1).count() > 0
+
+    red = intra.select(
         "doc_id",
         "source",
         pii_redact("text").alias("text"),
         (pii_redact("text") != F.col("text")).alias("__was_redacted"),
-        "n_removed",
     )
     eval_df = red.filter(hash_bucket("doc_id", salt=":eval") < 40_000).select(
         F.substring("text", 1, 200).alias("text")
@@ -3882,13 +3899,13 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = budgeted.agg(
         F.count(F.lit(1)).alias("n_budgeted"),
-        F.max((F.col("n_removed") > 0).cast("int")).alias("any_strip"),
         F.max(F.col("__was_redacted").cast("int")).alias("any_redact"),
     ).first()
     n_decon, n_surv = decon.count(), surv.count()
     binding = {
         "exact_dedup": n_exact < n_base,
-        "substring_strip": bool(stage.any_strip),
+        "substring_strip": any_cross,
+        "intra_strip": any_intra,
         "pii_redact": bool(stage.any_redact),
         "decontaminate": n_decon < n_exact,
         "neardup_drop": n_surv < n_decon,
@@ -3982,8 +3999,12 @@ WITH RECURSIVE raw AS (
          (CASE WHEN doc_id % 7 = 0 THEN text || '{_SUBSTR_FOOTER}' ELSE text END)
          || (CASE WHEN doc_id % 11 = 0
                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN ' ' || rep || ' ' || rep
                   ELSE '' END) AS text
-  FROM documents
+  FROM (SELECT doc_id, source, text,
+               array_to_string(string_split(text, ' ')[1:10], ' ') AS rep
+        FROM documents)
 ),
 base AS (
   SELECT * FROM raw
@@ -4020,9 +4041,42 @@ sagg AS (
   FROM stoks tk LEFT JOIN scov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
   GROUP BY tk.doc_id
 ),
-redacted AS MATERIALIZED (
-  SELECT e.doc_id, e.source, {pii_redact_sql('coalesce(a.kept, e.text)')} AS text
+scl AS MATERIALIZED (
+  -- cross-doc-stripped text; the intra pass below re-grams THIS text,
+  -- so the composition (cleaning changes gram identities) is replayed
+  SELECT e.doc_id, e.source, coalesce(a.kept, e.text) AS text
   FROM exact e LEFT JOIN sagg a USING (doc_id)
+),
+xtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM scl),
+xth AS (SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM xtok WHERE len(t) >= 8),
+xgrams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {gh} AS gh
+  FROM xth, unnest(generate_series(1, len(t) - 7)) s(i)
+),
+xfirst AS (SELECT doc_id, gh, min(pos) AS fpos FROM xgrams GROUP BY doc_id, gh),
+xrep AS (
+  SELECT g.doc_id, g.pos FROM xgrams g
+  JOIN xfirst f ON f.doc_id = g.doc_id AND f.gh = g.gh AND g.pos > f.fpos
+),
+xtoks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS token
+  FROM xtok, unnest(generate_series(1, len(t))) s(i)
+),
+xcov AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM xtoks tk JOIN xrep r
+    ON r.doc_id = tk.doc_id AND tk.pos BETWEEN r.pos AND r.pos + 7
+),
+xagg AS (
+  SELECT tk.doc_id,
+         coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS kept
+  FROM xtoks tk LEFT JOIN xcov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+  GROUP BY tk.doc_id
+),
+redacted AS MATERIALIZED (
+  SELECT s.doc_id, s.source, {pii_redact_sql('coalesce(x.kept, s.text)')} AS text
+  FROM scl s LEFT JOIN xagg x USING (doc_id)
 ),
 dtok AS (
   SELECT doc_id,
