@@ -3654,16 +3654,59 @@ def q_substring_dedup__intra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_substring_dedup() -> str:
-    """Two faces, one replay each: 'cross' re-derives the corpus-wide
-    boilerplate df threshold + coverage strip; 'intra' re-derives
-    first-occurrence gram detection (min(pos) per (doc, gram), the SQL
-    twin of pd.duplicated(keep='first')) + coverage strip over the
-    self-repetition fixture."""
+def _intra_strip_ctes(sfx: str, src: str, n: int = 8) -> str:
+    """THE SQL replay of operators.substring.strip_repeated_runs —
+    gram extraction, first-occurrence detection (min(pos) per
+    (doc, gram), the SQL twin of pd.duplicated(keep='first')),
+    non-first run coverage, and the kept-token rejoin — as a CTE block
+    with every name prefixed by ``sfx``, reading (doc_id, text) from
+    CTE ``src``. ONE definition shared by the standalone 'intra' face
+    and the e2e pipeline oracle, so the two replays cannot
+    desynchronize (review catch, r7). Consumers read ``{sfx}agg``
+    (doc_id, n_tokens, n_removed, kept) via LEFT JOIN — docs with no
+    tokens (NULL text) have no row there."""
     from schema_drift_detector_spark.functions.text import (
         gram_hash64_sql,
         tokhash_list_sql,
     )
+
+    gh = gram_hash64_sql("h", "CAST(i AS INT)", n)
+    return f"""
+{sfx}tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {src}
+), {sfx}th AS (
+  SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM {sfx}tok WHERE len(t) >= {n}
+), {sfx}grams AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, {gh} AS gh
+  FROM {sfx}th, unnest(generate_series(1, len(t) - {n - 1})) s(i)
+), {sfx}first AS (
+  SELECT doc_id, gh, min(pos) AS fpos FROM {sfx}grams GROUP BY doc_id, gh
+), {sfx}rep AS (
+  -- non-first occurrences: the SQL twin of pd.duplicated(keep='first')
+  SELECT g.doc_id, g.pos FROM {sfx}grams g
+  JOIN {sfx}first f ON f.doc_id = g.doc_id AND f.gh = g.gh AND g.pos > f.fpos
+), {sfx}toks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS token, len(t) AS n
+  FROM {sfx}tok, unnest(generate_series(1, len(t))) s(i)
+), {sfx}cov AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM {sfx}toks tk JOIN {sfx}rep r
+    ON r.doc_id = tk.doc_id AND tk.pos BETWEEN r.pos AND r.pos + {n - 1}
+), {sfx}agg AS (
+  SELECT tk.doc_id, max(tk.n) AS n_tokens, count(c.pos) AS n_removed,
+         coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS kept
+  FROM {sfx}toks tk LEFT JOIN {sfx}cov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+  GROUP BY tk.doc_id
+)"""
+
+
+def _oracle_substring_dedup() -> str:
+    """Two faces, one replay each: 'cross' re-derives the corpus-wide
+    boilerplate df threshold + coverage strip; 'intra' re-derives
+    first-occurrence gram detection + coverage strip over the
+    self-repetition fixture (the shared _intra_strip_ctes block)."""
+    from schema_drift_detector_spark.functions.text import gram_hash64_sql
 
     gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
     intra = f"""
@@ -3675,33 +3718,7 @@ WITH idocs AS (
   FROM (SELECT doc_id, text,
                array_to_string(string_split(text, ' ')[1:10], ' ') AS rep
         FROM documents)
-), itok AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM idocs
-), ith AS (
-  SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM itok WHERE len(t) >= 8
-), igrams AS (
-  SELECT doc_id, CAST(i AS INT) AS pos, {gh} AS gh
-  FROM ith, unnest(generate_series(1, len(t) - 7)) s(i)
-), ifirst AS (
-  SELECT doc_id, gh, min(pos) AS fpos FROM igrams GROUP BY doc_id, gh
-), irep AS (
-  -- non-first occurrences: the SQL twin of pd.duplicated(keep='first')
-  SELECT g.doc_id, g.pos FROM igrams g
-  JOIN ifirst f ON f.doc_id = g.doc_id AND f.gh = g.gh AND g.pos > f.fpos
-), itoks AS (
-  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS token, len(t) AS n
-  FROM itok, unnest(generate_series(1, len(t))) s(i)
-), icov AS (
-  SELECT DISTINCT tk.doc_id, tk.pos
-  FROM itoks tk JOIN irep r
-    ON r.doc_id = tk.doc_id AND tk.pos BETWEEN r.pos AND r.pos + 7
-), iagg AS (
-  SELECT tk.doc_id, max(tk.n) AS n_tokens, count(c.pos) AS n_removed,
-         coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos)
-                  FILTER (WHERE c.pos IS NULL), '') AS kept
-  FROM itoks tk LEFT JOIN icov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
-  GROUP BY tk.doc_id
-)
+), {_intra_strip_ctes('i', 'idocs')}
 SELECT d.doc_id,
        CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens,
        CAST(coalesce(a.n_removed, 0) AS INT) AS n_removed,
@@ -3865,19 +3882,23 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = drop_exact_duplicates(base, "doc_id", "text")
     sub = substring_dedup(exact, n=8, min_df=4).localCheckpoint(eager=True)
     n_exact = sub.count()
-    any_cross = sub.filter(F.col("n_removed") > 0).limit(1).count() > 0
 
+    # per-doc strip flags RIDE THROUGH the rest of the chain so the
+    # binding gates below certify that a stripped doc SURVIVED to the
+    # budgeted output (a stage that strips only docs that later drop
+    # would be vacuous w.r.t. the certified manifest — review catch)
     intra = strip_repeated_runs(
-        sub.select("doc_id", "source", "text"), n=8
-    ).localCheckpoint(eager=True)
-    any_intra = intra.filter(F.col("n_removed") > 0).limit(1).count() > 0
+        sub.withColumn("__cross_stripped", F.col("n_removed") > 0), n=8
+    ).withColumn("__intra_stripped", F.col("n_removed") > 0)
 
     red = intra.select(
         "doc_id",
         "source",
         pii_redact("text").alias("text"),
         (pii_redact("text") != F.col("text")).alias("__was_redacted"),
-    )
+        "__cross_stripped",
+        "__intra_stripped",
+    ).localCheckpoint(eager=True)  # several consumers; don't re-run the Arrow strip
     eval_df = red.filter(hash_bucket("doc_id", salt=":eval") < 40_000).select(
         F.substring("text", 1, 200).alias("text")
     )
@@ -3900,12 +3921,14 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = budgeted.agg(
         F.count(F.lit(1)).alias("n_budgeted"),
         F.max(F.col("__was_redacted").cast("int")).alias("any_redact"),
+        F.max(F.col("__cross_stripped").cast("int")).alias("any_cross"),
+        F.max(F.col("__intra_stripped").cast("int")).alias("any_intra"),
     ).first()
     n_decon, n_surv = decon.count(), surv.count()
     binding = {
         "exact_dedup": n_exact < n_base,
-        "substring_strip": any_cross,
-        "intra_strip": any_intra,
+        "substring_strip": bool(stage.any_cross),
+        "intra_strip": bool(stage.any_intra),
         "pii_redact": bool(stage.any_redact),
         "decontaminate": n_decon < n_exact,
         "neardup_drop": n_surv < n_decon,
@@ -4047,33 +4070,7 @@ scl AS MATERIALIZED (
   SELECT e.doc_id, e.source, coalesce(a.kept, e.text) AS text
   FROM exact e LEFT JOIN sagg a USING (doc_id)
 ),
-xtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM scl),
-xth AS (SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM xtok WHERE len(t) >= 8),
-xgrams AS (
-  SELECT doc_id, CAST(i AS INT) AS pos, {gh} AS gh
-  FROM xth, unnest(generate_series(1, len(t) - 7)) s(i)
-),
-xfirst AS (SELECT doc_id, gh, min(pos) AS fpos FROM xgrams GROUP BY doc_id, gh),
-xrep AS (
-  SELECT g.doc_id, g.pos FROM xgrams g
-  JOIN xfirst f ON f.doc_id = g.doc_id AND f.gh = g.gh AND g.pos > f.fpos
-),
-xtoks AS (
-  SELECT doc_id, CAST(i AS INT) AS pos, t[CAST(i AS INT)] AS token
-  FROM xtok, unnest(generate_series(1, len(t))) s(i)
-),
-xcov AS (
-  SELECT DISTINCT tk.doc_id, tk.pos
-  FROM xtoks tk JOIN xrep r
-    ON r.doc_id = tk.doc_id AND tk.pos BETWEEN r.pos AND r.pos + 7
-),
-xagg AS (
-  SELECT tk.doc_id,
-         coalesce(string_agg(tk.token, ' ' ORDER BY tk.pos)
-                  FILTER (WHERE c.pos IS NULL), '') AS kept
-  FROM xtoks tk LEFT JOIN xcov c ON c.doc_id = tk.doc_id AND c.pos = tk.pos
-  GROUP BY tk.doc_id
-),
+{_intra_strip_ctes('x', 'scl')},
 redacted AS MATERIALIZED (
   SELECT s.doc_id, s.source, {pii_redact_sql('coalesce(x.kept, s.text)')} AS text
   FROM scl s LEFT JOIN xagg x USING (doc_id)
