@@ -1329,6 +1329,168 @@ FROM events e LEFT JOIN per_user p ON e.user_id = p.user_id
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both salted-join certifications in one entry, tagged by `face`
+    ('uniform' = every-row salting on the orders⋈customer join; 'hot' =
+    hot-key-only salting on events⋈per_user with the measured heavy-
+    hitter set). Merged in r7 under the 50-row driver attestation cap
+    to make room for `bm25_topk` (merge recipe: tag + null-pad +
+    union; series-break annotated in BENCH/BASELINE.md r7 notes — the
+    per-face series continue via q_salted_join__uniform/__hot)."""
+    uni = q_salted_join_orders(spark, sf_dir).select(
+        F.lit("uniform").alias("face"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "c_name",
+        "c_nationkey",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("first_event_id"),
+    )
+    hot = q_salted_join_hot_events(spark, sf_dir).select(
+        F.lit("hot").alias("face"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        "event_id",
+        "user_id",
+        "event_type",
+        "n_events",
+        "first_event_id",
+    )
+    return uni.unionByName(hot)
+
+
+# bench face helpers: bare per-face plans (the hot face eagerly
+# collects its heavy-hitter set at plan-build time, so a post-hoc
+# .filter(face) on the union would pay that for BOTH faces)
+q_salted_join__uniform = q_salted_join_orders
+q_salted_join__hot = q_salted_join_hot_events
+
+
+def _oracle_salted_join_merged() -> str:
+    return f"""
+SELECT 'uniform' AS face, o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey,
+       CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS n_events,
+       CAST(NULL AS BIGINT) AS first_event_id
+FROM ({ORACLE_SALTED_JOIN_ORDERS})
+UNION ALL
+SELECT 'hot', NULL, NULL, NULL, NULL, NULL,
+       event_id, user_id, event_type, n_events, first_event_id
+FROM ({ORACLE_SALTED_JOIN_HOT_EVENTS})
+"""
+
+
+# BM25 probe queries over the synthetic corpus vocabulary: four
+# in-vocabulary probes, one PARTIAL query (an out-of-vocabulary term
+# alongside a real one — certifies that unmatched terms contribute
+# nothing rather than NULLing the score), one fully out-of-vocabulary
+# query (certifies empty-result handling: absent from the output).
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_scan", ["fast", "table", "scan"]),
+    ("q_cust", ["customer", "order", "join"]),
+    ("q_window", ["window", "agg", "sort"]),
+    ("q_stream", ["spark", "stream", "batch"]),
+    ("q_partial", ["zzznotaword", "merge"]),
+    ("q_none", ["qqqnotaword"]),
+]
+_BM25_K = 8
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval (BM25, Lucene idf) over the documents
+    corpus — the text-search counterpart to the ANN entries. The
+    oracle replays the full scoring pipeline (vocab-pruned postings,
+    tf/df, dl/avgdl saturation, 6-dp-rounded ranking with doc_id
+    tie-break) so every score and every rank is hash-checked. The
+    no-match probe's absence from the output is part of the certified
+    result; non-vacuity gates pin that the in-vocab probes actually
+    fill their k and the partial probe still scores."""
+    from schema_drift_detector_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, terms array<string>"
+    )
+    out = bm25_topk(docs, queries, k=_BM25_K).localCheckpoint(eager=True)
+    full = (
+        out.groupBy("query_id")
+        .agg(F.max("rank").alias("mr"))
+        .filter(F.col("mr") == _BM25_K)
+        .count()
+    )
+    if full < 4:
+        raise RuntimeError(
+            f"vacuous fixture: only {full}/4 in-vocab probes filled k={_BM25_K}"
+        )
+    if out.filter(F.col("query_id") == "q_partial").limit(1).count() == 0:
+        raise RuntimeError(
+            "vacuous fixture: partial probe (OOV term + real term) scored nothing"
+        )
+    return out
+
+
+ORACLE_BM25_TOPK = """
+WITH q(query_id, terms) AS (
+  VALUES ('q_scan', ['fast','table','scan']),
+         ('q_cust', ['customer','order','join']),
+         ('q_window', ['window','agg','sort']),
+         ('q_stream', ['spark','stream','batch']),
+         ('q_partial', ['zzznotaword','merge']),
+         ('q_none', ['qqqnotaword'])
+),
+qterms AS (
+  SELECT query_id, unnest(list_distinct(terms)) AS term FROM q
+),
+tokenized AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+dls AS (SELECT doc_id, len(toks) AS dl FROM tokenized),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+),
+postings AS (
+  SELECT t.doc_id, d.dl, u.term
+  FROM tokenized t
+  JOIN dls d USING (doc_id), unnest(t.toks) AS u(term)
+  WHERE d.dl > 0 AND u.term IN (SELECT DISTINCT term FROM qterms)
+),
+tf AS (
+  SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM postings GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf * (1.2 + 1)
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS c
+  FROM tf
+  JOIN dft USING (term)
+  CROSS JOIN stats s
+  JOIN qterms qt USING (term)
+),
+scored AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, score
+FROM scored
+QUALIFY rank <= 8
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic next-fit sequence packing (context packing for
     pretraining): docs sharded by portable id hash, ordered by (hash,
@@ -4878,8 +5040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "chunk_documents": q_chunk_documents,
         "stream_dedup_watermark": q_stream_dedup_watermark,
-        "salted_join_orders": q_salted_join_orders,
-        "salted_join_hot_events": q_salted_join_hot_events,
+        "salted_join": q_salted_join,
+        "bm25_topk": q_bm25_topk,
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
         "incremental_neardup": q_incremental_neardup,
@@ -4933,8 +5095,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "stream_dedup_watermark": _oracle_stream_dedup_watermark(),
-        "salted_join_orders": ORACLE_SALTED_JOIN_ORDERS,
-        "salted_join_hot_events": ORACLE_SALTED_JOIN_HOT_EVENTS,
+        "salted_join": _oracle_salted_join_merged(),
+        "bm25_topk": ORACLE_BM25_TOPK,
         "decontaminate": ORACLE_DECONTAMINATE,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "incremental_neardup": _oracle_incremental_neardup(),

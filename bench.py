@@ -128,6 +128,10 @@ FACE_SPLITS: dict[str, list[str]] = {
     # r7: intra-doc repetition strip merged in — 'cross' continues the
     # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "substring_dedup": ["cross", "intra"],
+    # r7: salted_join_orders + salted_join_hot_events merged to free a
+    # board slot for bm25_topk — 'uniform'/'hot' continue the two ≤r7
+    # single-face series (annotated in BENCH/BASELINE.md r7 notes)
+    "salted_join": ["uniform", "hot"],
 }
 
 

@@ -1,0 +1,172 @@
+"""Lexical top-k retrieval (BM25) over a document corpus.
+
+The text-search counterpart to ``operators/ann.py``: where ANN ranks by
+embedding cosine, this ranks by BM25 — the inverted-index scoring
+function of Lucene/Elasticsearch (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond"). The reference app
+has no search surface (it is a metadata pipeline; see SURVEY.md §2B
+"beyond-reference LLM-pipeline operators") — this operator exists for
+the training-data side of the engine: retrieval-based corpus QA
+("which documents match this probe query"), decontamination triage,
+and prompt/eval-set neighborhood inspection.
+
+Scale shape (the 100 TB plan, asserted in tests/test_plans.py):
+
+- The corpus is tokenized ONCE and postings are pruned to the query
+  vocabulary BEFORE the (doc, term) aggregation — the one data-scale
+  shuffle moves only rows whose term appears in some query (a
+  vocab-sized fraction of the corpus token stream), never the full
+  posting list.
+- Query terms, per-term document frequencies, and the corpus-stats row
+  (N, avgdl) are all broadcast — vocab-sized / single-row frames; the
+  corpus side never reshuffles for them.
+- The final (query, doc) score aggregation and per-query top-k window
+  operate on matched candidates only (≤ matched docs × queries), not
+  the corpus.
+- No ``collect()`` anywhere: corpus statistics join in via a broadcast
+  single-row cross join.
+
+Determinism contract (same discipline as ``ann.py``): scores are
+rounded to ``score_decimals`` BEFORE ranking and ties break by
+ascending doc id, so the returned top-k is a pure function of the
+inputs and reproduces bit-identically in the DuckDB oracle replay
+(float sums may differ in the last bits across engines; the rounding
+absorbs that, exactly as the certified cosine entries do).
+
+NULL/edge contract:
+- Docs with NULL text tokenize to NULL and are dropped from scoring
+  (they can never match a term); they still count toward N, mirroring
+  an index whose docCount includes unparseable docs. Documented rather
+  than silent: callers wanting them excluded should filter first.
+- Empty-string tokens (doubled separators) are dropped.
+- Duplicate terms within one query are collapsed (``array_distinct``)
+  — classic BM25 with query term frequency capped at 1; documented.
+- A query whose terms match nothing simply returns no rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Single-row (``__n_docs``, ``__avgdl``) frame for ``bm25_topk``'s
+    ``stats`` parameter. An index serves MANY query batches against one
+    corpus — computing this once and passing it in saves a full corpus
+    scan per ``bm25_topk`` call (the tokenize-for-dl pass; the postings
+    scan is per-vocabulary and unavoidable). Must be built with the
+    same ``text_col`` normalization as the search call."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return docs.select(F.size(toks).alias("__dl")).agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_decimals: int = 6,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents per query under BM25.
+
+    ``docs``: corpus with (``id_col``, ``text_col``) — text is
+    whitespace-tokenized (match your indexing normalization upstream;
+    this operator does not lowercase).
+    ``queries``: SMALL frame with (``query_id_col``, ``terms_col``:
+    array<string>) — broadcast; one row per query.
+
+    Returns (query_id, rank, doc_id, score): ``rank`` is 1-based by
+    (rounded score desc, doc_id asc); at most ``k`` rows per query.
+
+    idf is the Lucene non-negative form ln(1 + (N - df + .5)/(df + .5));
+    tf normalization is the standard k1/b saturation with dl/avgdl.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    ids = F.col(id_col)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+    # one corpus scan: doc length (ALL tokens — BM25's dl, computed
+    # before vocab pruning) alongside the token array
+    tokenized = docs.select(
+        ids.alias("__doc"), toks.alias("__toks"), F.size(toks).alias("__dl")
+    )
+
+    # single-row corpus stats, broadcast back via cross join (no collect);
+    # N counts every doc (NULL-text included — see module contract),
+    # avgdl averages over docs that actually tokenized. Callers serving
+    # many query batches pass a precomputed `stats` (see corpus_stats)
+    # to skip this per-call corpus scan.
+    if stats is None:
+        stats = tokenized.agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.avg("__dl").alias("__avgdl"),
+        )
+
+    # query vocabulary (distinct terms across all queries) — broadcast
+    # prune BEFORE the posting aggregation so the one data-scale shuffle
+    # carries only query-relevant tokens
+    qterms = queries.select(
+        F.col(query_id_col).alias("__query"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("__term"),
+    )
+    vocab = qterms.select("__term").distinct()
+
+    postings = (
+        tokenized.filter(F.col("__dl") > 0)
+        .select("__doc", "__dl", F.explode("__toks").alias("__term"))
+        .join(F.broadcast(vocab), "__term")
+    )
+
+    # tf per (doc, term); __dl rides in the grouping key (constant per doc)
+    tf = postings.groupBy("__doc", "__term", "__dl").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+
+    # document frequency per term: tf already has one row per (doc, term)
+    df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "__term")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(qterms), "__term")
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("__tf") * (k1 + 1)) / (
+        F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+
+    per_qd = scored.groupBy("__query", "__doc").agg(
+        F.round(F.sum(idf * tf_norm), score_decimals).alias("score")
+    )
+
+    w = Window.partitionBy("__query").orderBy(
+        F.col("score").desc(), F.col("__doc").asc()
+    )
+    return (
+        per_qd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__query").alias(query_id_col),
+            "rank",
+            F.col("__doc").alias(id_col),
+            "score",
+        )
+    )

@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from schema_drift_detector_spark.operators.retrieval import bm25_topk, corpus_stats
+
+DOCS = [
+    (1, "fast scan fast table"),
+    (2, "slow scan of the table"),
+    (3, "window agg window window"),
+    (4, "customer order join order"),
+    (5, None),  # NULL text: counts toward N, never matches
+    (6, ""),  # empty: tokenizes to nothing
+]
+
+
+def _ref_bm25(docs, query_terms, k1=1.2, b=0.75):
+    """Independent pure-Python BM25 (Lucene idf) for parity."""
+    toks = {i: (t.split(" ") if t is not None else None) for i, t in docs}
+    toks = {
+        i: ([w for w in ws if w] if ws is not None else None)
+        for i, ws in toks.items()
+    }
+    n = len(docs)
+    # avgdl over docs whose text tokenized (non-NULL), zero-length included
+    dls = [len(ws) for ws in toks.values() if ws is not None]
+    avgdl = sum(dls) / len(dls)
+    toks = {i: (ws or []) for i, ws in toks.items()}
+    out = {}
+    for i, ws in toks.items():
+        score = 0.0
+        for t in set(query_terms):
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for w2 in toks.values() if t in w2)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if score > 0:
+            out[i] = round(score, 6)
+    return out
+
+
+def _frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [
+            ("q_scan", ["fast", "scan"]),
+            ("q_dup", ["window", "window", "agg"]),  # dup terms collapse
+            ("q_none", ["zzz"]),
+        ],
+        "query_id string, terms array<string>",
+    )
+    return docs, queries
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs, queries = _frames(spark)
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.score)
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+    for qid, terms in [("q_scan", ["fast", "scan"]), ("q_dup", ["window", "agg"])]:
+        exp = _ref_bm25(DOCS, terms)
+        exp_order = sorted(exp, key=lambda d: (-exp[d], d))
+        for rank, d in enumerate(exp_order, start=1):
+            assert got[(qid, d)][0] == rank
+            assert abs(got[(qid, d)][1] - exp[d]) < 1e-6
+    # no-match query contributes zero rows
+    assert not [kk for kk in got if kk[0] == "q_none"]
+    # NULL/empty docs never appear
+    assert not [kk for kk in got if kk[1] in (5, 6)]
+
+
+def test_bm25_k_truncates_and_ties_break_by_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(7)], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [("q", ["same", "text"])], "query_id string, terms array<string>"
+    )
+    rows = bm25_topk(docs, queries, k=3).orderBy("rank").collect()
+    # identical docs => identical scores; tie-break ascending doc_id
+    assert [r.doc_id for r in rows] == [0, 1, 2]
+    assert len({r.score for r in rows}) == 1
+
+
+def test_bm25_precomputed_stats_identical(spark):
+    docs, queries = _frames(spark)
+    st = corpus_stats(docs)
+    a = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, queries, k=10, stats=st).collect()))
+    assert a == b
+
+
+def test_bm25_k_validation(spark):
+    docs, queries = _frames(spark)
+    try:
+        bm25_topk(docs, queries, k=0)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "k must be" in str(e)
+
+
+def test_bm25_plan_shape(spark):
+    """100 TB shape: vocab prune BEFORE the posting aggregation, all
+    small sides broadcast, top-k pruned by WindowGroupLimit before the
+    final window shuffle."""
+    docs, queries = _frames(spark)
+    plan = bm25_topk(docs, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # window partial top-k prunes before the per-query shuffle
+    assert "WindowGroupLimit" in plan
+    # no sort-merge join anywhere: every join against the corpus-side
+    # flow is broadcast
+    assert "SortMergeJoin" not in plan
