@@ -3459,15 +3459,16 @@ SELECT 'sample10' AS variant, * FROM ({ORACLE_JACCARD_SAMPLE}) j_samp
 """
 
 
-def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text-analysis features in ONE scan: language ID,
-    composite quality score, exact + normalized fingerprints, and the
-    Gopher-style repetition signals (r6: frac_dup_tokens /
-    top_bigram_frac / dup_5gram_frac — functions.text.
-    repetition_features, one exact vectorized Arrow pass, no shuffle).
-    Merges the former lang_id / quality_scores / fingerprints entries —
-    the wide single-select is also the plan a 100 TB pipeline wants
-    (one pass, no joins)."""
+def q_text_doc_features__features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'features' face (bare plan — bench-timed directly; this was
+    the whole entry through r7-early): per-document text-analysis
+    features in ONE scan: language ID, composite quality score, exact +
+    normalized fingerprints, and the Gopher-style repetition signals
+    (r6: frac_dup_tokens / top_bigram_frac / dup_5gram_frac —
+    functions.text.repetition_features, one exact vectorized Arrow
+    pass, no shuffle). Merges the former lang_id / quality_scores /
+    fingerprints entries — the wide single-select is also the plan a
+    100 TB pipeline wants (one pass, no joins)."""
     from schema_drift_detector_spark.functions.text import (
         fingerprint_md5,
         fingerprint_normalized,
@@ -3489,6 +3490,196 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rep["top_bigram_frac"], 6).alias("top_bigram_frac"),
         F.round(rep["dup_5gram_frac"], 6).alias("dup_5gram_frac"),
     )
+
+
+# C4 face fixture plants (the corpus is single-line, unpunctuated —
+# without planting, every line/page rule would certify vacuously):
+# %3 -> three proper sentences (page passes); %6 -> no-punct short line
+# (line rule); %10 -> punctuated 4-word line (word-count rule);
+# %15 -> 'lorem ipsum' (page rule on otherwise-kept pages, e.g. 15/45);
+# %14 -> '{' (page rule, e.g. 42); %97(+3) -> NULL passthrough.
+_C4_SENTENCES = (
+    "\nPlanted sentence number one is long enough."
+    "\nPlanted sentence number two is also long enough!"
+    "\nPlanted sentence number three rounds out the page?"
+)
+
+
+def q_text_doc_features__c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'c4' face (bare plan): C4 line-level cleaning + page rules
+    (operators/cleaning.py) over the planted fixture; the md5 of the
+    reconstructed cleaned text hash-checks every kept-line boundary."""
+    from schema_drift_detector_spark.operators.cleaning import clean_lines_c4
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 97 == 3, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(d % 3 == 0, F.lit(_C4_SENTENCES)).otherwise(F.lit("")),
+                F.when(d % 6 == 0, F.lit("\nshort line")).otherwise(F.lit("")),
+                F.when(d % 10 == 0, F.lit("\nFour words only here.")).otherwise(
+                    F.lit("")
+                ),
+                F.when(d % 15 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+                F.when(d % 14 == 0, F.lit(" {")).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    out = clean_lines_c4(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("cleaned_fp"),
+        "n_lines",
+        "n_kept_lines",
+        "keep",
+    )
+
+
+def q_text_doc_features__gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'gopher' face (bare plan): Gopher §A1.1 document-quality
+    rules (operators/cleaning.py) with per-rule evidence. Plants make
+    every rule bind (%21 all-bullet page, %37 two-char words, %41
+    digit-only words, %23 ellipsis line, %27 '#' run, %31 duplicated
+    lines, %97(+3) NULL). min_stopword_hits=1 because the synthetic
+    vocabulary carries exactly one Gopher stopword ('the') — the
+    operator default stays at the paper's 2."""
+    from schema_drift_detector_spark.operators.cleaning import gopher_quality_filter
+
+    d = F.col("doc_id")
+    bullet_doc = "\n".join(["- planted bullet line item"] * 9)
+    aa_doc = " ".join(["aa"] * 60)
+    num_doc = " ".join(["1234"] * 60)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 97 == 3, F.lit(None).cast("string"))
+        .when(d % 21 == 0, F.lit(bullet_doc))
+        .when(d % 37 == 0, F.lit(aa_doc))
+        .when(d % 41 == 0, F.lit(num_doc))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(d % 23 == 0, F.lit("\nand so the text trails off...")).otherwise(
+                    F.lit("")
+                ),
+                F.when(d % 27 == 0, F.lit(" ############")).otherwise(F.lit("")),
+                F.when(
+                    d % 31 == 0, F.lit("\nrepeat me\nrepeat me\nrepeat me")
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    return gopher_quality_filter(docs, min_stopword_hits=1)
+
+
+_GOPHER_RULE_COLS = (
+    "ok_word_count",
+    "ok_mean_word_len",
+    "ok_symbol_ratio",
+    "ok_bullet_lines",
+    "ok_ellipsis_lines",
+    "ok_alpha_words",
+    "ok_stopwords",
+    "ok_dup_lines",
+)
+
+
+def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis certifications in one entry, tagged by `face`:
+    'features' (the ≤r7-early single-face frame: lang-ID, quality,
+    fingerprints, repetition signals), 'c4' (r7: C4 line/page cleaning
+    over a planted multi-line fixture, cleaned text md5-replayed) and
+    'gopher' (r7: Gopher §A1.1 quality rules with per-rule evidence,
+    every rule planted to bind). Merge recipe: tag + null-pad + union;
+    series-break annotated in BENCH/BASELINE.md (the 'features' face
+    sub-timing continues the old series). Gates: C4 must produce keeps,
+    drops, AND a page dropped by the lorem/brace rules despite enough
+    kept lines; every Gopher rule must fail somewhere and keeps must
+    exist."""
+    feats = q_text_doc_features__features(spark, sf_dir).select(
+        F.lit("features").alias("face"),
+        "doc_id",
+        "lang",
+        "pred_lang",
+        "quality",
+        "fp_exact",
+        "fp_normalized",
+        "frac_dup_tokens",
+        "top_bigram_frac",
+        "dup_5gram_frac",
+        F.lit(None).cast("string").alias("cleaned_fp"),
+        F.lit(None).cast("int").alias("n_lines"),
+        F.lit(None).cast("int").alias("n_kept_lines"),
+        F.lit(None).cast("int").alias("n_words"),
+        F.lit(None).cast("double").alias("mean_word_len"),
+        *[F.lit(None).cast("boolean").alias(c) for c in _GOPHER_RULE_COLS],
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+
+    c4 = q_text_doc_features__c4(spark, sf_dir).localCheckpoint(eager=True)
+    c4_gates = c4.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keeps"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("drops"),
+        F.sum(
+            F.when(~F.col("keep") & (F.col("n_kept_lines") >= 3), 1).otherwise(0)
+        ).alias("page_rule_drops"),
+        F.sum(
+            F.when(F.col("n_lines") - F.col("n_kept_lines") >= 2, 1).otherwise(0)
+        ).alias("line_rule_hits"),
+    ).first()
+    for g in ("keeps", "drops", "page_rule_drops", "line_rule_hits"):
+        if not c4_gates[g]:
+            raise RuntimeError(f"vacuous C4 fixture: gate {g} is zero")
+
+    gopher = q_text_doc_features__gopher(spark, sf_dir).localCheckpoint(eager=True)
+    gg = gopher.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keeps"),
+        *[
+            F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(c)
+            for c in _GOPHER_RULE_COLS
+        ],
+    ).first()
+    for g in ("keeps", *_GOPHER_RULE_COLS):
+        if not gg[g]:
+            raise RuntimeError(f"vacuous Gopher fixture: gate {g} is zero")
+
+    def _pad_tail(df: DataFrame, face: str, cols: dict[str, str]) -> DataFrame:
+        sel = [F.lit(face).alias("face"), "doc_id"]
+        for name, typ in [
+            ("lang", "string"),
+            ("pred_lang", "string"),
+            ("quality", "double"),
+            ("fp_exact", "string"),
+            ("fp_normalized", "string"),
+            ("frac_dup_tokens", "double"),
+            ("top_bigram_frac", "double"),
+            ("dup_5gram_frac", "double"),
+            ("cleaned_fp", "string"),
+            ("n_lines", "int"),
+            ("n_kept_lines", "int"),
+            ("n_words", "int"),
+            ("mean_word_len", "double"),
+            *[(c, "boolean") for c in _GOPHER_RULE_COLS],
+            ("keep", "boolean"),
+        ]:
+            sel.append(
+                F.col(name) if name in cols else F.lit(None).cast(typ).alias(name)
+            )
+        return df.select(*sel)
+
+    c4_face = _pad_tail(
+        c4, "c4", dict.fromkeys(["cleaned_fp", "n_lines", "n_kept_lines", "keep"])
+    )
+    gopher_face = _pad_tail(
+        gopher,
+        "gopher",
+        dict.fromkeys(["n_words", "mean_word_len", *_GOPHER_RULE_COLS, "keep"]),
+    )
+    return feats.unionByName(c4_face).unionByName(gopher_face)
 
 
 # repetition replay: bigram max-multiplicity and 5-gram distinct counts
@@ -3527,6 +3718,158 @@ FROM ({ORACLE_LANG_ID}) l
 JOIN ({ORACLE_QUALITY}) q USING (doc_id)
 JOIN ({ORACLE_FINGERPRINTS}) f USING (doc_id)
 LEFT JOIN rep r USING (doc_id)
+"""
+
+
+# exact replay of q_text_doc_features__c4: the planted fixture, the
+# line keep rule (terminal punct + >=5 words), the page rules, and the
+# md5 of the reconstructed cleaned text
+ORACLE_TDF_C4 = """
+WITH fixture AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 3 THEN NULL
+              ELSE text
+                || CASE WHEN doc_id % 3 = 0 THEN
+                     chr(10) || 'Planted sentence number one is long enough.'
+                     || chr(10) || 'Planted sentence number two is also long enough!'
+                     || chr(10) || 'Planted sentence number three rounds out the page?'
+                   ELSE '' END
+                || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'short line' ELSE '' END
+                || CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'Four words only here.' ELSE '' END
+                || CASE WHEN doc_id % 15 = 0 THEN ' lorem ipsum' ELSE '' END
+                || CASE WHEN doc_id % 14 = 0 THEN ' {' ELSE '' END
+         END AS t
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS lines,
+         list_filter(string_split(t, chr(10)),
+                     l -> regexp_matches(l, '[.!?"]$')
+                          AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+         ) AS kept
+  FROM fixture
+),
+dec AS (
+  SELECT doc_id, lines, kept,
+         (t IS NOT NULL AND len(kept) >= 3
+          AND NOT contains(lower(t), 'lorem ipsum')
+          AND NOT contains(t, '{')) AS keep
+  FROM ln
+)
+SELECT doc_id,
+       md5(coalesce(CASE WHEN keep THEN array_to_string(kept, chr(10)) END, ''))
+         AS cleaned_fp,
+       coalesce(len(lines), 0) AS n_lines,
+       coalesce(len(kept), 0) AS n_kept_lines,
+       coalesce(keep, false) AS keep
+FROM dec
+"""
+
+
+# exact replay of q_text_doc_features__gopher: planted fixture +
+# every §A1.1 rule formula (min_stopword_hits=1 as in the entry)
+ORACLE_TDF_GOPHER = """
+WITH fixture AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 3 THEN NULL
+         WHEN doc_id % 21 = 0 THEN
+           '- planted bullet line item' || repeat(chr(10) || '- planted bullet line item', 8)
+         WHEN doc_id % 37 = 0 THEN 'aa' || repeat(' aa', 59)
+         WHEN doc_id % 41 = 0 THEN '1234' || repeat(' 1234', 59)
+         ELSE text
+           || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'and so the text trails off...' ELSE '' END
+           || CASE WHEN doc_id % 27 = 0 THEN ' ############' ELSE '' END
+           || CASE WHEN doc_id % 31 = 0 THEN
+                chr(10) || 'repeat me' || chr(10) || 'repeat me' || chr(10) || 'repeat me'
+              ELSE '' END
+    END AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t,
+         list_filter(string_split(t, ' '), w -> w <> '') AS words,
+         string_split(t, chr(10)) AS lines
+  FROM fixture
+),
+m AS (
+  SELECT doc_id, t, len(words) AS nw, len(lines) AS nl,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words)
+         END AS mean_wl,
+         CASE WHEN len(words) > 0 THEN
+           ((length(t) - length(replace(t, '#', ''))) / 1
+            + (length(t) - length(replace(t, '...', ''))) / 3) / len(words)
+         END AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) / len(lines)
+           AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) / len(lines)
+           AS ellipsis_frac,
+         CASE WHEN len(words) > 0 THEN
+           len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / len(words)
+         END AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+         (len(lines) - len(list_distinct(lines))) / len(lines) AS dup_line_frac
+  FROM base
+)
+SELECT doc_id, nw AS n_words, round(mean_wl, 6) AS mean_word_len,
+       coalesce(nw >= 50 AND nw <= 100000, false) AS ok_word_count,
+       coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS ok_mean_word_len,
+       coalesce(symbol_ratio < 0.1, false) AS ok_symbol_ratio,
+       coalesce(bullet_frac < 0.9, false) AS ok_bullet_lines,
+       coalesce(ellipsis_frac < 0.3, false) AS ok_ellipsis_lines,
+       coalesce(alpha_frac > 0.8, false) AS ok_alpha_words,
+       coalesce(stop_hits >= 1, false) AS ok_stopwords,
+       coalesce(dup_line_frac < 0.3, false) AS ok_dup_lines,
+       coalesce(t IS NOT NULL
+                AND nw >= 50 AND nw <= 100000
+                AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                AND symbol_ratio < 0.1
+                AND bullet_frac < 0.9
+                AND ellipsis_frac < 0.3
+                AND alpha_frac > 0.8
+                AND stop_hits >= 1
+                AND dup_line_frac < 0.3, false) AS keep
+FROM m
+"""
+
+_TDF_GOPHER_OK_SQL = ", ".join(_GOPHER_RULE_COLS)
+
+
+def _oracle_text_doc_features_merged() -> str:
+    nulls_c4g = """CAST(NULL AS VARCHAR) AS cleaned_fp, CAST(NULL AS INT) AS n_lines,
+       CAST(NULL AS INT) AS n_kept_lines, CAST(NULL AS INT) AS n_words,
+       CAST(NULL AS DOUBLE) AS mean_word_len,
+       CAST(NULL AS BOOLEAN) AS ok_word_count, CAST(NULL AS BOOLEAN) AS ok_mean_word_len,
+       CAST(NULL AS BOOLEAN) AS ok_symbol_ratio, CAST(NULL AS BOOLEAN) AS ok_bullet_lines,
+       CAST(NULL AS BOOLEAN) AS ok_ellipsis_lines, CAST(NULL AS BOOLEAN) AS ok_alpha_words,
+       CAST(NULL AS BOOLEAN) AS ok_stopwords, CAST(NULL AS BOOLEAN) AS ok_dup_lines,
+       CAST(NULL AS BOOLEAN) AS keep"""
+    feat_nulls = """CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS pred_lang,
+       CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS VARCHAR) AS fp_exact,
+       CAST(NULL AS VARCHAR) AS fp_normalized, CAST(NULL AS DOUBLE) AS frac_dup_tokens,
+       CAST(NULL AS DOUBLE) AS top_bigram_frac, CAST(NULL AS DOUBLE) AS dup_5gram_frac"""
+    return f"""
+SELECT 'features' AS face, doc_id, lang, pred_lang, quality, fp_exact, fp_normalized,
+       frac_dup_tokens, top_bigram_frac, dup_5gram_frac,
+       {nulls_c4g}
+FROM ({ORACLE_TEXT_DOC_FEATURES})
+UNION ALL
+SELECT 'c4' AS face, doc_id, {feat_nulls},
+       cleaned_fp, n_lines, n_kept_lines,
+       CAST(NULL AS INT) AS n_words, CAST(NULL AS DOUBLE) AS mean_word_len,
+       CAST(NULL AS BOOLEAN) AS ok_word_count, CAST(NULL AS BOOLEAN) AS ok_mean_word_len,
+       CAST(NULL AS BOOLEAN) AS ok_symbol_ratio, CAST(NULL AS BOOLEAN) AS ok_bullet_lines,
+       CAST(NULL AS BOOLEAN) AS ok_ellipsis_lines, CAST(NULL AS BOOLEAN) AS ok_alpha_words,
+       CAST(NULL AS BOOLEAN) AS ok_stopwords, CAST(NULL AS BOOLEAN) AS ok_dup_lines,
+       keep
+FROM ({ORACLE_TDF_C4})
+UNION ALL
+SELECT 'gopher' AS face, doc_id, {feat_nulls},
+       CAST(NULL AS VARCHAR) AS cleaned_fp, CAST(NULL AS INT) AS n_lines,
+       CAST(NULL AS INT) AS n_kept_lines,
+       n_words, mean_word_len, {_TDF_GOPHER_OK_SQL}, keep
+FROM ({ORACLE_TDF_GOPHER})
 """
 
 
@@ -5088,7 +5431,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_props": ORACLE_EXACT_DEDUP,
         "jaccard_pairs": ORACLE_JACCARD_MERGED,
         "token_stats_by_lang": ORACLE_TOKEN_STATS,
-        "text_doc_features": ORACLE_TEXT_DOC_FEATURES,
+        "text_doc_features": _oracle_text_doc_features_merged(),
         "corpus_prep": _oracle_corpus_prep_merged(),
         "ann_topk_methods": _oracle_ann_topk_methods(),
         "asof_join": ORACLE_ASOF_JOIN,

@@ -132,6 +132,9 @@ FACE_SPLITS: dict[str, list[str]] = {
     # board slot for bm25_topk — 'uniform'/'hot' continue the two ≤r7
     # single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "salted_join": ["uniform", "hot"],
+    # r7: C4 line cleaning + Gopher quality rules merged in —
+    # 'features' continues the ≤r7-early single-face series
+    "text_doc_features": ["features", "c4", "gopher"],
 }
 
 

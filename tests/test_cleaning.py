@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_drift_detector_spark.operators.cleaning import (
+    clean_lines_c4,
+    gopher_quality_filter,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_line_and_page_rules(spark):
+    good3 = (
+        "This is the first proper sentence here.\n"
+        "Here is another complete sentence for you.\n"
+        "And a third sentence closes the page."
+    )
+    rows = [
+        (1, good3),  # 3 kept lines -> keep
+        (2, good3 + "\nshort line"),  # extra line dropped (no punct, <5 words)
+        (3, "One good sentence is simply not enough."),  # <3 kept lines
+        (4, good3 + "\nlorem ipsum dolor sit amet."),  # placeholder -> page drop
+        (5, good3 + "\nvar x = { a: 1 }"),  # brace -> page drop
+        (6, None),  # NULL passthrough
+        (7, "no punctuation here at all\nstill none here friend"),  # 0 kept
+    ]
+    out = {r.doc_id: r for r in clean_lines_c4(_df(spark, rows)).collect()}
+    assert len(out) == 7  # decisions, never silent drops
+    assert out[1].keep and out[1].text == good3
+    assert out[2].keep and out[2].text == good3 and out[2].n_kept_lines == 3
+    assert out[2].n_lines == 4
+    assert not out[3].keep and out[3].text is None
+    assert not out[4].keep and not out[5].keep
+    assert not out[6].keep and out[6].n_lines == 0
+    assert not out[7].keep and out[7].n_kept_lines == 0
+
+
+def test_c4_word_threshold_binds(spark):
+    # punctuation but only 4 words: dropped at min_words_per_line=5
+    rows = [(1, "Only four words here.\n" * 3)]
+    out = clean_lines_c4(_df(spark, rows)).collect()[0]
+    assert out.n_kept_lines == 0 and not out.keep
+    out5 = clean_lines_c4(
+        _df(spark, [(1, "Now five words are here.\n" * 3)]),
+        min_words_per_line=5,
+    ).collect()[0]
+    assert out5.n_kept_lines == 3 and out5.keep
+
+
+def test_gopher_rules_each_bind(spark):
+    base_words = " ".join(["the", "and", "of", "table"] * 15)  # 60 words, stopwords
+    rows = [
+        (1, base_words),  # passes everything
+        (2, " ".join(["word"] * 10)),  # too few words
+        (3, " ".join(["ab"] * 60)),  # mean word len 2 < 3
+        (4, base_words + " " + "#" * 1 + " #### ## #"),  # symbols
+        (5, "\n".join(["- bullet item here now"] * 4)),  # bullet lines
+        (6, base_words + "\n" + "\n".join(["trailing off..."] * 3)),  # ellipsis
+        (7, " ".join(["1234"] * 60)),  # no alpha words
+        (8, " ".join(["table", "scan", "fast"] * 20)),  # no stopwords
+        (9, base_words + "\n" + "\n".join(["dup line"] * 4)),  # dup lines
+        (10, None),
+    ]
+    out = {r.doc_id: r for r in gopher_quality_filter(_df(spark, rows)).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count
+    assert not out[3].ok_mean_word_len and out[3].mean_word_len == 2.0
+    assert not out[4].ok_symbol_ratio
+    assert not out[5].ok_bullet_lines
+    assert not out[6].ok_ellipsis_lines
+    assert not out[7].ok_alpha_words
+    assert not out[8].ok_stopwords
+    assert not out[9].ok_dup_lines
+    assert not out[10].keep and out[10].n_words is None
+    for d in range(2, 11):
+        assert not out[d].keep
+
+
+def test_cleaning_zero_shuffle_plans(spark):
+    """Both hygiene passes are pure per-doc scans: no Exchange."""
+    df = _df(spark, [(1, "a b c."), (2, "d e f!")])
+    for op in (clean_lines_c4, gopher_quality_filter):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, op.__name__
