@@ -3766,9 +3766,13 @@ FROM dec
 """
 
 
-# exact replay of q_text_doc_features__gopher: planted fixture +
-# every §A1.1 rule formula (min_stopword_hits=1 as in the entry)
-ORACLE_TDF_GOPHER = """
+# exact replay of q_text_doc_features__gopher: the planted fixture +
+# the shared gopher_metrics_ctes builder (ONE definition with the e2e
+# pipeline oracle; min_stopword_hits=1 as in the entry)
+def _oracle_tdf_gopher() -> str:
+    from schema_drift_detector_spark.operators.cleaning import gopher_metrics_ctes
+
+    return f"""
 WITH fixture AS (
   SELECT doc_id,
     CASE WHEN doc_id % 97 = 3 THEN NULL
@@ -3782,55 +3786,14 @@ WITH fixture AS (
            || CASE WHEN doc_id % 31 = 0 THEN
                 chr(10) || 'repeat me' || chr(10) || 'repeat me' || chr(10) || 'repeat me'
               ELSE '' END
-    END AS t
+    END AS text
   FROM documents
 ),
-base AS (
-  SELECT doc_id, t,
-         list_filter(string_split(t, ' '), w -> w <> '') AS words,
-         string_split(t, chr(10)) AS lines
-  FROM fixture
-),
-m AS (
-  SELECT doc_id, t, len(words) AS nw, len(lines) AS nl,
-         CASE WHEN len(words) > 0 THEN
-           CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words)
-         END AS mean_wl,
-         CASE WHEN len(words) > 0 THEN
-           ((length(t) - length(replace(t, '#', ''))) / 1
-            + (length(t) - length(replace(t, '...', ''))) / 3) / len(words)
-         END AS symbol_ratio,
-         len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) / len(lines)
-           AS bullet_frac,
-         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) / len(lines)
-           AS ellipsis_frac,
-         CASE WHEN len(words) > 0 THEN
-           len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / len(words)
-         END AS alpha_frac,
-         len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
-             ['the','be','to','of','and','that','have','with'])) AS stop_hits,
-         (len(lines) - len(list_distinct(lines))) / len(lines) AS dup_line_frac
-  FROM base
-)
+{gopher_metrics_ctes('g', 'fixture', min_stopword_hits=1)}
 SELECT doc_id, nw AS n_words, round(mean_wl, 6) AS mean_word_len,
-       coalesce(nw >= 50 AND nw <= 100000, false) AS ok_word_count,
-       coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, false) AS ok_mean_word_len,
-       coalesce(symbol_ratio < 0.1, false) AS ok_symbol_ratio,
-       coalesce(bullet_frac < 0.9, false) AS ok_bullet_lines,
-       coalesce(ellipsis_frac < 0.3, false) AS ok_ellipsis_lines,
-       coalesce(alpha_frac > 0.8, false) AS ok_alpha_words,
-       coalesce(stop_hits >= 1, false) AS ok_stopwords,
-       coalesce(dup_line_frac < 0.3, false) AS ok_dup_lines,
-       coalesce(t IS NOT NULL
-                AND nw >= 50 AND nw <= 100000
-                AND mean_wl >= 3.0 AND mean_wl <= 10.0
-                AND symbol_ratio < 0.1
-                AND bullet_frac < 0.9
-                AND ellipsis_frac < 0.3
-                AND alpha_frac > 0.8
-                AND stop_hits >= 1
-                AND dup_line_frac < 0.3, false) AS keep
-FROM m
+       ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines,
+       ok_ellipsis_lines, ok_alpha_words, ok_stopwords, ok_dup_lines, keep
+FROM ggq
 """
 
 _TDF_GOPHER_OK_SQL = ", ".join(_GOPHER_RULE_COLS)
@@ -3869,7 +3832,7 @@ SELECT 'gopher' AS face, doc_id, {feat_nulls},
        CAST(NULL AS VARCHAR) AS cleaned_fp, CAST(NULL AS INT) AS n_lines,
        CAST(NULL AS INT) AS n_kept_lines,
        n_words, mean_word_len, {_TDF_GOPHER_OK_SQL}, keep
-FROM ({ORACLE_TDF_GOPHER})
+FROM ({_oracle_tdf_gopher()})
 """
 
 
@@ -4298,12 +4261,13 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     full hygiene chain a pretraining data job actually runs, certified
     as ONE DuckDB replay:
 
-      exact dedup → substring (boilerplate) strip → intra-doc
-      repetition strip → PII redaction → benchmark decontamination →
-      MinHash near-dup drop → per-source token-budget mixing →
-      context chunking → next-fit packing
+      Gopher quality filter → exact dedup → substring (boilerplate)
+      strip → intra-doc repetition strip → PII redaction → benchmark
+      decontamination → MinHash near-dup drop → per-source
+      token-budget mixing → context chunking → next-fit packing
 
-    Every stage BINDS (gated): planted clones (doc_id+1e6, %10) make
+    Every stage BINDS (gated): the quality filter drops low-word-count
+    docs (0 < n_filtered < n_base); planted clones (doc_id+1e6, %10) make
     exact dedup drop rows; the planted footer (%7) reaches min_df so
     the cross-doc substring pass strips; planted self-repeats (%13:
     the doc's own first 10 tokens appended twice) make the intra pass
@@ -4328,6 +4292,7 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chunk_fp back onto the pack manifest, key co-partitioned)."""
     from schema_drift_detector_spark.functions.pii import pii_redact
     from schema_drift_detector_spark.functions.text import token_count
+    from schema_drift_detector_spark.operators.cleaning import gopher_quality_filter
     from schema_drift_detector_spark.operators.decontam import (
         contamination_hits,
         eval_gram_hashes,
@@ -4384,7 +4349,22 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = raw.unionByName(clones)
     n_base = base.count()
 
-    exact = drop_exact_duplicates(base, "doc_id", "text")
+    # stage 1 (r7): Gopher quality filter — the hygiene gate a corpus
+    # job runs BEFORE spending dedup compute. include_input composes
+    # it with ZERO shuffle; min_stopword_hits=1 because the synthetic
+    # vocabulary carries exactly one Gopher stopword. A clone drops
+    # iff its original drops (identical text), so the exact-dedup
+    # stage still sees duplicate pairs. (C4 line cleaning is certified
+    # standalone, not composed here: the corpus is single-line and
+    # unpunctuated, so its line rules would just drop every doc.)
+    filtered = (
+        gopher_quality_filter(base, min_stopword_hits=1, include_input=True)
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "text")
+    )
+    n_filtered = filtered.count()
+
+    exact = drop_exact_duplicates(filtered, "doc_id", "text")
     sub = substring_dedup(exact, n=8, min_df=4).localCheckpoint(eager=True)
     n_exact = sub.count()
 
@@ -4431,7 +4411,8 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n_decon, n_surv = decon.count(), surv.count()
     binding = {
-        "exact_dedup": n_exact < n_base,
+        "quality_filter": 0 < n_filtered < n_base,
+        "exact_dedup": n_exact < n_filtered,
         "substring_strip": bool(stage.any_cross),
         "intra_strip": bool(stage.any_intra),
         "pii_redact": bool(stage.any_redact),
@@ -4519,8 +4500,11 @@ def _oracle_corpus_pipeline_e2e() -> str:
 
     from schema_drift_detector_spark.operators.sampling import hash_bucket_sql
 
+    from schema_drift_detector_spark.operators.cleaning import gopher_metrics_ctes
+
     gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
     mh_ctes, mh_pairs = _minhash_oracle_parts(table="decon")
+    gq_ctes = gopher_metrics_ctes("q", "base", min_stopword_hits=1)
     return f"""
 WITH RECURSIVE raw AS (
   SELECT doc_id, source,
@@ -4539,8 +4523,12 @@ base AS (
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, source, text FROM raw WHERE doc_id % 10 = 0
 ),
+{gq_ctes},
+filt AS (
+  SELECT b.* FROM base b JOIN qgq USING (doc_id) WHERE qgq.keep
+),
 exact AS MATERIALIZED (
-  SELECT * FROM base QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+  SELECT * FROM filt QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
 ),
 stok AS (SELECT doc_id, source, text, string_split(text, ' ') AS t FROM exact),
 sth AS (SELECT doc_id, t, {tokhash_list_sql('t')} AS h FROM stok WHERE len(t) >= 8),

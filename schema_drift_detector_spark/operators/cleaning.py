@@ -111,6 +111,7 @@ def gopher_quality_filter(
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
     max_dup_line_frac: float = 0.3,
+    include_input: bool = False,
 ) -> DataFrame:
     """Gopher §A1.1 document-quality rules, each emitted as its own
     boolean alongside the conjunction ``keep`` — per-rule drop-rate
@@ -175,10 +176,94 @@ def gopher_quality_filter(
     keep = F.col(text_col).isNotNull()
     for c in rules.values():
         keep = keep & c
-    return docs.select(
-        F.col(id_col),
+    evidence = [
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         *[F.coalesce(c, F.lit(False)).alias(name) for name, c in rules.items()],
         F.coalesce(keep, F.lit(False)).alias("keep"),
+    ]
+    if include_input:
+        # pipeline form: original columns + evidence, so a downstream
+        # `.filter("keep")` composes with ZERO shuffle (no decision-
+        # frame join back onto the corpus)
+        return docs.select("*", *evidence)
+    return docs.select(F.col(id_col), *evidence)
+
+
+def gopher_metrics_ctes(
+    sfx: str,
+    src: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+) -> str:
+    """THE DuckDB replay of ``gopher_quality_filter`` — every metric
+    and rule formula, as a CTE block with names prefixed ``sfx``,
+    reading (doc_id, text) from CTE ``src``. ONE definition shared by
+    the standalone 'gopher' face oracle and the e2e pipeline oracle so
+    the two replays cannot desynchronize (the `_intra_strip_ctes`
+    discipline). Consumers read ``{sfx}gq`` (doc_id, nw, mean_wl
+    UNROUNDED, the 8 ok_* booleans, keep). The stopword list
+    interpolates from the same ``GOPHER_STOPWORDS`` constant the Spark
+    operator uses."""
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    oks = ", ".join(
+        [
+            f"coalesce(nw >= {min_words} AND nw <= {max_words}, false) AS ok_word_count",
+            f"coalesce(mean_wl >= {min_mean_word_len} AND mean_wl <= {max_mean_word_len}, false) AS ok_mean_word_len",
+            f"coalesce(symbol_ratio < {max_symbol_word_ratio}, false) AS ok_symbol_ratio",
+            f"coalesce(bullet_frac < {max_bullet_line_frac}, false) AS ok_bullet_lines",
+            f"coalesce(ellipsis_frac < {max_ellipsis_line_frac}, false) AS ok_ellipsis_lines",
+            f"coalesce(alpha_frac > {min_alpha_word_frac}, false) AS ok_alpha_words",
+            f"coalesce(stop_hits >= {min_stopword_hits}, false) AS ok_stopwords",
+            f"coalesce(dup_line_frac < {max_dup_line_frac}, false) AS ok_dup_lines",
+        ]
     )
+    keep = (
+        f"coalesce(t IS NOT NULL AND nw >= {min_words} AND nw <= {max_words} "
+        f"AND mean_wl >= {min_mean_word_len} AND mean_wl <= {max_mean_word_len} "
+        f"AND symbol_ratio < {max_symbol_word_ratio} "
+        f"AND bullet_frac < {max_bullet_line_frac} "
+        f"AND ellipsis_frac < {max_ellipsis_line_frac} "
+        f"AND alpha_frac > {min_alpha_word_frac} "
+        f"AND stop_hits >= {min_stopword_hits} "
+        f"AND dup_line_frac < {max_dup_line_frac}, false)"
+    )
+    return f"""
+{sfx}base AS (
+  SELECT doc_id, text AS t,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM {src}
+), {sfx}m AS (
+  SELECT doc_id, t, len(words) AS nw, len(lines) AS nl,
+         CASE WHEN len(words) > 0 THEN
+           CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words)
+         END AS mean_wl,
+         CASE WHEN len(words) > 0 THEN
+           ((length(t) - length(replace(t, '#', ''))) / 1
+            + (length(t) - length(replace(t, '...', ''))) / 3) / len(words)
+         END AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) / len(lines)
+           AS bullet_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) / len(lines)
+           AS ellipsis_frac,
+         CASE WHEN len(words) > 0 THEN
+           len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) / len(words)
+         END AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+             [{stops}])) AS stop_hits,
+         (len(lines) - len(list_distinct(lines))) / len(lines) AS dup_line_frac
+  FROM {sfx}base
+), {sfx}gq AS (
+  SELECT doc_id, nw, mean_wl, {oks}, {keep} AS keep
+  FROM {sfx}m
+)"""
