@@ -1400,6 +1400,7 @@ _BM25_QUERIES: list[tuple[str, list[str]]] = [
     ("q_partial", ["zzznotaword", "merge"]),
     ("q_none", ["qqqnotaword"]),
 ]
+_BM25_INVOCAB = ("q_scan", "q_cust", "q_window", "q_stream")
 _BM25_K = 8
 
 
@@ -1420,14 +1421,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bm25_topk(docs, queries, k=_BM25_K).localCheckpoint(eager=True)
     full = (
-        out.groupBy("query_id")
+        out.filter(F.col("query_id").isin(*_BM25_INVOCAB))
+        .groupBy("query_id")
         .agg(F.max("rank").alias("mr"))
         .filter(F.col("mr") == _BM25_K)
         .count()
     )
-    if full < 4:
+    if full < len(_BM25_INVOCAB):
         raise RuntimeError(
-            f"vacuous fixture: only {full}/4 in-vocab probes filled k={_BM25_K}"
+            f"vacuous fixture: only {full}/{len(_BM25_INVOCAB)} in-vocab"
+            f" probes filled k={_BM25_K}"
         )
     if out.filter(F.col("query_id") == "q_partial").limit(1).count() == 0:
         raise RuntimeError(
@@ -1436,14 +1439,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-ORACLE_BM25_TOPK = """
+def _oracle_bm25_topk() -> str:
+    """Exact replay of q_bm25_topk. The probe VALUES list, k, and the
+    k1/b saturation constants all interpolate from the SAME constants
+    the Spark entry and operator use (_BM25_QUERIES/_BM25_K,
+    retrieval.DEFAULT_K1/DEFAULT_B) — editing any of them cannot
+    desynchronize the replay (the shared-builder discipline)."""
+    from schema_drift_detector_spark.operators.retrieval import DEFAULT_B, DEFAULT_K1
+
+    values = ",\n         ".join(
+        "('{}', [{}])".format(qid, ",".join(f"'{t}'" for t in terms))
+        for qid, terms in _BM25_QUERIES
+    )
+    return f"""
 WITH q(query_id, terms) AS (
-  VALUES ('q_scan', ['fast','table','scan']),
-         ('q_cust', ['customer','order','join']),
-         ('q_window', ['window','agg','sort']),
-         ('q_stream', ['spark','stream','batch']),
-         ('q_partial', ['zzznotaword','merge']),
-         ('q_none', ['qqqnotaword'])
+  VALUES {values}
 ),
 qterms AS (
   SELECT query_id, unnest(list_distinct(terms)) AS term FROM q
@@ -1471,8 +1481,8 @@ dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 contrib AS (
   SELECT qt.query_id, tf.doc_id,
          ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-           * tf.tf * (1.2 + 1)
-           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl)) AS c
+           * tf.tf * ({DEFAULT_K1} + 1)
+           / (tf.tf + {DEFAULT_K1} * (1 - {DEFAULT_B} + {DEFAULT_B} * tf.dl / s.avgdl)) AS c
   FROM tf
   JOIN dft USING (term)
   CROSS JOIN stats s
@@ -1487,7 +1497,7 @@ SELECT query_id,
                           ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, score
 FROM scored
-QUALIFY rank <= 8
+QUALIFY rank <= {_BM25_K}
 """
 
 
@@ -3600,24 +3610,47 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops, AND a page dropped by the lorem/brace rules despite enough
     kept lines; every Gopher rule must fail somewhere and keeps must
     exist."""
-    feats = q_text_doc_features__features(spark, sf_dir).select(
-        F.lit("features").alias("face"),
-        "doc_id",
-        "lang",
-        "pred_lang",
-        "quality",
-        "fp_exact",
-        "fp_normalized",
-        "frac_dup_tokens",
-        "top_bigram_frac",
-        "dup_5gram_frac",
-        F.lit(None).cast("string").alias("cleaned_fp"),
-        F.lit(None).cast("int").alias("n_lines"),
-        F.lit(None).cast("int").alias("n_kept_lines"),
-        F.lit(None).cast("int").alias("n_words"),
-        F.lit(None).cast("double").alias("mean_word_len"),
-        *[F.lit(None).cast("boolean").alias(c) for c in _GOPHER_RULE_COLS],
-        F.lit(None).cast("boolean").alias("keep"),
+    def _pad_tail(df: DataFrame, face: str, cols: dict[str, str]) -> DataFrame:
+        # ONE (name, type) schema list for all three faces — a face
+        # provides the columns named in `cols`, everything else pads NULL
+        sel = [F.lit(face).alias("face"), "doc_id"]
+        for name, typ in [
+            ("lang", "string"),
+            ("pred_lang", "string"),
+            ("quality", "double"),
+            ("fp_exact", "string"),
+            ("fp_normalized", "string"),
+            ("frac_dup_tokens", "double"),
+            ("top_bigram_frac", "double"),
+            ("dup_5gram_frac", "double"),
+            ("cleaned_fp", "string"),
+            ("n_lines", "int"),
+            ("n_kept_lines", "int"),
+            ("n_words", "int"),
+            ("mean_word_len", "double"),
+            *[(c, "boolean") for c in _GOPHER_RULE_COLS],
+            ("keep", "boolean"),
+        ]:
+            sel.append(
+                F.col(name) if name in cols else F.lit(None).cast(typ).alias(name)
+            )
+        return df.select(*sel)
+
+    feats = _pad_tail(
+        q_text_doc_features__features(spark, sf_dir),
+        "features",
+        dict.fromkeys(
+            [
+                "lang",
+                "pred_lang",
+                "quality",
+                "fp_exact",
+                "fp_normalized",
+                "frac_dup_tokens",
+                "top_bigram_frac",
+                "dup_5gram_frac",
+            ]
+        ),
     )
 
     c4 = q_text_doc_features__c4(spark, sf_dir).localCheckpoint(eager=True)
@@ -3646,30 +3679,6 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in ("keeps", *_GOPHER_RULE_COLS):
         if not gg[g]:
             raise RuntimeError(f"vacuous Gopher fixture: gate {g} is zero")
-
-    def _pad_tail(df: DataFrame, face: str, cols: dict[str, str]) -> DataFrame:
-        sel = [F.lit(face).alias("face"), "doc_id"]
-        for name, typ in [
-            ("lang", "string"),
-            ("pred_lang", "string"),
-            ("quality", "double"),
-            ("fp_exact", "string"),
-            ("fp_normalized", "string"),
-            ("frac_dup_tokens", "double"),
-            ("top_bigram_frac", "double"),
-            ("dup_5gram_frac", "double"),
-            ("cleaned_fp", "string"),
-            ("n_lines", "int"),
-            ("n_kept_lines", "int"),
-            ("n_words", "int"),
-            ("mean_word_len", "double"),
-            *[(c, "boolean") for c in _GOPHER_RULE_COLS],
-            ("keep", "boolean"),
-        ]:
-            sel.append(
-                F.col(name) if name in cols else F.lit(None).cast(typ).alias(name)
-            )
-        return df.select(*sel)
 
     c4_face = _pad_tail(
         c4, "c4", dict.fromkeys(["cleaned_fp", "n_lines", "n_kept_lines", "keep"])
@@ -5427,7 +5436,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
         "stream_dedup_watermark": _oracle_stream_dedup_watermark(),
         "salted_join": _oracle_salted_join_merged(),
-        "bm25_topk": ORACLE_BM25_TOPK,
+        "bm25_topk": _oracle_bm25_topk(),
         "decontaminate": ORACLE_DECONTAMINATE,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "incremental_neardup": _oracle_incremental_neardup(),

@@ -46,6 +46,12 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
+def _size0(arr: Column, guard: Column) -> Column:
+    """size(arr) with NULL-input pinned to 0 on every Spark version
+    (3.x legacy sizeOfNull returns -1, which would leak into counts)."""
+    return F.when(guard.isNull(), F.lit(0)).otherwise(F.size(arr))
+
+
 def clean_lines_c4(
     docs: DataFrame,
     *,
@@ -82,8 +88,8 @@ def clean_lines_c4(
     return docs.select(
         F.col(id_col),
         F.when(keep, F.array_join(kept, "\n")).alias(text_col),
-        F.coalesce(F.size(lines), F.lit(0)).alias("n_lines"),
-        F.coalesce(F.size(kept), F.lit(0)).alias("n_kept_lines"),
+        _size0(lines, F.col(text_col)).alias("n_lines"),
+        _size0(kept, F.col(text_col)).alias("n_kept_lines"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
 
@@ -177,7 +183,10 @@ def gopher_quality_filter(
     for c in rules.values():
         keep = keep & c
     evidence = [
-        n_words.alias("n_words"),
+        # NULL (not 3.x legacy -1) for NULL text on every Spark version
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(n_words)
+        .alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         *[F.coalesce(c, F.lit(False)).alias(name) for name, c in rules.items()],
         F.coalesce(keep, F.lit(False)).alias("keep"),
@@ -186,6 +195,15 @@ def gopher_quality_filter(
         # pipeline form: original columns + evidence, so a downstream
         # `.filter("keep")` composes with ZERO shuffle (no decision-
         # frame join back onto the corpus)
+        evidence_names = {"n_words", "mean_word_len", *rules, "keep"}
+        clash = evidence_names & set(docs.columns)
+        if clash:
+            raise ValueError(
+                "gopher_quality_filter(include_input=True): input already "
+                f"carries evidence column(s) {sorted(clash)} — rename them "
+                "first (ambiguous references otherwise; same discipline as "
+                "interval_join's colliding-column guard)"
+            )
         return docs.select("*", *evidence)
     return docs.select(F.col(id_col), *evidence)
 

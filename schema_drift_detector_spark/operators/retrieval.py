@@ -49,16 +49,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# BM25 saturation defaults (Robertson & Zaragoza 2009); module-level so
+# oracle builders can interpolate the SAME constants the operator uses
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def _toks(text_col: str) -> Column:
+    """THE tokenization rule — one definition shared by corpus_stats
+    and bm25_topk so precomputed stats can never use a different
+    normalization than scoring."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def _dl(text_col: str) -> Column:
+    """Doc length; NULL (not -1) for NULL text on every Spark version
+    (3.x legacy sizeOfNull returns -1, which would silently corrupt
+    avgdl — guard explicitly rather than rely on ANSI mode)."""
+    return F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("int")
+    ).otherwise(F.size(_toks(text_col)))
+
 
 def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Single-row (``__n_docs``, ``__avgdl``) frame for ``bm25_topk``'s
     ``stats`` parameter. An index serves MANY query batches against one
     corpus — computing this once and passing it in saves a full corpus
     scan per ``bm25_topk`` call (the tokenize-for-dl pass; the postings
-    scan is per-vocabulary and unavoidable). Must be built with the
-    same ``text_col`` normalization as the search call."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    return docs.select(F.size(toks).alias("__dl")).agg(
+    scan is per-vocabulary and unavoidable). Tokenization is shared
+    with ``bm25_topk`` (one ``_toks`` rule), so stats cannot be built
+    under a different normalization than scoring."""
+    return docs.select(_dl(text_col).alias("__dl")).agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.avg("__dl").alias("__avgdl"),
     )
@@ -73,8 +94,8 @@ def bm25_topk(
     query_id_col: str = "query_id",
     terms_col: str = "terms",
     k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
     score_decimals: int = 6,
     stats: DataFrame | None = None,
 ) -> DataFrame:
@@ -96,12 +117,13 @@ def bm25_topk(
         raise ValueError(f"k must be >= 1, got {k}")
 
     ids = F.col(id_col)
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
     # one corpus scan: doc length (ALL tokens — BM25's dl, computed
     # before vocab pruning) alongside the token array
     tokenized = docs.select(
-        ids.alias("__doc"), toks.alias("__toks"), F.size(toks).alias("__dl")
+        ids.alias("__doc"),
+        _toks(text_col).alias("__toks"),
+        _dl(text_col).alias("__dl"),
     )
 
     # single-row corpus stats, broadcast back via cross join (no collect);

@@ -79,6 +79,21 @@ def test_gopher_rules_each_bind(spark):
         assert not out[d].keep
 
 
+def test_gopher_include_input_collision_guard(spark):
+    """Chaining after an operator that already emitted a 'keep' column
+    must fail loud, not produce ambiguous references."""
+    cleaned = clean_lines_c4(_df(spark, [(1, "Solid sentence with five words here.")]))
+    try:
+        gopher_quality_filter(cleaned, include_input=True)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "keep" in str(e) and "rename" in str(e)
+    # and the non-colliding pipeline form works end-to-end
+    docs = _df(spark, [(1, " ".join(["the", "word"] * 30))])
+    out = gopher_quality_filter(docs, min_stopword_hits=1, include_input=True)
+    assert out.columns[:2] == ["doc_id", "text"] and out.filter("keep").count() == 1
+
+
 def test_cleaning_zero_shuffle_plans(spark):
     """Both hygiene passes are pure per-doc scans: no Exchange."""
     df = _df(spark, [(1, "a b c."), (2, "d e f!")])

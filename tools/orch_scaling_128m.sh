@@ -37,13 +37,13 @@ startup() {  # pinned no-op submit
 }
 
 run_one() {
-  local n=$1 tag=$2
+  local n=$1 tag=$2 rc=0
   SECONDS=0
   taskset -c 0-$((n-1)) spark-submit --master local[$n] --driver-memory 8g \
     --py-files engine.zip examples/validate_job.py \
     --docs $DOCS --catalog $CAT --out $OUTROOT/out_${n}_${tag} \
-    --run-id r6-128m-${n}-${tag} --epoch 0 2>/dev/null >/dev/null
-  local rc=$?
+    --run-id r6-128m-${n}-${tag} --epoch 0 2>/dev/null >/dev/null || rc=$?
+  # set -e would abort before the diagnostic otherwise; rc captured via ||
   echo "local[$n] run$tag: ${SECONDS}s rc=$rc dirs=$(ls $OUTROOT/out_${n}_${tag} 2>/dev/null | wc -l)"
 }
 
