@@ -1330,13 +1330,17 @@ FROM events e LEFT JOIN per_user p ON e.user_id = p.user_id
 
 
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both salted-join certifications in one entry, tagged by `face`
+    """The skew-handling family in one entry, tagged by `face`
     ('uniform' = every-row salting on the orders⋈customer join; 'hot' =
     hot-key-only salting on events⋈per_user with the measured heavy-
-    hitter set). Merged in r7 under the 50-row driver attestation cap
-    to make room for `bm25_topk` (merge recipe: tag + null-pad +
-    union; series-break annotated in BENCH/BASELINE.md r7 notes — the
-    per-face series continue via q_salted_join__uniform/__hot)."""
+    hitter set; 'hitters' = the hot-key DETECTION itself — frequent-
+    items sketch + broadcast exact recount, the operator that feeds
+    the 'hot' face's salting decision). Merged in r7 under the 50-row
+    driver attestation cap to make room for `bm25_topk` (uniform+hot)
+    and `zorder_layout` (hitters); merge recipe: tag + null-pad +
+    union; series-breaks annotated in BENCH/BASELINE.md r7 notes — the
+    per-face series continue via q_salted_join__uniform/__hot/
+    __hitters."""
     uni = q_salted_join_orders(spark, sf_dir).select(
         F.lit("uniform").alias("face"),
         "o_orderkey",
@@ -1349,6 +1353,8 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("event_type"),
         F.lit(None).cast("bigint").alias("n_events"),
         F.lit(None).cast("bigint").alias("first_event_id"),
+        F.lit(None).cast("bigint").alias("n_occurrences"),
+        F.lit(None).cast("double").alias("share"),
     )
     hot = q_salted_join_hot_events(spark, sf_dir).select(
         F.lit("hot").alias("face"),
@@ -1362,8 +1368,25 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "first_event_id",
+        F.lit(None).cast("bigint").alias("n_occurrences"),
+        F.lit(None).cast("double").alias("share"),
     )
-    return uni.unionByName(hot)
+    hitters = q_heavy_hitter_users(spark, sf_dir).select(
+        F.lit("hitters").alias("face"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("first_event_id"),
+        "n_occurrences",
+        "share",
+    )
+    return uni.unionByName(hot).unionByName(hitters)
 
 
 # bench face helpers: bare per-face plans (the hot face eagerly
@@ -1373,17 +1396,26 @@ q_salted_join__uniform = q_salted_join_orders
 q_salted_join__hot = q_salted_join_hot_events
 
 
+def q_salted_join__hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_heavy_hitter_users(spark, sf_dir)
+
+
 def _oracle_salted_join_merged() -> str:
     return f"""
 SELECT 'uniform' AS face, o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey,
        CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS user_id,
        CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS n_events,
-       CAST(NULL AS BIGINT) AS first_event_id
+       CAST(NULL AS BIGINT) AS first_event_id,
+       CAST(NULL AS BIGINT) AS n_occurrences, CAST(NULL AS DOUBLE) AS share
 FROM ({ORACLE_SALTED_JOIN_ORDERS})
 UNION ALL
 SELECT 'hot', NULL, NULL, NULL, NULL, NULL,
-       event_id, user_id, event_type, n_events, first_event_id
+       event_id, user_id, event_type, n_events, first_event_id, NULL, NULL
 FROM ({ORACLE_SALTED_JOIN_HOT_EVENTS})
+UNION ALL
+SELECT 'hitters', NULL, NULL, NULL, NULL, NULL,
+       NULL, user_id, NULL, NULL, NULL, n_occurrences, share
+FROM ({ORACLE_HEAVY_HITTER_USERS})
 """
 
 
@@ -1402,6 +1434,99 @@ _BM25_QUERIES: list[tuple[str, list[str]]] = [
 ]
 _BM25_INVOCAB = ("q_scan", "q_cust", "q_window", "q_stream")
 _BM25_K = 8
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering on events by (user_id,
+    event-time seconds) — the Delta/Iceberg OPTIMIZE ZORDER shape. The
+    certified artifacts are the deterministic ones: per-row z-keys
+    (min/max-bucketized 16-bit dimensions, bit-interleaved) and the
+    coarse zbucket (top 8 bits = the layout's coarse range), replayed
+    bit-exactly in DuckDB via the shared zorder_sql/minmax_bucket_sql
+    builders. The range-partition boundaries themselves are sampled
+    (nondeterministic) and are pinned by plan tests instead
+    (tests/test_layout.py). NULL user_ids take bucket 0 (co-located,
+    documented) — the events fixture carries none, so every 53rd
+    event's user_id is NULLed (planted, mirrored in the oracle) to
+    certify the NULL contract non-vacuously (gated)."""
+    from schema_drift_detector_spark.operators.layout import (
+        minmax_bucket,
+        zorder_key,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 53 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        # NTZ cannot cast straight to long; via timestamp (session tz
+        # UTC) — floors, matching the oracle's floor(epoch(ts))
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("mnu"),
+        F.max("user_id").alias("mxu"),
+        F.min("ts_sec").alias("mnt"),
+        F.max("ts_sec").alias("mxt"),
+    )
+    keyed = ev.join(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        zorder_key(
+            [
+                minmax_bucket(F.col("user_id"), F.col("mnu"), F.col("mxu"), 16),
+                minmax_bucket(F.col("ts_sec"), F.col("mnt"), F.col("mxt"), 16),
+            ],
+            16,
+        ).alias("z"),
+    )
+    out = keyed.select(
+        "event_id", "user_id", "ts_sec", "z", F.shiftright(F.col("z"), 24).alias("zbucket")
+    ).localCheckpoint(eager=True)
+    g = out.agg(
+        F.countDistinct("zbucket").alias("nb"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("nulls"),
+    ).first()
+    if g.nb < 2:
+        raise RuntimeError("vacuous zorder fixture: single zbucket")
+    if not g.nulls:
+        raise RuntimeError("vacuous zorder fixture: no NULL user_id rows")
+    return out
+
+
+def _oracle_zorder_layout() -> str:
+    """Replay via the SAME builders the operator's SQL twin exposes
+    (zorder_sql emits the identical interleave loop; minmax_bucket_sql
+    the identical binary64 bucketization)."""
+    from schema_drift_detector_spark.operators.layout import (
+        minmax_bucket_sql,
+        zorder_sql,
+    )
+
+    bu = minmax_bucket_sql("user_id", "b.mnu", "b.mxu", 16)
+    bt = minmax_bucket_sql("ts_sec", "b.mnt", "b.mxt", 16)
+    return f"""
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 53 = 0 THEN NULL ELSE user_id END AS user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+  FROM events
+),
+b AS (
+  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+         min(ts_sec) AS mnt, max(ts_sec) AS mxt
+  FROM ev
+),
+bk AS (
+  SELECT event_id, user_id, ts_sec, {bu} AS bu, {bt} AS bt
+  FROM ev, b
+)
+SELECT event_id, user_id, ts_sec,
+       {zorder_sql(['bu', 'bt'], 16)} AS z,
+       {zorder_sql(['bu', 'bt'], 16)} >> 24 AS zbucket
+FROM bk
+"""
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5365,7 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_rollup": q_nation_rollup,
         "sessionize_events": q_sessionize_events,
         "profile_events": q_profile_events,
-        "heavy_hitter_users": q_heavy_hitter_users,
+        "zorder_layout": q_zorder_layout,
         "stratified_split": q_stratified_split,
         "source_quota": q_source_quota,
         "histogram_drift": q_histogram_drift_merged,
@@ -5420,7 +5545,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_rollup": ORACLE_NATION_ROLLUP,
         "sessionize_events": ORACLE_SESSIONIZE,
         "profile_events": ORACLE_PROFILE_EVENTS,
-        "heavy_hitter_users": ORACLE_HEAVY_HITTER_USERS,
+        "zorder_layout": _oracle_zorder_layout(),
         "stratified_split": _oracle_stratified_split(),
         "source_quota": ORACLE_SOURCE_QUOTA,
         "histogram_drift": _oracle_histogram_drift_merged(),

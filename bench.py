@@ -131,7 +131,9 @@ FACE_SPLITS: dict[str, list[str]] = {
     # r7: salted_join_orders + salted_join_hot_events merged to free a
     # board slot for bm25_topk — 'uniform'/'hot' continue the two ≤r7
     # single-face series (annotated in BENCH/BASELINE.md r7 notes)
-    "salted_join": ["uniform", "hot"],
+    # ('hitters' joined late-r7: heavy_hitter_users merged in to free a
+    # slot for zorder_layout — its series continues as this face)
+    "salted_join": ["uniform", "hot", "hitters"],
     # r7: C4 line cleaning + Gopher quality rules merged in —
     # 'features' continues the ≤r7-early single-face series
     "text_doc_features": ["features", "c4", "gopher"],
