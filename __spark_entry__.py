@@ -5011,17 +5011,73 @@ FROM ({ORACLE_DRIFT_EVENTS}) dd
 """
 
 
+def q_order_chain__analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'analytic' face (bare plan; late-r7): the rest of the SQL
+    window-function surface in one certified pass — lead, ntile
+    quartiles, percent_rank, cume_dist, and an explicit ROWS-frame
+    running sum. ONE window shuffle (all five share the same
+    partition/order); the running sum pins the ROWS (not Spark's
+    default RANGE) frame, and the (o_orderdate, o_orderkey) ordering
+    is total so rank-family outputs are deterministic. percent_rank/
+    cume_dist round at 6dp, the running double sum at 4dp (2-decimal
+    inputs: a 4dp round absorbs ulp-order differences without ever
+    sitting near a rounding boundary)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("lead_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            4,
+        ).alias("running_spend"),
+    )
+
+
+ORACLE_ORDER_ANALYTIC = """
+SELECT o_custkey, o_orderkey,
+       lead(o_orderkey) OVER w AS lead_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 4) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_order_chain_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both per-customer order window certifications in one entry,
+    """The per-customer order window certifications in one entry,
     tagged by `face`: 'chain' = lag-linked order lineage, 'latest' =
-    the R11 top-1-per-entity pick. Merged to free a board slot for the
-    range join (r6); each face keeps its exact replay."""
+    the R11 top-1-per-entity pick (merged r6 to free a board slot for
+    the range join), 'analytic' = late-r7: lead/ntile/percent_rank/
+    cume_dist/ROWS-frame running sum (see q_order_chain__analytic).
+    Each face keeps its exact replay; series annotated in
+    BENCH/BASELINE.md."""
+    pads_analytic = [
+        F.lit(None).cast("bigint").alias("lead_orderkey"),
+        F.lit(None).cast("int").alias("quartile"),
+        F.lit(None).cast("double").alias("pct_rank"),
+        F.lit(None).cast("double").alias("cume_dist"),
+        F.lit(None).cast("double").alias("running_spend"),
+    ]
     chain = q_order_chain(spark, sf_dir).select(
         F.lit("chain").alias("face"),
         "o_custkey",
         "o_orderkey",
         "prev_orderkey",
         F.lit(None).cast("string").alias("latest_order_date"),
+        *pads_analytic,
     )
     latest = q_latest_order_per_customer(spark, sf_dir).select(
         F.lit("latest").alias("face"),
@@ -5029,20 +5085,49 @@ def q_order_chain_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lit(None).cast("bigint").alias("prev_orderkey"),
         "latest_order_date",
+        *pads_analytic,
     )
-    return chain.unionByName(latest)
+    analytic = q_order_chain__analytic(spark, sf_dir).select(
+        F.lit("analytic").alias("face"),
+        "o_custkey",
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("prev_orderkey"),
+        F.lit(None).cast("string").alias("latest_order_date"),
+        "lead_orderkey",
+        "quartile",
+        "pct_rank",
+        "cume_dist",
+        "running_spend",
+    )
+    return chain.unionByName(latest).unionByName(analytic)
 
 
 def _oracle_order_chain_merged() -> str:
     return f"""
 SELECT 'chain' AS face, o_custkey, o_orderkey, prev_orderkey,
-       CAST(NULL AS VARCHAR) AS latest_order_date
+       CAST(NULL AS VARCHAR) AS latest_order_date,
+       CAST(NULL AS BIGINT) AS lead_orderkey, CAST(NULL AS INT) AS quartile,
+       CAST(NULL AS DOUBLE) AS pct_rank, CAST(NULL AS DOUBLE) AS cume_dist,
+       CAST(NULL AS DOUBLE) AS running_spend
 FROM ({ORACLE_ORDER_CHAIN}) oc
 UNION ALL
 SELECT 'latest' AS face, o_custkey, o_orderkey, CAST(NULL AS BIGINT),
-       latest_order_date
+       latest_order_date, NULL, NULL, NULL, NULL, NULL
 FROM ({ORACLE_LATEST_ORDER}) lo
+UNION ALL
+SELECT 'analytic' AS face, o_custkey, o_orderkey, CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR),
+       lead_orderkey, quartile, pct_rank, cume_dist, running_spend
+FROM ({ORACLE_ORDER_ANALYTIC}) oa
 """
+
+
+# bench face helpers (bare per-face plans)
+q_order_chain__chain = q_order_chain
+
+
+def q_order_chain__latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_latest_order_per_customer(spark, sf_dir)
 
 
 def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

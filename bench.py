@@ -134,6 +134,9 @@ FACE_SPLITS: dict[str, list[str]] = {
     # ('hitters' joined late-r7: heavy_hitter_users merged in to free a
     # slot for zorder_layout — its series continues as this face)
     "salted_join": ["uniform", "hot", "hitters"],
+    # late-r7: analytic window-function face merged in (r6 merge
+    # pre-dated FACE_SPLITS; faces now priced separately)
+    "order_chain": ["chain", "latest", "analytic"],
     # r7: C4 line cleaning + Gopher quality rules merged in —
     # 'features' continues the ≤r7-early single-face series
     "text_doc_features": ["features", "c4", "gopher"],
