@@ -780,7 +780,15 @@ def q_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = joined.cube("r_name", "n_name").agg(*aggs).select(
         F.lit("cube").alias("shape"), "*"
     )
-    return ru.unionByName(cu)
+    # late-r7: EXPLICIT grouping sets — the marginals-only set
+    # {(r_name), (n_name)} that neither ROLLUP nor CUBE can express
+    # alone (no detail rows, no grand total)
+    gs = (
+        joined.groupingSets([["r_name"], ["n_name"]], "r_name", "n_name")
+        .agg(*aggs)
+        .select(F.lit("sets").alias("shape"), "*")
+    )
+    return ru.unionByName(cu).unionByName(gs)
 
 
 ORACLE_NATION_ROLLUP = """
@@ -799,6 +807,11 @@ SELECT 'cube' AS shape, r_name, n_name,
        CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
        count(*) AS n_orders, round(max(o_totalprice), 2) AS max_price
 FROM j GROUP BY CUBE (r_name, n_name)
+UNION ALL
+SELECT 'sets' AS shape, r_name, n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       count(*) AS n_orders, round(max(o_totalprice), 2) AS max_price
+FROM j GROUP BY GROUPING SETS ((r_name), (n_name))
 """
 
 
