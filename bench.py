@@ -101,10 +101,15 @@ BENCH_QUERIES = [
     "chunk_documents",
     "asof_join",
     "range_join_sessions",
-    # r7: the composed corpus pipeline (dedup → substring strip → PII →
-    # decontam → near-dup drop → token budget → chunk → pack) priced
-    # end-to-end; NEW row, no series break
+    # r7: the composed corpus pipeline (quality filter → dedup →
+    # substring strip → PII → decontam → near-dup drop → token budget →
+    # chunk → pack) priced end-to-end; NEW row (10-stage composition
+    # from late-r7 on — annotated in BENCH/BASELINE.md)
     "corpus_pipeline_e2e",
+    # late-r7 new entries (rows price the certified entry incl. its
+    # non-vacuity gates + checkpoint, the composition from day one)
+    "bm25_topk",
+    "zorder_layout",
 ]
 
 
@@ -128,14 +133,15 @@ FACE_SPLITS: dict[str, list[str]] = {
     # r7: intra-doc repetition strip merged in — 'cross' continues the
     # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "substring_dedup": ["cross", "intra"],
-    # r7: salted_join_orders + salted_join_hot_events merged to free a
-    # board slot for bm25_topk — 'uniform'/'hot' continue the two ≤r7
-    # single-face series (annotated in BENCH/BASELINE.md r7 notes)
-    # ('hitters' joined late-r7: heavy_hitter_users merged in to free a
-    # slot for zorder_layout — its series continues as this face)
-    "salted_join": ["uniform", "hot", "hitters"],
-    # late-r7: analytic window-function face merged in (r6 merge
-    # pre-dated FACE_SPLITS; faces now priced separately)
+    # NOTE (late r7): the salted_join/heavy_hitter BOARD merges need no
+    # entry here — bench resolves getattr-first, so the
+    # 'salted_join_hot_events' and 'heavy_hitter_users' ROWS still
+    # price their original bare helpers and their series continue
+    # unbroken (a FACE_SPLITS entry for the merged 'salted_join' board
+    # name would be unreachable: it is not a BENCH_QUERIES row).
+    # late-r7: analytic window-function face merged into the BOARD
+    # entry; the bench 'order_chain' row resolves the bare chain-face
+    # helper (series unbroken) and these faces add per-face detail
     "order_chain": ["chain", "latest", "analytic"],
     # r7: C4 line cleaning + Gopher quality rules merged in —
     # 'features' continues the ≤r7-early single-face series

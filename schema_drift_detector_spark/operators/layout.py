@@ -121,6 +121,15 @@ def zorder_layout(
     min/max column stats prune on every z-dimension."""
     if z_col in df.columns:
         raise ValueError(f"column {z_col!r} already exists")
+    if n_partitions is not None and n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    internal = {f"__min_{c}" for c in cols} | {f"__max_{c}" for c in cols}
+    clash = internal & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already carries internal bounds column(s) {sorted(clash)}"
+            " — rename them first"
+        )
     bounds = df.agg(
         *[F.min(c).alias(f"__min_{c}") for c in cols],
         *[F.max(c).alias(f"__max_{c}") for c in cols],
@@ -135,7 +144,9 @@ def zorder_layout(
     keyed = with_bounds.withColumn(z_col, zorder_key(buckets, n_bits)).drop(
         *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
     )
-    part = keyed.repartitionByRange(n_partitions, z_col) if n_partitions else (
-        keyed.repartitionByRange(z_col)
+    part = (
+        keyed.repartitionByRange(n_partitions, z_col)
+        if n_partitions is not None
+        else keyed.repartitionByRange(z_col)
     )
     return part.sortWithinPartitions(z_col)

@@ -84,9 +84,13 @@ def test_zorder_layout_plan_and_order(spark):
     )
     out = zorder_layout(df, ["a", "b"], n_bits=8, n_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
-    # exactly ONE data-scale exchange (the range partition); the bounds
-    # agg rides a broadcast
+    # exactly ONE data-scale shuffle: the range partition. The bounds
+    # agg contributes a SinglePartition exchange of ONE row (partial
+    # aggs upstream), and the bounds join must stay broadcast — a
+    # regression to a shuffled join would add a hashpartitioning
+    # exchange, which this pins out.
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     rows = out.select("k", F.col("__z").alias("z")).collect()
     assert len(rows) == 1000 and len({r.k for r in rows}) == 1000
