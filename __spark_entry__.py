@@ -242,42 +242,114 @@ _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event profiling, two faces: 'profile' = per-type stats; 'pivot'
-    (r6) = the long→wide reshaping surface — per-user counts pivoted
-    over an explicit event-type value list (.pivot(col, values), the
-    scale-safe form: no distinct-scan to discover columns). Spark
-    leaves EMPTY pivot cells NULL (not 0); the oracle mirrors with
-    NULLIF(count FILTER ...)."""
-    ev = _t(spark, sf_dir, "events")
-    prof = ev.groupBy("event_type").agg(
+    """Event profiling, three faces: 'profile' = per-type stats;
+    'pivot' (r6) = the long→wide reshaping surface — per-user counts
+    pivoted over an explicit event-type value list (.pivot(col,
+    values), the scale-safe form: no distinct-scan to discover
+    columns; Spark leaves EMPTY pivot cells NULL, the oracle mirrors
+    with NULLIF(count FILTER ...)); 'json' (late-r7) = the
+    semi-structured scalar-function family — events.props is a JSON
+    string, extracted BOTH ways Spark offers (typed `from_json` struct
+    field and path-based `get_json_object`), aggregated per type.
+    Every 41st event's props is replaced with a non-JSON string
+    (planted, mirrored in the oracle): both extractors must yield NULL
+    (not throw) — n_parsed < n_rows certifies the corrupt-row
+    contract, and `path_mismatches` counts rows where the two
+    extraction paths disagree, which the oracle pins at EXACTLY 0 (the
+    tolerance-contract shape: a Spark-side divergence between the two
+    JSON readers would hash-mismatch)."""
+    json_pads = [
+        F.lit(None).cast("bigint").alias("n_parsed"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit(None).cast("bigint").alias("path_mismatches"),
+    ]
+    prof = q_profile_events__profile(spark, sf_dir).select(
+        F.lit("profile").alias("face"),
+        "*",
+        F.lit(None).cast("bigint").alias("user_id"),
+        *[F.lit(None).cast("bigint").alias(f"n_{t}") for t in _PIVOT_TYPES],
+        *json_pads,
+    )
+    piv = q_profile_events__pivot(spark, sf_dir).select(
+        F.lit("pivot").alias("face"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n_rows"),
+        F.lit(None).cast("bigint").alias("n_users"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("double").alias("null_ratio"),
+        "user_id",
+        *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES],
+        *json_pads,
+    )
+    js = q_profile_events__json(spark, sf_dir).localCheckpoint(eager=True)
+    corrupt = js.agg(F.sum(F.col("n_rows") - F.col("n_parsed"))).first()[0]
+    if not corrupt:
+        raise RuntimeError(
+            "vacuous json-face fixture: no planted corrupt props row parsed NULL"
+        )
+    jsf = js.select(
+        F.lit("json").alias("face"),
+        "event_type",
+        "n_rows",
+        F.lit(None).cast("bigint").alias("n_users"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("double").alias("null_ratio"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        *[F.lit(None).cast("bigint").alias(f"n_{t}") for t in _PIVOT_TYPES],
+        "n_parsed",
+        "sum_k",
+        "path_mismatches",
+    )
+    return prof.unionByName(piv).unionByName(jsf)
+
+
+def q_profile_events__profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'profile' face (bare plan — bench-timed directly now that
+    the merged entry gates/checkpoints the json face)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.min("value"), 6).alias("min_value"),
         F.round(F.max("value"), 6).alias("max_value"),
         (1.0 - F.count("value") / F.count(F.lit(1))).alias("null_ratio"),
-    ).select(
-        F.lit("profile").alias("face"),
-        "*",
-        F.lit(None).cast("bigint").alias("user_id"),
-        *[F.lit(None).cast("bigint").alias(f"n_{t}") for t in _PIVOT_TYPES],
     )
-    piv = (
-        ev.groupBy("user_id")
+
+
+def q_profile_events__pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'pivot' face (bare plan)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
         .pivot("event_type", _PIVOT_TYPES)
         .count()
-        .select(
-            F.lit("pivot").alias("face"),
-            F.lit(None).cast("string").alias("event_type"),
-            F.lit(None).cast("bigint").alias("n_rows"),
-            F.lit(None).cast("bigint").alias("n_users"),
-            F.lit(None).cast("double").alias("min_value"),
-            F.lit(None).cast("double").alias("max_value"),
-            F.lit(None).cast("double").alias("null_ratio"),
-            "user_id",
-            *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES],
+    )
+
+
+def q_profile_events__json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'json' face (bare plan): both JSON extraction paths over the
+    planted-corrupt props fixture, aggregated per type."""
+    props = F.when(F.col("event_id") % 41 == 0, F.lit("not json")).otherwise(
+        F.col("props")
+    )
+    k_struct = F.from_json(props, "k INT").getField("k").cast("long")
+    k_path = F.get_json_object(props, "$.k").cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", k_struct.alias("__k1"), k_path.alias("__k2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("__k1").alias("n_parsed"),
+            F.sum("__k1").alias("sum_k"),
+            F.sum(
+                F.when(
+                    ~F.col("__k1").eqNullSafe(F.col("__k2")), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("path_mismatches"),
         )
     )
-    return prof.unionByName(piv)
 
 
 _PIVOT_ORACLE_COLS = ",\n       ".join(
@@ -291,14 +363,39 @@ SELECT 'profile' AS face, event_type, count(*) AS n_rows,
        round(min(value), 6) AS min_value, round(max(value), 6) AS max_value,
        1.0 - count(value) / count(*) AS null_ratio,
        CAST(NULL AS BIGINT) AS user_id,
-       {", ".join(f"CAST(NULL AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)}
+       {", ".join(f"CAST(NULL AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)},
+       CAST(NULL AS BIGINT) AS n_parsed, CAST(NULL AS BIGINT) AS sum_k,
+       CAST(NULL AS BIGINT) AS path_mismatches
 FROM events GROUP BY event_type
 UNION ALL
 SELECT 'pivot' AS face, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        CAST(NULL AS DOUBLE), user_id,
-       {_PIVOT_ORACLE_COLS}
+       {_PIVOT_ORACLE_COLS},
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM events GROUP BY user_id
+UNION ALL
+-- 'json' face: the planted corrupt rows parse to NULL (json_valid
+-- guard mirrors Spark's NULL-on-malformed from_json/get_json_object);
+-- path_mismatches is the 0-pinned tolerance contract — the oracle
+-- computes one extraction, Spark computes BOTH and counts divergences
+SELECT 'json' AS face, event_type, count(*) AS n_rows,
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       {", ".join(f"CAST(NULL AS BIGINT)" for t in _PIVOT_TYPES)},
+       count(k) AS n_parsed, CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(0 AS BIGINT) AS path_mismatches
+FROM (
+  SELECT event_type,
+         CASE WHEN json_valid(p)
+              THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT) END AS k
+  FROM (
+    SELECT event_type,
+           CASE WHEN event_id % 41 = 0 THEN 'not json' ELSE props END AS p
+    FROM events
+  )
+)
+GROUP BY event_type
 """
 
 

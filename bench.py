@@ -126,7 +126,9 @@ BENCH_QUERIES = [
 # helper must add its faces here (plus a __face helper if the entry
 # checkpoints) AND write a series-break annotation in BENCH/BASELINE.md.
 FACE_SPLITS: dict[str, list[str]] = {
-    "profile_events": ["profile", "pivot"],
+    # 'json' joined late-r7 (semi-structured extraction face) — the
+    # row re-prices; profile/pivot sub-timings continue their series
+    "profile_events": ["profile", "pivot", "json"],
     # r7: tokenizer-seam face merged into the entry — 'ws' continues the
     # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "chunk_documents": ["ws", "chargram"],
