@@ -912,8 +912,9 @@ FROM j GROUP BY GROUPING SETS ((r_name), (n_name))
 """
 
 
-def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity) per user — the
+def q_sessionize_events__sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'sessions' face (bare plan; the whole entry through late-r7):
+    gap-based sessionization (30-min inactivity) per user — the
     window/lag pattern used for event-stream lineage."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -932,6 +933,66 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESAMPLE_STEP = 21_600  # 6h buckets over the 30-day events span
+
+
+def q_sessionize_events__resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'resample' face (bare plan; late-r7): fixed-step bucketing
+    + LOCF gap-fill (operators/resample.py) per user over events.value
+    — the time-series densification pass. The fixture's NULL values
+    exercise the NULL-is-a-gap contract naturally; value rounds at 6dp
+    (the carried double is a single observation, not a sum — rounding
+    only pins the replay)."""
+    from schema_drift_detector_spark.operators.resample import resample_locf
+
+    out = resample_locf(
+        _t(spark, sf_dir, "events"),
+        group_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        step=_RESAMPLE_STEP,
+    )
+    return out.select(
+        "user_id", "bucket_ts", F.round("value", 6).alias("value"), "observed"
+    )
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event time-series operators in one entry, tagged by `face`:
+    'sessions' = gap-based sessionization (the ≤late-r7 single-face
+    frame), 'resample' = fixed-step LOCF gap-fill densification
+    (late-r7). Gate: the resample face must contain FILLED rows
+    (observed = false) — an all-observed output would certify the
+    carry-forward vacuously."""
+    sess = q_sessionize_events__sessions(spark, sf_dir).select(
+        F.lit("sessions").alias("face"),
+        "user_id",
+        "session_seq",
+        "n_events",
+        "first_event",
+        "last_event",
+        F.lit(None).cast("bigint").alias("bucket_ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("boolean").alias("observed"),
+    )
+    rs = q_sessionize_events__resample(spark, sf_dir).localCheckpoint(eager=True)
+    if rs.filter(~F.col("observed")).limit(1).count() == 0:
+        raise RuntimeError("vacuous resample fixture: no gap was filled")
+    rs_face = rs.select(
+        F.lit("resample").alias("face"),
+        "user_id",
+        F.lit(None).cast("bigint").alias("session_seq"),
+        F.lit(None).cast("bigint").alias("n_events"),
+        F.lit(None).cast("bigint").alias("first_event"),
+        F.lit(None).cast("bigint").alias("last_event"),
+        "bucket_ts",
+        "value",
+        "observed",
+    )
+    return sess.unionByName(rs_face)
+
+
 ORACLE_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, event_id, ts,
@@ -948,6 +1009,48 @@ WITH g AS (
 SELECT user_id, session_seq, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM s GROUP BY user_id, session_seq
+"""
+
+
+# exact replay of q_sessionize_events__resample: per-(user, bucket)
+# last observation by total (epoch, event_id) order, per-user skeleton
+# via inclusive generate_series, LOCF via IGNORE NULLS running window
+ORACLE_RESAMPLE = f"""
+WITH pts AS (
+  SELECT user_id AS g, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+         event_id AS t, value AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+obs AS (
+  SELECT g, e - (e % {_RESAMPLE_STEP}) AS b, v
+  FROM pts
+  QUALIFY row_number() OVER (PARTITION BY g, e - (e % {_RESAMPLE_STEP})
+                             ORDER BY e DESC, t DESC) = 1
+),
+bounds AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY g),
+sk AS (
+  SELECT g, unnest(generate_series(lo, hi, {_RESAMPLE_STEP})) AS b FROM bounds
+)
+SELECT sk.g AS user_id, sk.b AS bucket_ts,
+       round(last_value(o.v IGNORE NULLS) OVER (PARTITION BY sk.g ORDER BY sk.b
+                                                ROWS UNBOUNDED PRECEDING), 6) AS value,
+       o.v IS NOT NULL AS observed
+FROM sk LEFT JOIN obs o ON o.g = sk.g AND o.b = sk.b
+"""
+
+
+def _oracle_sessionize_merged() -> str:
+    return f"""
+SELECT 'sessions' AS face, user_id, session_seq, n_events, first_event, last_event,
+       CAST(NULL AS BIGINT) AS bucket_ts, CAST(NULL AS DOUBLE) AS value,
+       CAST(NULL AS BOOLEAN) AS observed
+FROM ({ORACLE_SESSIONIZE})
+UNION ALL
+SELECT 'resample' AS face, user_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       bucket_ts, value, observed
+FROM ({ORACLE_RESAMPLE})
 """
 
 
@@ -5738,7 +5841,7 @@ def oracle_sql() -> dict[str, str]:
         "nations_order_stats": ORACLE_NATION_STATS,
         "pricing_summary": _oracle_pricing_summary_merged(),
         "nation_rollup": ORACLE_NATION_ROLLUP,
-        "sessionize_events": ORACLE_SESSIONIZE,
+        "sessionize_events": _oracle_sessionize_merged(),
         "profile_events": ORACLE_PROFILE_EVENTS,
         "zorder_layout": _oracle_zorder_layout(),
         "stratified_split": _oracle_stratified_split(),

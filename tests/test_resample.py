@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from schema_drift_detector_spark.operators.resample import resample_locf
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+
+
+def test_resample_fills_gaps_with_locf(spark):
+    rows = [
+        (1, _ts(0, 30), 10.0, 1),
+        (1, _ts(3, 10), 30.0, 2),  # buckets 1 and 2 are gaps
+        (2, _ts(5, 0), 7.0, 3),  # single-bucket group
+    ]
+    out = {
+        (r.user_id, r.bucket_ts): (r.value, r.observed)
+        for r in resample_locf(_df(spark, rows), tiebreak_col="event_id").collect()
+    }
+    base = int(dt.datetime(2026, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert out[(1, base + 0 * 3600)] == (10.0, True)
+    assert out[(1, base + 1 * 3600)] == (10.0, False)  # carried
+    assert out[(1, base + 2 * 3600)] == (10.0, False)  # carried
+    assert out[(1, base + 3 * 3600)] == (30.0, True)
+    assert out[(2, base + 5 * 3600)] == (7.0, True)
+    assert len(out) == 5  # exactly the spans, nothing outside
+
+
+def test_resample_in_bucket_last_wins_with_tiebreak(spark):
+    rows = [
+        (1, _ts(0, 10), 1.0, 5),
+        (1, _ts(0, 50), 2.0, 6),  # later ts wins
+        (2, _ts(0, 10), 3.0, 7),
+        (2, _ts(0, 10), 4.0, 9),  # equal ts: greater event_id wins
+    ]
+    out = {
+        r.user_id: r.value
+        for r in resample_locf(_df(spark, rows), tiebreak_col="event_id").collect()
+    }
+    assert out[1] == 2.0 and out[2] == 4.0
+
+
+def test_resample_null_drop_contract(spark):
+    rows = [
+        (1, _ts(0), 1.0, 1),
+        (None, _ts(1), 9.0, 2),  # NULL group dropped
+        (1, None, 9.0, 3),  # NULL ts dropped
+        (1, _ts(1), None, 4),  # NULL value dropped (gap, not observation)
+    ]
+    got = resample_locf(_df(spark, rows), tiebreak_col="event_id").collect()
+    assert len(got) == 1 and got[0].observed
+
+
+def test_resample_step_validation(spark):
+    try:
+        resample_locf(_df(spark, []), tiebreak_col="event_id", step=0)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "step" in str(e)
