@@ -939,14 +939,23 @@ _RESAMPLE_STEP = 21_600  # 6h buckets over the 30-day events span
 def q_sessionize_events__resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'resample' face (bare plan; late-r7): fixed-step bucketing
     + LOCF gap-fill (operators/resample.py) per user over events.value
-    — the time-series densification pass. The fixture's NULL values
-    exercise the NULL-is-a-gap contract naturally; value rounds at 6dp
-    (the carried double is a single observation, not a sum — rounding
-    only pins the replay)."""
+    — the time-series densification pass. The fixture carries NO
+    natural NULL values (verified — a review pass caught the first
+    draft claiming otherwise), so every 43rd event's value is NULLed
+    (planted, mirrored in the oracle): a regression in the
+    NULL-is-a-gap filter would then carry or emit NULLs and
+    hash-mismatch. value rounds at 6dp (the carried double is a single
+    observation, not a sum — rounding only pins the replay)."""
     from schema_drift_detector_spark.operators.resample import resample_locf
 
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 43 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    )
     out = resample_locf(
-        _t(spark, sf_dir, "events"),
+        ev,
         group_col="user_id",
         ts_col="ts",
         value_col="value",
@@ -1019,14 +1028,21 @@ ORACLE_RESAMPLE = f"""
 WITH pts AS (
   SELECT user_id AS g, CAST(floor(epoch(ts)) AS BIGINT) AS e,
          event_id AS t, value AS v
-  FROM events
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_id % 43 = 0 THEN NULL ELSE value END AS value
+    FROM events
+  )
   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
 ),
 obs AS (
-  SELECT g, e - (e % {_RESAMPLE_STEP}) AS b, v
+  -- positive-mod floor alignment (DuckDB % is sign-of-dividend too;
+  -- mirrors the operator's pmod — matters only for pre-1970 epochs)
+  SELECT g, e - (((e % {_RESAMPLE_STEP}) + {_RESAMPLE_STEP}) % {_RESAMPLE_STEP}) AS b, v
   FROM pts
-  QUALIFY row_number() OVER (PARTITION BY g, e - (e % {_RESAMPLE_STEP})
-                             ORDER BY e DESC, t DESC) = 1
+  QUALIFY row_number() OVER (
+      PARTITION BY g, e - (((e % {_RESAMPLE_STEP}) + {_RESAMPLE_STEP}) % {_RESAMPLE_STEP})
+      ORDER BY e DESC, t DESC) = 1
 ),
 bounds AS (SELECT g, min(b) AS lo, max(b) AS hi FROM obs GROUP BY g),
 sk AS (

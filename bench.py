@@ -114,7 +114,7 @@ BENCH_QUERIES = [
 
 
 # Per-face sub-timings for BENCH_QUERIES rows whose helper computes a
-# UNION of faces: the row's headline time prices all faces together, so
+# UNION of faces (possibly plus eager gates): the row's headline time prices all faces together, so
 # the moment a new face merges into an existing q_<name> helper its time
 # series silently re-prices (profile_events r6 jumped 2.18× this way).
 # Each face is timed via a dedicated q_<name>__<face> helper building
@@ -349,9 +349,11 @@ def main() -> None:
                 # checkpoints/gates both faces before returning (there a
                 # post-hoc .filter(face) would price the whole union; r7
                 # review catch). The filter fallback is correct only for
-                # non-checkpointed unions (profile_events), where the
-                # face literal lets Catalyst fold the other branches to
-                # empty.
+                # non-checkpointed, gate-free unions, where the face
+                # literal lets Catalyst fold the other branches to
+                # empty — as of late-r7 EVERY FACE_SPLITS entry ships
+                # dedicated helpers (profile_events gained an eager
+                # json gate), so the fallback is a safety net only.
                 ffn = getattr(E, f"q_{name}__{face}", None)
                 fsamples = []
                 for _ in range(3):

@@ -61,8 +61,11 @@ def resample_locf(
         raise ValueError(f"step must be >= 1 second, got {step}")
     g, ts, v = F.col(group_col), F.col(ts_col), F.col(value_col)
     epoch = ts.cast("timestamp").cast("long")
-    # pure integer alignment (no fp division anywhere near a floor)
-    bucket = epoch - (epoch % step)
+    # pure integer FLOOR alignment: pmod, not % — Spark's % keeps the
+    # dividend's sign, so `e - (e % step)` would round pre-1970
+    # (negative-epoch) timestamps toward zero, assigning them to the
+    # bucket AFTER them (review catch, reproduced live)
+    bucket = epoch - F.pmod(epoch, F.lit(step))
 
     obs = (
         df.filter(g.isNotNull() & ts.isNotNull() & v.isNotNull())

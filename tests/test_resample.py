@@ -59,6 +59,20 @@ def test_resample_null_drop_contract(spark):
     assert len(got) == 1 and got[0].observed
 
 
+def test_resample_negative_epoch_floor_alignment(spark):
+    """Pre-1970 timestamps must FLOOR to their own bucket, not round
+    toward zero into the next one (the % vs pmod trap)."""
+    rows = [
+        (1, dt.datetime(1969, 12, 31, 23, 30), 5.0, 1),
+        (1, dt.datetime(1970, 1, 1, 0, 30), 6.0, 2),
+    ]
+    out = sorted(
+        (r.bucket_ts, r.value, r.observed)
+        for r in resample_locf(_df(spark, rows), tiebreak_col="event_id").collect()
+    )
+    assert out == [(-3600, 5.0, True), (0, 6.0, True)]
+
+
 def test_resample_step_validation(spark):
     try:
         resample_locf(_df(spark, []), tiebreak_col="event_id", step=0)

@@ -15,7 +15,10 @@ CAT=.bench_cache/asset_catalog_${N}
 OUTROOT=/tmp/orch256
 rm -rf $OUTROOT; mkdir -p $OUTROOT
 
-if [ ! -d "$DOCS" ]; then
+if [ ! -f "$DOCS/_SUCCESS" ] || [ ! -f "$CAT/_SUCCESS" ]; then
+  # _SUCCESS markers, not bare dirs: a generation killed mid-write leaves
+  # a partial table that a dir check would silently accept (review catch);
+  # ensure_bench_data is idempotent and re-fills whichever path is missing
   echo "=== generating ${N}-doc table ==="
   SECONDS=0
   SPARK_GRAFT_BENCH_DOCS=$N python - <<'PYEOF'
