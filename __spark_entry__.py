@@ -3940,15 +3940,8 @@ def q_text_doc_features__gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(docs, min_stopword_hits=1)
 
 
-_GOPHER_RULE_COLS = (
-    "ok_word_count",
-    "ok_mean_word_len",
-    "ok_symbol_ratio",
-    "ok_bullet_lines",
-    "ok_ellipsis_lines",
-    "ok_alpha_words",
-    "ok_stopwords",
-    "ok_dup_lines",
+from schema_drift_detector_spark.operators.cleaning import (
+    GOPHER_RULE_COLS as _GOPHER_RULE_COLS,
 )
 
 

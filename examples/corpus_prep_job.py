@@ -1,24 +1,31 @@
-"""spark-submit entry point for a training-data corpus-prep run.
+"""spark-submit entry point for the composed LLM-corpus preparation
+pipeline — the certified 10-stage hygiene chain (corpus_pipeline_e2e's
+operator composition) over an arbitrary documents table:
+
+    Gopher quality filter → exact dedup → cross-doc boilerplate strip →
+    intra-doc repetition strip → PII redaction → benchmark
+    decontamination → MinHash near-dup drop → per-source token-budget
+    mixing → context chunking → next-fit sequence packing
 
     zip -r engine.zip schema_drift_detector_spark
     spark-submit --py-files engine.zip examples/corpus_prep_job.py \
-        --docs s3a://bucket/documents --out s3a://bucket/corpus_v2 \
-        [--minhash-threshold 0.8] [--quality-floor 0.5] [--langs en,de]
+        --docs /path/to/documents.parquet \
+        --out /path/to/prep_out \
+        [--eval-docs /path/to/eval.parquet]   # decontamination source
+        [--budget-tokens 1000000] [--chunk-tokens 2048] [--stride 1024] \
+        [--pack-cap 4096] [--shards 64] [--min-words 50] [--skip-quality]
 
-Pipeline (each stage is the library operator the test/oracle board
-certifies):
+Input schema: (doc_id long, source string, text string) — extra
+columns pass through to the survivors output. Outputs under --out:
+  survivors/   cleaned, deduped, budgeted docs (doc_id, source, text)
+  chunks/      (doc_id, chunk_index, chunk_text, n_chunk_tokens)
+  packed/      the packed-sequence manifest (chunk_uid, shard, bin,
+               n_tokens, truncated)
+  stats.json   per-stage row counts (drop-rate audit)
 
-  1. exact dedup         md5 survivor per content fingerprint
-  2. near-dup dedup      MinHash-LSH candidates (md5-affine mode),
-                         drop the higher doc_id of each near-dup pair
-  3. quality + language  heuristic quality gate, stopword-vote lang id,
-                         optional language allowlist
-  4. outputs             kept corpus (parquet, partitioned by lang) +
-                         per-(source, lang) stats + dropped-doc audit
-
-Scale posture: stages 1-2 are hash-bucketed (never all-pairs), stage 3
-is pure Catalyst expressions; the only shuffles are the dedup groupBys
-and the final stats aggregation.
+Stage knobs mirror the certified operators' defaults; every stage is
+the exact operator the entry-board certifies (nothing re-implemented
+here). Decontamination is skipped unless --eval-docs is given.
 """
 
 from __future__ import annotations
@@ -29,67 +36,130 @@ import json
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from schema_drift_detector_spark.functions.text import lang_id, quality_score, token_count
-from schema_drift_detector_spark.operators.dedup import (
-    drop_exact_duplicates,
-    minhash_near_duplicates,
-)
-from schema_drift_detector_spark.sources.io import read_table
-
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", required=True, help="documents table (id/text columns)")
+    ap.add_argument("--docs", required=True, help="documents parquet path/table")
     ap.add_argument("--out", required=True, help="output root")
-    ap.add_argument("--id-col", default="doc_id")
-    ap.add_argument("--text-col", default="text")
-    ap.add_argument("--minhash-threshold", type=float, default=0.8)
-    ap.add_argument("--quality-floor", type=float, default=0.5)
-    ap.add_argument("--langs", help="comma-separated allowlist, e.g. en,de")
+    ap.add_argument("--eval-docs", help="benchmark/eval docs to decontaminate against")
+    ap.add_argument("--budget-tokens", type=int, default=1_000_000)
+    ap.add_argument("--chunk-tokens", type=int, default=2048)
+    ap.add_argument("--stride", type=int, default=1024)
+    ap.add_argument("--pack-cap", type=int, default=4096)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument("--min-stopword-hits", type=int, default=2)
+    ap.add_argument("--gram-n", type=int, default=8)
+    ap.add_argument("--boilerplate-min-df", type=int, default=4)
+    ap.add_argument("--lsh-threshold", type=float, default=0.6)
+    ap.add_argument("--skip-quality", action="store_true")
     args = ap.parse_args()
 
+    from schema_drift_detector_spark.functions.pii import pii_redact
+    from schema_drift_detector_spark.functions.text import token_count
+    from schema_drift_detector_spark.operators.cleaning import gopher_quality_filter
+    from schema_drift_detector_spark.operators.decontam import (
+        contamination_hits,
+        eval_gram_hashes,
+    )
+    from schema_drift_detector_spark.operators.dedup import (
+        connected_components,
+        drop_exact_duplicates,
+        minhash_near_duplicates,
+    )
+    from schema_drift_detector_spark.operators.packing import (
+        chunk_documents,
+        pack_next_fit,
+    )
+    from schema_drift_detector_spark.operators.sampling import take_token_budget
+    from schema_drift_detector_spark.operators.substring import (
+        strip_repeated_runs,
+        substring_dedup,
+    )
+    from schema_drift_detector_spark.sources.io import read_table
+
     spark = SparkSession.builder.appName("corpus-prep").getOrCreate()
+    stats: dict[str, int] = {}
+
     docs = read_table(spark, args.docs)
+    stats["input"] = docs.count()
 
-    # 1. exact dedup
-    docs = drop_exact_duplicates(docs, args.id_col, args.text_col)
+    if not args.skip_quality:
+        from schema_drift_detector_spark.operators.cleaning import GOPHER_RULE_COLS
 
-    # 2. near-dup dedup: LSH pairs → drop the higher id of each pair
-    pairs = minhash_near_duplicates(
-        docs, args.id_col, args.text_col,
-        threshold=args.minhash_threshold, hash_fn="md5",
-    )
-    # on a duplicate-heavy corpus the loser set can be a large fraction
-    # of all ids — too big to broadcast; let AQE pick the join strategy
-    losers = pairs.select(F.col("doc_b").alias(args.id_col)).distinct()
-    docs = docs.join(losers, args.id_col, "left_anti")
-
-    # 3. quality + language gates
-    scored = docs.withColumn("quality_score", quality_score(args.text_col)).withColumn(
-        "lang", lang_id(args.text_col)
-    )
-    kept = scored.filter(F.col("quality_score") >= args.quality_floor)
-    if args.langs:
-        kept = kept.filter(F.col("lang").isin(args.langs.split(",")))
-
-    # 4. outputs
-    kept.write.mode("overwrite").partitionBy("lang").parquet(f"{args.out}/corpus")
-    stats = (
-        kept.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(token_count(args.text_col)).alias("n_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        docs = (
+            gopher_quality_filter(
+                docs,
+                min_words=args.min_words,
+                min_stopword_hits=args.min_stopword_hits,
+                include_input=True,
+            )
+            .filter(F.col("keep"))
+            .drop("n_words", "mean_word_len", "keep", *GOPHER_RULE_COLS)
         )
-    )
-    stats.write.mode("overwrite").parquet(f"{args.out}/stats")
-    dropped = scored.filter(F.col("quality_score") < args.quality_floor).select(
-        args.id_col, "quality_score", "lang"
-    )
-    dropped.write.mode("overwrite").parquet(f"{args.out}/dropped")
+        stats["after_quality_filter"] = docs.count()
 
-    print(json.dumps({r["lang"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
-                      for r in stats.collect()}, sort_keys=True))
+    docs = drop_exact_duplicates(docs, "doc_id", "text")
+    stats["after_exact_dedup"] = docs.count()
+
+    docs = substring_dedup(docs, n=args.gram_n, min_df=args.boilerplate_min_df)
+    docs = strip_repeated_runs(docs, n=args.gram_n).drop("n_tokens", "n_removed")
+    docs = docs.select(
+        *[c for c in docs.columns if c != "text"], pii_redact("text").alias("text")
+    ).localCheckpoint(eager=True)
+
+    if args.eval_docs:
+        eval_df = read_table(spark, args.eval_docs)
+        hits = contamination_hits(
+            docs,
+            eval_gram_hashes(eval_df, "text", n=args.gram_n),
+            "doc_id",
+            "text",
+            n=args.gram_n,
+        )
+        docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+        stats["after_decontamination"] = docs.count()
+
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", n=5, k=64, bands=16,
+        threshold=args.lsh_threshold, hash_fn="md5",
+    )
+    drops = connected_components(pairs).filter(F.col("doc") != F.col("cluster"))
+    docs = docs.join(drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti")
+    stats["after_neardup_drop"] = docs.count()
+
+    docs = take_token_budget(
+        docs.withColumn("__nt", token_count("text")),
+        "source",
+        "doc_id",
+        "__nt",
+        args.budget_tokens,
+    ).drop("__nt").localCheckpoint(eager=True)
+    stats["after_token_budget"] = docs.count()
+    docs.write.mode("overwrite").parquet(f"{args.out}/survivors")
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=args.chunk_tokens, stride=args.stride
+    ).localCheckpoint(eager=True)
+    stats["chunks"] = chunks.count()
+    chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
+
+    packed = pack_next_fit(
+        chunks.select(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("chunk_index")
+            ).alias("chunk_uid"),
+            "n_chunk_tokens",
+        ),
+        "chunk_uid",
+        "n_chunk_tokens",
+        cap_tokens=args.pack_cap,
+        n_shards=args.shards,
+    )
+    packed.write.mode("overwrite").parquet(f"{args.out}/packed")
+    stats["packed_chunks"] = packed.count()
+
+    print(json.dumps(stats))
     spark.stop()
 
 

@@ -41,6 +41,20 @@ _C4_TERMINAL_RE = '[.!?"]$'
 # Gopher §A1.1 stopword-evidence list (verbatim from the paper)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# the per-rule evidence booleans gopher_quality_filter emits, in output
+# order — THE name list consumers (entry padding, pipeline cleanup)
+# should import rather than re-type
+GOPHER_RULE_COLS = (
+    "ok_word_count",
+    "ok_mean_word_len",
+    "ok_symbol_ratio",
+    "ok_bullet_lines",
+    "ok_ellipsis_lines",
+    "ok_alpha_words",
+    "ok_stopwords",
+    "ok_dup_lines",
+)
+
 
 def _words(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda w: w != "")
@@ -179,6 +193,7 @@ def gopher_quality_filter(
         "ok_stopwords": stop_hits >= min_stopword_hits,
         "ok_dup_lines": dup_line_frac < max_dup_line_frac,
     }
+    assert tuple(rules) == GOPHER_RULE_COLS  # exported list stays in sync
     keep = F.col(text_col).isNotNull()
     for c in rules.values():
         keep = keep & c
