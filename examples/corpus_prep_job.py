@@ -16,7 +16,10 @@ operator composition) over an arbitrary documents table:
         [--pack-cap 4096] [--shards 64] [--min-words 50] [--skip-quality]
 
 Input schema: (doc_id long, source string, text string) — extra
-columns pass through to the survivors output. Outputs under --out:
+columns pass through to the survivors output, EXCEPT the reserved
+internal names n_tokens/n_removed (the job fails loud on those) and
+NULL-text rows (dropped up front, counted in the stats). Outputs
+under --out:
   survivors/   cleaned, deduped, budgeted docs (doc_id, source, text)
   chunks/      (doc_id, chunk_index, chunk_text, n_chunk_tokens)
   packed/      the packed-sequence manifest (chunk_uid, shard, bin,
@@ -82,7 +85,21 @@ def main() -> None:
     stats: dict[str, int] = {}
 
     docs = read_table(spark, args.docs)
+    # n_tokens/n_removed are produced-and-consumed internally by the
+    # strip stages; a caller's same-named columns would be silently
+    # destroyed — fail loud instead (the gopher clash-guard discipline)
+    reserved = {"n_tokens", "n_removed"} & set(docs.columns)
+    if reserved:
+        raise SystemExit(
+            f"input carries reserved column(s) {sorted(reserved)} — rename them"
+        )
     stats["input"] = docs.count()
+
+    # NULL text can never survive the chain usefully (token_count on
+    # NULL is the classic size(-1) trap under legacy sizeOfNull) —
+    # drop it up front, audited
+    docs = docs.filter(F.col("text").isNotNull())
+    stats["after_null_text_drop"] = docs.count()
 
     if not args.skip_quality:
         from schema_drift_detector_spark.operators.cleaning import GOPHER_RULE_COLS
@@ -99,14 +116,17 @@ def main() -> None:
         )
         stats["after_quality_filter"] = docs.count()
 
-    docs = drop_exact_duplicates(docs, "doc_id", "text")
+    # checkpoint after exact dedup: both the count and the two gram
+    # passes read it (un-checkpointed, each would replay the scan +
+    # quality filter + md5 window)
+    docs = drop_exact_duplicates(docs, "doc_id", "text").localCheckpoint(eager=True)
     stats["after_exact_dedup"] = docs.count()
 
     docs = substring_dedup(docs, n=args.gram_n, min_df=args.boilerplate_min_df)
     docs = strip_repeated_runs(docs, n=args.gram_n).drop("n_tokens", "n_removed")
     docs = docs.select(
         *[c for c in docs.columns if c != "text"], pii_redact("text").alias("text")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # several consumers; don't re-run the strips
 
     if args.eval_docs:
         eval_df = read_table(spark, args.eval_docs)
@@ -117,7 +137,9 @@ def main() -> None:
             "text",
             n=args.gram_n,
         )
-        docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti")
+        docs = docs.join(hits.select("doc_id"), "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         stats["after_decontamination"] = docs.count()
 
     pairs = minhash_near_duplicates(
@@ -125,7 +147,9 @@ def main() -> None:
         threshold=args.lsh_threshold, hash_fn="md5",
     )
     drops = connected_components(pairs).filter(F.col("doc") != F.col("cluster"))
-    docs = docs.join(drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti")
+    docs = docs.join(
+        drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
     stats["after_neardup_drop"] = docs.count()
 
     docs = take_token_budget(
@@ -155,11 +179,21 @@ def main() -> None:
         "n_chunk_tokens",
         cap_tokens=args.pack_cap,
         n_shards=args.shards,
-    )
-    packed.write.mode("overwrite").parquet(f"{args.out}/packed")
+    ).localCheckpoint(eager=True)
     stats["packed_chunks"] = packed.count()
+    packed.write.mode("overwrite").parquet(f"{args.out}/packed")
 
-    print(json.dumps(stats))
+    line = json.dumps(stats)
+    # the documented stats.json artifact (stdout alone drowns in
+    # spark-submit noise); local filesystem outputs only — for remote
+    # --out (s3a:// etc.) the stdout line is the record
+    if "://" not in args.out:
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "stats.json"), "w") as fh:
+            fh.write(line + "\n")
+    print(line)
     spark.stop()
 
 
