@@ -198,17 +198,65 @@ FROM orders
 
 
 def q_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + MULTISET set-op certifications in one entry, tagged
+    by `face`: 'anti' = the left_anti no-open-orders pick (the whole
+    entry through late-r7); 'except_all' / 'intersect_all' (late-r7) =
+    Spark's bag-semantics exceptAll/intersectAll over order custkeys
+    vs open-order custkeys, mirrored by SQL EXCEPT ALL / INTERSECT ALL
+    — per-value multiplicities are part of the hashed result, so the
+    max(0, l−r) / min(l, r) occurrence arithmetic is certified, not
+    just membership. Gate: some custkey must survive except_all with
+    multiplicity ≥ 2, else the bag semantics would be certified
+    vacuously (a distinct EXCEPT would produce the same rows)."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    return customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti").select(
-        "c_custkey", "c_name"
+    orders_all = _t(spark, sf_dir, "orders")
+    open_o = orders_all.filter(F.col("o_orderstatus") == "O")
+    anti = (
+        customer.join(
+            open_o, customer["c_custkey"] == open_o["o_custkey"], "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .select(F.lit("anti").alias("face"), "c_custkey", "c_name")
     )
+    keys_all = orders_all.select(F.col("o_custkey").alias("c_custkey"))
+    keys_open = open_o.select(F.col("o_custkey").alias("c_custkey"))
+    ea = keys_all.exceptAll(keys_open).localCheckpoint(eager=True)
+    if ea.groupBy("c_custkey").count().filter(F.col("count") >= 2).limit(1).count() == 0:
+        raise RuntimeError(
+            "vacuous set-op fixture: no except_all multiplicity >= 2 — bag"
+            " semantics indistinguishable from distinct EXCEPT"
+        )
+    ea_face = ea.select(
+        F.lit("except_all").alias("face"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+    )
+    ia_face = keys_all.intersectAll(keys_open).select(
+        F.lit("intersect_all").alias("face"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+    )
+    return anti.unionByName(ea_face).unionByName(ia_face)
 
 
 ORACLE_CUST_NO_OPEN = """
-SELECT c_custkey, c_name FROM customer c
+SELECT 'anti' AS face, c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+UNION ALL
+SELECT 'except_all' AS face, x.c_custkey, CAST(NULL AS VARCHAR) AS c_name
+FROM (
+  SELECT o_custkey AS c_custkey FROM orders
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) x
+UNION ALL
+SELECT 'intersect_all' AS face, y.c_custkey, CAST(NULL AS VARCHAR) AS c_name
+FROM (
+  SELECT o_custkey AS c_custkey FROM orders
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) y
 """
 
 
