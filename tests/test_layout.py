@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from schema_drift_detector_spark.operators.layout import (
@@ -101,6 +103,28 @@ def test_zorder_layout_plan_and_order(spark):
         by_part.setdefault(r.p, []).append(r.z)
     for zs in by_part.values():
         assert zs == sorted(zs)
+
+
+_longs = st.integers(min_value=-(2**62), max_value=2**62)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(_longs, _longs), min_size=1, max_size=25))
+def test_zorder_key_hypothesis_parity(spark, pairs):
+    """Property: for arbitrary long pairs (negatives included — masked
+    to the low bits), the Spark interleave equals the pure-Python
+    reference. Batched: each example is ONE Spark job."""
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i long, a long, b long"
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", zorder_key([F.col("a"), F.col("b")], n_bits=12).alias("z")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        assert got[i] == _ref_z([a, b], 12)
 
 
 def test_zorder_sql_builders_cross_engine_parity(spark):

@@ -2,6 +2,8 @@ from __future__ import annotations
 
 import math
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from schema_drift_detector_spark.operators.retrieval import bm25_topk, corpus_stats
@@ -102,6 +104,34 @@ def test_bm25_k_validation(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "k must be" in str(e)
+
+
+_vocab = ["alpha", "beta", "gamma", "delta"]
+_doc_text = st.lists(st.sampled_from(_vocab), min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_doc_text, min_size=1, max_size=8),
+    st.lists(st.sampled_from(_vocab), min_size=1, max_size=3, unique=True),
+)
+def test_bm25_hypothesis_parity(spark, texts, qterms):
+    """Property: on arbitrary small corpora over a tiny vocabulary,
+    every (query, doc) score and the full ranking equal the pure-Python
+    reference (k large enough to return everything)."""
+    docs_rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [("q", qterms)], "query_id string, terms array<string>"
+    )
+    got = {
+        r.doc_id: (r.rank, r.score) for r in bm25_topk(docs, queries, k=100).collect()
+    }
+    exp = _ref_bm25(docs_rows, qterms)
+    assert set(got) == set(exp)
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    for rank, d in enumerate(order, start=1):
+        assert got[d][0] == rank and abs(got[d][1] - exp[d]) < 1e-6
 
 
 def test_bm25_plan_shape(spark):
