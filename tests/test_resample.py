@@ -73,6 +73,19 @@ def test_resample_negative_epoch_floor_alignment(spark):
     assert out == [(-3600, 5.0, True), (0, 6.0, True)]
 
 
+def test_resample_plan_shape(spark):
+    """Documented scale shape: one (g,b) obs aggregation, one small
+    per-group bounds aggregation, one (g,b) skeleton join, one
+    per-group carry window — at most 4 hash shuffles, never a
+    cartesian product (the skeleton joins on (g,b), it does not
+    cross-join the bounds)."""
+    rows = [(1, _ts(h), float(h), h) for h in range(5)]
+    out = resample_locf(_df(spark, rows), tiebreak_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_resample_step_validation(spark):
     try:
         resample_locf(_df(spark, []), tiebreak_col="event_id", step=0)
