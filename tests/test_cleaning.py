@@ -1,11 +1,69 @@
 from __future__ import annotations
 
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from schema_drift_detector_spark.operators.cleaning import (
+    GOPHER_STOPWORDS,
     clean_lines_c4,
     gopher_quality_filter,
 )
+
+
+def _ref_gopher_keep(text: str, min_stop: int = 2) -> bool:
+    """Independent pure-Python evaluation of the Gopher keep rule."""
+    if text is None:
+        return False
+    words = [w for w in text.split(" ") if w]
+    lines = text.split("\n")
+    nw, nl = len(words), len(lines)
+    if not (50 <= nw <= 100_000):
+        return False
+    mean_wl = sum(len(w) for w in words) / nw
+    if not (3.0 <= mean_wl <= 10.0):
+        return False
+    n_hash = text.count("#")
+    n_ell = (len(text) - len(text.replace("...", ""))) / 3
+    if not (n_hash + n_ell) / nw < 0.1:
+        return False
+    if not sum(1 for l in lines if re.search(r"^[-*•] ", l)) / nl < 0.9:
+        return False
+    if not sum(1 for l in lines if re.search(r"\.\.\.$", l)) / nl < 0.3:
+        return False
+    if not sum(1 for w in words if re.search("[A-Za-z]", w)) / nw > 0.8:
+        return False
+    stops = {w.lower() for w in words} & set(GOPHER_STOPWORDS)
+    if len(stops) < min_stop:
+        return False
+    return (nl - len(set(lines))) / nl < 0.3
+
+
+_word = st.sampled_from(
+    ["the", "and", "table", "aa", "1234", "####", "...", "-", "order", "scan"]
+)
+_line = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+_gopher_text = st.lists(_line, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_gopher_text, min_size=1, max_size=12))
+def test_gopher_hypothesis_parity(spark, texts):
+    """Property: the operator's keep decision equals an independent
+    pure-Python evaluation of every §A1.1 rule, over adversarial texts
+    mixing stopwords, short words, digits, bullets, ellipses, hashes,
+    and duplicate lines."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.keep
+        for r in gopher_quality_filter(df, min_stopword_hits=2).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_gopher_keep(t), (i, t)
 
 
 def _df(spark, rows):

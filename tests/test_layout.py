@@ -173,6 +173,53 @@ def test_zorder_sql_builders_cross_engine_parity(spark):
     assert got == oracle
 
 
+def test_zorder_write_enables_file_pruning(spark, tmp_path):
+    """The point of the operator, evidenced end-to-end: after a
+    z-ordered sorted write, a range predicate on EITHER dimension
+    intersects the per-file min/max stats of only a small fraction of
+    files — under the unsorted layout, essentially every file is a
+    candidate. (Files = what a 100 TB scan would have to open; the
+    per-file column stats are what Parquet/Iceberg pruning consults.)"""
+    import duckdb
+
+    n = 20_000
+    df = spark.range(0, n).select(
+        (F.col("id") * 2654435761 % n).alias("a"),
+        (F.col("id") * 40503 % n).alias("b"),
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    df.repartition(16).write.mode("overwrite").parquet(plain)
+    zorder_layout(df, ["a", "b"], n_bits=16, n_partitions=16).drop(
+        "__z"
+    ).write.mode("overwrite").parquet(zord)
+
+    con = duckdb.connect()
+
+    def candidates(path, col, lo, hi):
+        rows = con.execute(
+            f"""
+            SELECT file_name,
+                   min(CASE WHEN path_in_schema = '{col}' THEN CAST(stats_min_value AS BIGINT) END) AS mn,
+                   max(CASE WHEN path_in_schema = '{col}' THEN CAST(stats_max_value AS BIGINT) END) AS mx
+            FROM parquet_metadata('{path}/*.parquet')
+            GROUP BY file_name
+            """
+        ).fetchall()
+        total = len(rows)
+        cand = sum(1 for _, mn, mx in rows if mn is not None and not (mx < lo or mn > hi))
+        return cand, total
+
+    lo, hi = 0, n // 16  # a 1/16th range on each dimension
+    for col in ("a", "b"):
+        c_plain, t_plain = candidates(plain, col, lo, hi)
+        c_z, t_z = candidates(zord, col, lo, hi)
+        # unsorted: hash-partitioned files all span ~the full range
+        assert c_plain == t_plain, (col, c_plain, t_plain)
+        # z-ordered: the range lives in a minority of files
+        assert c_z <= t_z // 2, (col, c_z, t_z)
+
+
 def test_zorder_validation(spark):
     df = spark.range(3).select(F.col("id").alias("a"), F.col("id").alias("b"))
     try:

@@ -2,7 +2,69 @@ from __future__ import annotations
 
 import datetime as dt
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from schema_drift_detector_spark.operators.resample import resample_locf
+
+
+def _ref_resample(rows, step):
+    """Independent pure-Python LOCF fill: rows = (g, epoch, value, tie)."""
+    obs: dict[tuple[int, int], tuple[tuple[int, int], float]] = {}
+    for g, e, v, t in rows:
+        if g is None or e is None or v is None:
+            continue
+        b = e - (e % step)  # non-negative epochs in the strategy
+        key = (g, b)
+        if key not in obs or (e, t) > obs[key][0]:
+            obs[key] = ((e, t), v)
+    out = {}
+    for g in {k[0] for k in obs}:
+        bs = [b for (gg, b) in obs if gg == g]
+        lo, hi = min(bs), max(bs)
+        carry = None
+        for b in range(lo, hi + 1, step):
+            if (g, b) in obs:
+                carry = obs[(g, b)][1]
+                out[(g, b)] = (carry, True)
+            else:
+                out[(g, b)] = (carry, False)
+    return out
+
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # group
+        st.integers(min_value=0, max_value=40_000),  # epoch seconds
+        st.floats(min_value=-5, max_value=5, allow_nan=False) | st.none(),
+        st.integers(min_value=0, max_value=99),  # tiebreak
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1], r[3]),  # (g, e, tie) total order
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_rows)
+def test_resample_hypothesis_parity(spark, rows):
+    """Property: bucket assignment, in-bucket winner, span, and LOCF
+    carry all equal an independent pure-Python fill over random sparse
+    multi-group series (NULL values included as gaps)."""
+    step = 3600
+    data = [
+        (g, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=e), v, t)
+        for g, e, v, t in rows
+    ]
+    got = {
+        (r.user_id, r.bucket_ts): (r.value, r.observed)
+        for r in resample_locf(_df(spark, data), tiebreak_col="event_id").collect()
+    }
+    base = int(dt.datetime(2026, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    exp = {
+        (g, base + b): (v, o) for (g, b), (v, o) in _ref_resample(rows, step).items()
+    }
+    assert got == exp
 
 
 def _ts(h, m=0):
