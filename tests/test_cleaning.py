@@ -41,6 +41,48 @@ def _ref_gopher_keep(text: str, min_stop: int = 2) -> bool:
     return (nl - len(set(lines))) / nl < 0.3
 
 
+def _ref_c4(text: str, min_words: int = 5, min_kept: int = 3):
+    """Independent pure-Python C4 cleaning: returns (cleaned, n_lines,
+    n_kept, keep)."""
+    if text is None:
+        return None, 0, 0, False
+    lines = text.split("\n")
+    kept = [
+        l
+        for l in lines
+        if re.search(r'[.!?"]$', l) and len([w for w in l.split(" ") if w]) >= min_words
+    ]
+    keep = (
+        len(kept) >= min_kept
+        and "lorem ipsum" not in text.lower()
+        and "{" not in text
+    )
+    return ("\n".join(kept) if keep else None), len(lines), len(kept), keep
+
+
+_c4_word = st.sampled_from(
+    ["This", "is", "a", "proper", "sentence.", "short", "word!", "{", "lorem", "ipsum", "maybe?"]
+)
+_c4_line = st.lists(_c4_word, min_size=0, max_size=8).map(" ".join)
+_c4_text = st.lists(_c4_line, min_size=1, max_size=6).map("\n".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_c4_text, min_size=1, max_size=12))
+def test_c4_hypothesis_parity(spark, texts):
+    """Property: line keeps, page rules, and the reconstructed cleaned
+    text equal an independent pure-Python C4 evaluation."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_kept_lines, r.keep)
+        for r in clean_lines_c4(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_c4(t), (i, t)
+
+
 _word = st.sampled_from(
     ["the", "and", "table", "aa", "1234", "####", "...", "-", "order", "scan"]
 )
