@@ -194,6 +194,55 @@ def test_gopher_include_input_collision_guard(spark):
     assert out.columns[:2] == ["doc_id", "text"] and out.filter("keep").count() == 1
 
 
+def test_gopher_sql_builder_cross_engine_parity(spark):
+    """The shared DuckDB builder (gopher_metrics_ctes — feeding both
+    the standalone face oracle and the e2e pipeline oracle) must agree
+    with the Spark operator row-by-row on adversarial strings: unicode
+    bullets, ellipsis-only lines, '#' runs, digit words, duplicate
+    lines, empty lines, NULL."""
+    import duckdb
+
+    from schema_drift_detector_spark.operators.cleaning import gopher_metrics_ctes
+
+    texts = [
+        "• bullet one here\n• bullet two here",
+        "- spaced bullet line\nplain line of words here",
+        "trailing off now...\nand again it goes...",
+        "#### ## # tagged text " + " ".join(["word"] * 60),
+        " ".join(["1234", "5678"] * 30),
+        " ".join(["the", "of", "and", "longword"] * 20),
+        "dup\ndup\ndup\nunique",
+        "\n\n",  # empty lines only
+        "",  # empty text
+        None,  # NULL
+        " ".join(["the", "with"] * 30) + "\n- half bullets\n- more bullets",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.mean_word_len, *[r[c] for c in
+                   ("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+                    "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+                    "ok_stopwords", "ok_dup_lines")], r.keep)
+        for r in gopher_quality_filter(df, min_stopword_hits=1).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    sql = f"""
+    WITH {gopher_metrics_ctes('g', 't', min_stopword_hits=1)}
+    SELECT doc_id, nw, round(mean_wl, 6), ok_word_count, ok_mean_word_len,
+           ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words,
+           ok_stopwords, ok_dup_lines, keep
+    FROM ggq
+    """
+    oracle = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+    assert set(got) == set(oracle)
+    for i in got:
+        assert got[i] == oracle[i], (i, texts[i], got[i], oracle[i])
+
+
 def test_cleaning_zero_shuffle_plans(spark):
     """Both hygiene passes are pure per-doc scans: no Exchange."""
     df = _df(spark, [(1, "a b c."), (2, "d e f!")])
