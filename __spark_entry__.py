@@ -201,37 +201,61 @@ def q_customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFra
     """Anti-join + MULTISET set-op certifications in one entry, tagged
     by `face`: 'anti' = the left_anti no-open-orders pick (the whole
     entry through late-r7); 'except_all' / 'intersect_all' (late-r7) =
-    Spark's bag-semantics exceptAll/intersectAll over order custkeys
-    vs open-order custkeys, mirrored by SQL EXCEPT ALL / INTERSECT ALL
-    — per-value multiplicities are part of the hashed result, so the
-    max(0, l−r) / min(l, r) occurrence arithmetic is certified, not
-    just membership. Gate: some custkey must survive except_all with
-    multiplicity ≥ 2, else the bag semantics would be certified
-    vacuously (a distinct EXCEPT would produce the same rows)."""
+    Spark's bag-semantics exceptAll/intersectAll over OPEN-order
+    custkeys vs FINISHED-order custkeys — two overlapping multisets
+    where NEITHER side is a sub-multiset of the other (a review pass
+    caught the first draft using all-orders vs open-orders, where the
+    max(0, l-r) clamp was structurally unreachable and only the
+    except face was gated) — mirrored by SQL EXCEPT ALL / INTERSECT
+    ALL. Three gates make each arithmetic branch bind non-vacuously:
+    some key with 1 <= open < finished (the clamp emits ZERO for a
+    present left value), some key with open >= finished+1 (the
+    subtraction emits a positive count strictly below the left
+    multiplicity), and some key with min(open, finished) >= 2 (bag
+    intersect distinguishable from distinct INTERSECT)."""
     customer = _t(spark, sf_dir, "customer")
     orders_all = _t(spark, sf_dir, "orders")
     open_o = orders_all.filter(F.col("o_orderstatus") == "O")
-    anti = (
-        customer.join(
-            open_o, customer["c_custkey"] == open_o["o_custkey"], "left_anti"
-        )
-        .select("c_custkey", "c_name")
-        .select(F.lit("anti").alias("face"), "c_custkey", "c_name")
-    )
-    keys_all = orders_all.select(F.col("o_custkey").alias("c_custkey"))
+    anti = customer.join(
+        open_o, customer["c_custkey"] == open_o["o_custkey"], "left_anti"
+    ).select(F.lit("anti").alias("face"), "c_custkey", "c_name")
+
     keys_open = open_o.select(F.col("o_custkey").alias("c_custkey"))
-    ea = keys_all.exceptAll(keys_open).localCheckpoint(eager=True)
-    if ea.groupBy("c_custkey").count().filter(F.col("count") >= 2).limit(1).count() == 0:
-        raise RuntimeError(
-            "vacuous set-op fixture: no except_all multiplicity >= 2 — bag"
-            " semantics indistinguishable from distinct EXCEPT"
+    keys_fin = orders_all.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    mult = (
+        keys_open.groupBy("c_custkey")
+        .count()
+        .withColumnRenamed("count", "o")
+        .join(
+            keys_fin.groupBy("c_custkey").count().withColumnRenamed("count", "f"),
+            "c_custkey",
+            "full_outer",
         )
-    ea_face = ea.select(
+        .fillna(0, ["o", "f"])
+    )
+    g = mult.agg(
+        F.sum(
+            F.when((F.col("o") >= 1) & (F.col("o") < F.col("f")), 1).otherwise(0)
+        ).alias("clamped"),
+        F.sum(
+            F.when((F.col("f") >= 1) & (F.col("o") >= F.col("f") + 1), 1).otherwise(0)
+        ).alias("subtracted"),
+        F.sum(F.when(F.least("o", "f") >= 2, 1).otherwise(0)).alias("bag_min"),
+    ).first()
+    for name in ("clamped", "subtracted", "bag_min"):
+        if not g[name]:
+            raise RuntimeError(
+                f"vacuous set-op fixture: gate {name} is zero — a bag-arithmetic"
+                " branch would certify vacuously"
+            )
+    ea_face = keys_open.exceptAll(keys_fin).select(
         F.lit("except_all").alias("face"),
         "c_custkey",
         F.lit(None).cast("string").alias("c_name"),
     )
-    ia_face = keys_all.intersectAll(keys_open).select(
+    ia_face = keys_open.intersectAll(keys_fin).select(
         F.lit("intersect_all").alias("face"),
         "c_custkey",
         F.lit(None).cast("string").alias("c_name"),
@@ -246,16 +270,16 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 UNION ALL
 SELECT 'except_all' AS face, x.c_custkey, CAST(NULL AS VARCHAR) AS c_name
 FROM (
-  SELECT o_custkey AS c_custkey FROM orders
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
   EXCEPT ALL
-  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 ) x
 UNION ALL
 SELECT 'intersect_all' AS face, y.c_custkey, CAST(NULL AS VARCHAR) AS c_name
 FROM (
-  SELECT o_custkey AS c_custkey FROM orders
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
   INTERSECT ALL
-  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 ) y
 """
 
