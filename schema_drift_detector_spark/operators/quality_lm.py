@@ -1,0 +1,277 @@
+"""CCNet-style n-gram language-model perplexity scoring.
+
+CCNet (Wenzek et al. 2020, arXiv:1911.00359) filters web text by the
+perplexity of a language model trained on a trusted corpus, then carves
+the corpus into head / middle / tail tiers by perplexity thirds. The
+real pipeline uses a KenLM 5-gram model; this operator implements the
+same decision with a **bigram stupid-backoff LM over a hashed
+vocabulary** (Brants et al. 2007 "Large Language Models in Machine
+Translation" — stupid backoff was designed exactly for distributed
+count-based LMs), which is deterministic and exactly replayable in
+ANSI SQL. A caller with a real KenLM can feed its scores through
+``ppl_tiers`` unchanged.
+
+Semantics (deterministic, DuckDB-certifiable):
+  - Tokens are the non-empty single-space split of ``text_col`` (the
+    engine-wide portable tokenization; '' split artifacts are not
+    tokens).
+  - Each token hashes to one of ``n_buckets`` buckets via the portable
+    60-bit md5 hash (operators.sampling.hash_bucket, salt ':lm') — the
+    DSIR trick that keeps the model fixed-size at any vocabulary.
+  - Model counts come from ``train``: unigram bucket counts c(b) over
+    every token occurrence, bigram counts c(b1,b2) over every adjacent
+    pair.
+  - Position scores (stupid backoff):
+      first token       p = p_uni(b)            (no left context)
+      seen bigram       p = c(b1,b2) / c(b1)    (c(b1) >= 1 whenever
+                                                 the pair was seen)
+      unseen bigram     p = backoff * p_uni(b2)
+    with p_uni(b) = (c(b) + alpha) / (N + alpha * n_buckets) — add-alpha
+    smoothing keeps never-seen buckets finite. Stupid backoff is a
+    SCORE, not a normalized probability — by design (ibid. §4).
+  - A document's ``avg_nll`` is -mean(ln p) over its positions, ROUNDED
+    to ``round_digits`` (absorbs cross-engine summation-order ULP — the
+    engine-wide certified-double discipline). exp(avg_nll) would be the
+    perplexity; the log form is emitted because it is the one the
+    rounding contract protects.
+  - Docs with NULL text or zero non-empty tokens score NULL (no
+    evidence is not zero evidence — same contract as dsir_scores).
+
+Scale shape (100 TB posture):
+  - Unigram table: <= n_buckets rows — always broadcast (joined twice:
+    left-context count c(b1) and smoothed p_uni(b2); the full
+    [0, n_buckets) domain is materialized from ``spark.range`` so the
+    total N rides each row and unseen buckets still join).
+  - Bigram table: at most the observed distinct pairs (bounded by
+    n_buckets^2, Zipf-concentrated in practice). ``broadcast_model=True``
+    (default) broadcasts it; flip to False when the trained table
+    outgrows executor memory — the join then shuffles only the narrow
+    (id, b1, b2) occurrence rows and AQE picks the strategy.
+  - Scoring: one corpus scan -> pair explode (array-side, zero
+    pre-aggregation shuffle) -> (broadcast) joins -> one per-doc
+    aggregation. The only unavoidable wide exchange is that final
+    (id)-keyed mean — the same single-shuffle shape as dsir_scores.
+  - ``ppl_tiers`` exact form is a GLOBAL ntile window (single-reducer
+    sort): certification-exact but not a 10^12-row plan. At scale pass
+    ``thresholds=(lo, hi)`` (e.g. from ``approx_percentile(avg_nll,
+    array(1/3, 2/3))``) — a pure whole-stage-codegen CASE, zero
+    shuffles; the tiers then follow the thresholds contract instead of
+    exact thirds.
+
+Reference parity note: the reference app has no LM scoring — this is
+part of the LLM-training-data operator surface the north rule adds on
+top of schema-drift parity (SURVEY.md §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_bucket
+
+_LM_SALT = ":lm"
+
+
+def _validate(n_buckets: int, alpha: float, backoff: float) -> None:
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if alpha <= 0.0:
+        raise ValueError(
+            f"alpha must be > 0 (zero re-admits ln(0) = -inf for buckets "
+            f"never seen in train), got {alpha}"
+        )
+    if not (0.0 < backoff <= 1.0):
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+
+
+def pair_occurrences(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    out_id: str = "__id",
+) -> DataFrame:
+    """(id, b1, b2) bucket rows, one per token POSITION of every doc:
+    b2 is the token's bucket, b1 the previous token's (NULL at position
+    one — so b2 alone enumerates every token occurrence, and the
+    b1-NOT-NULL subset enumerates every adjacent pair). Pairing happens
+    array-side (indexed ``transform``) before the explode: zero
+    shuffles, and docs with no non-empty tokens vanish (they must score
+    NULL, not 0)."""
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias(out_id),
+            F.filter(
+                F.split(F.col(text_col), " "), lambda t: t != ""
+            ).alias("__ts"),
+        )
+        .filter(F.size("__ts") >= 1)
+    )
+    # (prev-or-NULL, cur) structs built by index — arr[i] is 0-based in
+    # Spark SQL, and i = 0 has no left context
+    pairs = F.expr(
+        "transform(__ts, (t, i) -> struct("
+        "  CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE __ts[i - 1] END AS w1,"
+        "  t AS w2))"
+    )
+    return toks.select(out_id, F.explode(pairs).alias("__p")).select(
+        out_id,
+        hash_bucket(F.col("__p.w1"), n_buckets, _LM_SALT).alias("b1"),
+        hash_bucket(F.col("__p.w2"), n_buckets, _LM_SALT).alias("b2"),
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_text_col: str | None = None,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+    round_digits: int = 5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """``docs``'s columns plus three scoring columns:
+
+      avg_nll    -mean(ln p) over the doc's token positions, rounded
+                 (NULL when the doc has no non-empty tokens)
+      n_scored   number of positions scored (= token count)
+      n_backoff  positions that took the unseen-bigram backoff branch —
+                 the model-coverage diagnostic (0 when ``train`` covers
+                 every adjacent pair, e.g. train ⊇ docs)
+
+    ``train`` is the trusted corpus the LM is counted from (CCNet's
+    "clean" side). Output collides loudly rather than silently
+    overwriting pre-existing columns of the same names."""
+    _validate(n_buckets, alpha, backoff)
+    for c in ("avg_nll", "n_scored", "n_backoff"):
+        if c in docs.columns:
+            raise ValueError(
+                f"docs already carries a '{c}' column — rename it or drop "
+                f"it before scoring (silent overwrite would corrupt the "
+                f"caller's frame)"
+            )
+    sess = docs.sparkSession
+
+    t_occ = pair_occurrences(
+        train, id_col, train_text_col or text_col, n_buckets, out_id="__tid"
+    )
+    # full [0, n_buckets) domain so (a) the total N rides every row and
+    # (b) buckets unseen in train still join with c = 0 at score time
+    uni = t_occ.groupBy(F.col("b2").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dom = sess.range(n_buckets).select(F.col("id").alias("bucket"))
+    # total column must NOT be named "N": Spark resolves column names
+    # case-insensitively by default, so withColumn("N", ...) would
+    # silently REPLACE "n" and every per-bucket count becomes the total
+    uni_full = (
+        dom.join(uni, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
+        .withColumn("n_total", F.sum("n").over(Window.partitionBy()))
+    )
+    big = (
+        t_occ.filter(F.col("b1").isNotNull())
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+
+    occ = pair_occurrences(docs, id_col, text_col, n_buckets, out_id="__id")
+    big_j = F.broadcast(big) if broadcast_model else big
+    u1 = F.broadcast(
+        uni_full.select(F.col("bucket").alias("b1"), F.col("n").alias("c1"))
+    )
+    u2 = F.broadcast(
+        uni_full.select(F.col("bucket").alias("b2"), F.col("n").alias("c2"), "n_total")
+    )
+
+    denom = F.col("n_total") + F.lit(alpha * n_buckets)
+    p_uni = (F.col("c2") + F.lit(alpha)) / denom
+    lns = (
+        F.when(F.col("b1").isNull(), F.log(p_uni))
+        .when(F.col("n12").isNotNull(), F.log(F.col("n12") / F.col("c1")))
+        .otherwise(F.log(F.lit(backoff) * p_uni))
+    )
+    scored_pos = (
+        occ.join(big_j, ["b1", "b2"], "left")
+        .join(u1, "b1", "left")  # c1 unused on the b1-NULL branch
+        .join(u2, "b2")  # b2 always in [0, n_buckets): inner is total
+        .select(
+            "__id",
+            lns.alias("__lns"),
+            F.when(F.col("b1").isNotNull() & F.col("n12").isNull(), 1)
+            .otherwise(0)
+            .alias("__bo"),
+        )
+    )
+    per_doc = scored_pos.groupBy("__id").agg(
+        F.round(-F.avg("__lns"), round_digits).alias("avg_nll"),
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("__bo").cast("bigint").alias("n_backoff"),
+    )
+    return docs.join(
+        per_doc, docs[id_col] == per_doc["__id"], "left"
+    ).drop("__id")
+
+
+def ppl_tiers(
+    scored: DataFrame,
+    score_col: str = "avg_nll",
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    thresholds: tuple[float, ...] | None = None,
+    tier_col: str = "ppl_tier",
+) -> DataFrame:
+    """CCNet tiering: label every SCORED row with its perplexity tier
+    (lowest avg_nll = most in-domain = ``labels[0]``); NULL-score rows
+    get a NULL tier (they were never scored, they have no tier).
+
+    Exact form (``thresholds=None``): ntile(len(labels)) over the total
+    order (score asc, id asc) — exact thirds, single-reducer global
+    sort, certification-scale only.
+
+    Scale form: ``thresholds`` = len(labels)-1 ascending cutoffs (e.g.
+    from approx_percentile) — tier = first label whose cutoff the score
+    does not exceed. Pure codegen CASE, zero shuffles: the 10^12-row
+    plan."""
+    if len(labels) < 2:
+        raise ValueError(f"need >= 2 tier labels, got {labels!r}")
+    if tier_col in scored.columns:
+        raise ValueError(f"scored already carries a '{tier_col}' column")
+    if thresholds is not None:
+        if len(thresholds) != len(labels) - 1:
+            raise ValueError(
+                f"{len(labels)} labels need {len(labels) - 1} thresholds, "
+                f"got {len(thresholds)}"
+            )
+        if list(thresholds) != sorted(thresholds):
+            raise ValueError(f"thresholds must be ascending, got {thresholds}")
+        tier: Column = F.lit(labels[-1])
+        for lab, cut in zip(reversed(labels[:-1]), reversed(thresholds)):
+            tier = F.when(F.col(score_col) <= F.lit(cut), F.lit(lab)).otherwise(
+                tier
+            )
+        return scored.withColumn(
+            tier_col,
+            F.when(F.col(score_col).isNull(), F.lit(None).cast("string")).otherwise(
+                tier
+            ),
+        )
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    tiered = (
+        scored.filter(F.col(score_col).isNotNull())
+        .select(F.col(id_col).alias("__tid"), F.ntile(len(labels)).over(w).alias("__tn"))
+        .select(
+            "__tid",
+            F.element_at(
+                F.array(*[F.lit(l) for l in labels]), F.col("__tn")
+            ).alias(tier_col),
+        )
+    )
+    return scored.join(
+        tiered, scored[id_col] == tiered["__tid"], "left"
+    ).drop("__tid")
