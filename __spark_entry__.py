@@ -491,7 +491,19 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     both smoothed distributions, the ordered log-ratio sum, and the
     rank rule — scores AND the exact selected sets are hash-certified.
     Gated: scores must vary and the selection must be non-trivial
-    (some selected, some not, in >= 2 sources)."""
+    (some selected, some not, in >= 2 sources).
+
+    'ppl' (late r7) — CCNet-style LM-perplexity carving (Wenzek 2020):
+    a bigram stupid-backoff LM over 4096 hashed buckets is counted from
+    a 10%-hash trusted subset (':lmT' salt), every doc scored by
+    avg_nll (rounded 5dp), then tiered head/middle/tail by exact ntile
+    thirds. Text is NULLed on doc_id % 97 == 3 (documents has no
+    natural NULLs) so the NULL-scores-NULL contract is certified
+    non-vacuously. The oracle replays tokenization, bucket hashing,
+    unigram/bigram counts, all three stupid-backoff branches, the
+    rounded mean, and the (score, doc_id) ntile. Gated: planted NULLs
+    present, all 3 tiers hit, BOTH the seen-bigram and the backoff
+    branches taken, scores vary."""
     from schema_drift_detector_spark.functions.text import quality_score
     from schema_drift_detector_spark.operators.importance import (
         dsir_scores,
@@ -517,6 +529,7 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("double").alias("dsir_score"),
         F.lit(None).cast("boolean").alias("selected"),
+        *_ppl_null_pad(),
     ).localCheckpoint(eager=True)
     kept = carve.filter(F.col("q_keep")).limit(1).count()
     dropped = carve.filter(~F.col("q_keep")).limit(1).count()
@@ -544,6 +557,7 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "dsir_score",
         "selected",
+        *_ppl_null_pad(),
     ).localCheckpoint(eager=True)
     st = dsir.agg(
         F.min("dsir_score").alias("lo"),
@@ -555,7 +569,85 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"vacuous DSIR certification: scores/selection degenerate ({st})"
         )
-    return carve.unionByName(dsir)
+
+    tiered = _ppl_face_frame(docs)
+    ppl = tiered.select(
+        F.lit("ppl").alias("face"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("boolean").alias("q_keep"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("dsir_score"),
+        F.lit(None).cast("boolean").alias("selected"),
+        "avg_nll",
+        "n_scored",
+        "n_backoff",
+        "ppl_tier",
+    ).localCheckpoint(eager=True)
+    pst = ppl.agg(
+        F.count(F.when(F.col("avg_nll").isNull(), 1)).alias("n_null"),
+        F.count_distinct("ppl_tier").alias("n_tiers"),
+        F.sum("n_backoff").alias("bo"),
+        F.sum(F.col("n_scored") - 1 - F.col("n_backoff")).alias("seen"),
+        F.min("avg_nll").alias("lo"),
+        F.max("avg_nll").alias("hi"),
+    ).first()
+    if not (
+        pst.n_null > 0
+        and pst.n_tiers == 3
+        and pst.bo > 0
+        and pst.seen > 0
+        and pst.lo is not None
+        and pst.lo < pst.hi
+    ):
+        raise RuntimeError(
+            f"vacuous LM-perplexity certification: a branch or tier never fired ({pst})"
+        )
+    return carve.unionByName(dsir).unionByName(ppl)
+
+
+# the 'ppl' face's four columns, null-typed for the other two faces
+# (a function, not a constant: Column construction needs a live
+# SparkContext, which does not exist at module import time)
+def _ppl_null_pad() -> tuple:
+    return (
+        F.lit(None).cast("double").alias("avg_nll"),
+        F.lit(None).cast("bigint").alias("n_scored"),
+        F.lit(None).cast("bigint").alias("n_backoff"),
+        F.lit(None).cast("string").alias("ppl_tier"),
+    )
+
+
+def _ppl_face_frame(docs: DataFrame) -> DataFrame:
+    """The 'ppl' face's bare plan (shared with the bench row): NULL-plant
+    text on doc_id % 97 == 3, count the bigram LM from the 10% ':lmT'
+    hash subset, score every doc, tier by exact ntile thirds."""
+    from schema_drift_detector_spark.operators.quality_lm import (
+        lm_perplexity,
+        ppl_tiers,
+    )
+    from schema_drift_detector_spark.operators.sampling import hash_bucket
+
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    train = planted.filter(hash_bucket("doc_id", salt=":lmT") < 100_000)
+    scored = lm_perplexity(
+        planted, train, id_col="doc_id", text_col="text", n_buckets=4096
+    )
+    return ppl_tiers(scored, id_col="doc_id")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: the bare 'ppl' face plan (LM count + score + tier),
+    without the merged entry's other faces, gates, or checkpoints."""
+    return _ppl_face_frame(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "avg_nll", "n_scored", "n_backoff", "ppl_tier"
+    )
 
 
 # three INDEPENDENT salted buckets: bs (unsalted) gates the sample, bsp
@@ -626,16 +718,85 @@ r AS (
 )
 SELECT doc_id, source, dsir_score, (rk <= 20) AS selected FROM ranked
 """
+    # CCNet bigram stupid-backoff replay: position pairing over the
+    # FILTERED token list (adjacency is post-empty-removal, mirroring
+    # pair_occurrences), ':lm'-salted 4096 buckets, train = ':lmT' 10%
+    # hash subset, the three scoring branches, round(-avg(ln p), 5),
+    # ntile(3) tiers ordered by (rounded score, doc_id). Integer '/'
+    # is float division in DuckDB (n12 / c1 matches Spark's
+    # bigint/bigint -> double); sum(int) is HUGEINT -> CAST.
+    lmb = hash_bucket_sql  # alias for line width
+    ppl = f"""
+WITH pl AS (
+  SELECT doc_id, CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END AS text
+  FROM documents
+), lf AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM pl WHERE text IS NOT NULL
+), pos AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS w1,
+         ts[i] AS w2
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+        FROM lf WHERE len(ts) >= 1)
+), occ AS (
+  SELECT doc_id, {lmb("w1", 4096, ":lm")} AS b1, {lmb("w2", 4096, ":lm")} AS b2
+  FROM pos
+), tocc AS (
+  SELECT * FROM occ
+  WHERE {lmb("CAST(doc_id AS VARCHAR)", salt=":lmT")} < 100000
+), uni AS (SELECT b2 AS b, count(*) AS c FROM tocc GROUP BY 1),
+ttot AS (SELECT count(*) AS n FROM tocc),
+big AS (SELECT b1, b2, count(*) AS n12 FROM tocc
+        WHERE b1 IS NOT NULL GROUP BY 1, 2),
+lns AS (
+  SELECT o.doc_id,
+         CASE WHEN o.b1 IS NULL
+                THEN ln((coalesce(u2.c, 0) + 0.5) / (ttot.n + 0.5 * 4096))
+              WHEN g.n12 IS NOT NULL THEN ln(g.n12 / u1.c)
+              ELSE ln(0.4 * ((coalesce(u2.c, 0) + 0.5) / (ttot.n + 0.5 * 4096)))
+         END AS l,
+         CASE WHEN o.b1 IS NOT NULL AND g.n12 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM occ o
+  LEFT JOIN big g ON g.b1 = o.b1 AND g.b2 = o.b2
+  LEFT JOIN uni u1 ON u1.b = o.b1
+  LEFT JOIN uni u2 ON u2.b = o.b2
+  CROSS JOIN ttot
+), sc AS (
+  SELECT doc_id, round(-avg(l), 5) AS avg_nll,
+         count(*) AS n_scored, CAST(sum(bo) AS BIGINT) AS n_backoff
+  FROM lns GROUP BY 1
+), tiers AS (
+  SELECT doc_id,
+         CASE ntile(3) OVER (ORDER BY avg_nll ASC, doc_id ASC)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         END AS ppl_tier
+  FROM sc
+)
+SELECT p.doc_id, sc.avg_nll, sc.n_scored, sc.n_backoff, t.ppl_tier
+FROM pl p LEFT JOIN sc USING (doc_id) LEFT JOIN tiers t USING (doc_id)
+"""
     return f"""
 SELECT 'carve' AS face, doc_id, lang, split, q_keep,
        CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS dsir_score,
-       CAST(NULL AS BOOLEAN) AS selected
+       CAST(NULL AS BOOLEAN) AS selected,
+       CAST(NULL AS DOUBLE) AS avg_nll, CAST(NULL AS BIGINT) AS n_scored,
+       CAST(NULL AS BIGINT) AS n_backoff, CAST(NULL AS VARCHAR) AS ppl_tier
 FROM ({carve})
 UNION ALL
 SELECT 'dsir' AS face, doc_id, CAST(NULL AS VARCHAR) AS lang,
        CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BOOLEAN) AS q_keep,
-       source, dsir_score, selected
+       source, dsir_score, selected,
+       CAST(NULL AS DOUBLE) AS avg_nll, CAST(NULL AS BIGINT) AS n_scored,
+       CAST(NULL AS BIGINT) AS n_backoff, CAST(NULL AS VARCHAR) AS ppl_tier
 FROM ({dsir})
+UNION ALL
+SELECT 'ppl' AS face, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BOOLEAN) AS q_keep,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS dsir_score,
+       CAST(NULL AS BOOLEAN) AS selected,
+       avg_nll, n_scored, n_backoff, ppl_tier
+FROM ({ppl})
 """
 
 

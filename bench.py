@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     # non-vacuity gates + checkpoint, the composition from day one)
     "bm25_topk",
     "zorder_layout",
+    # late-r7 NEW row: CCNet bigram stupid-backoff LM scoring + ntile
+    # tiering (the bare 'ppl' face of the stratified_split board entry)
+    "lm_perplexity",
 ]
 
 
