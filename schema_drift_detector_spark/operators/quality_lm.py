@@ -145,25 +145,41 @@ def lm_perplexity(
                  every adjacent pair, e.g. train ⊇ docs)
 
     ``train`` is the trusted corpus the LM is counted from (CCNet's
-    "clean" side). Output collides loudly rather than silently
-    overwriting pre-existing columns of the same names."""
+    "clean" side); it only needs the text column (``train_text_col``,
+    defaulting to ``text_col``) — ids are never read from it. Output
+    collides loudly rather than silently overwriting (or dropping)
+    pre-existing columns of the same names."""
     _validate(n_buckets, alpha, backoff)
-    for c in ("avg_nll", "n_scored", "n_backoff"):
+    for c in ("avg_nll", "n_scored", "n_backoff", "__id"):
         if c in docs.columns:
             raise ValueError(
                 f"docs already carries a '{c}' column — rename it or drop "
-                f"it before scoring (silent overwrite would corrupt the "
-                f"caller's frame)"
+                f"it before scoring (silent overwrite/drop would corrupt "
+                f"the caller's frame)"
             )
     sess = docs.sparkSession
 
+    # train ids are never used (only bucket counts survive), so train
+    # does NOT need the docs id column — a bare trusted text frame works
     t_occ = pair_occurrences(
-        train, id_col, train_text_col or text_col, n_buckets, out_id="__tid"
+        train.select(
+            F.lit(0).alias("__lm_tid"),
+            F.col(train_text_col or text_col).alias("__lm_txt"),
+        ),
+        "__lm_tid",
+        "__lm_txt",
+        n_buckets,
+        out_id="__tid",
     )
+    # ONE pass over train: the (b1, b2) pair counts (b1 NULL at first
+    # positions) are the finest grain — bigram counts are the b1-NOT-NULL
+    # subset and unigram counts fold out as sum(n12) per b2, since every
+    # position appears exactly once as a b2
+    pc = t_occ.groupBy("b1", "b2").agg(F.count(F.lit(1)).alias("n12"))
     # full [0, n_buckets) domain so (a) the total N rides every row and
     # (b) buckets unseen in train still join with c = 0 at score time
-    uni = t_occ.groupBy(F.col("b2").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
+    uni = pc.groupBy(F.col("b2").alias("bucket")).agg(
+        F.sum("n12").alias("n")
     )
     dom = sess.range(n_buckets).select(F.col("id").alias("bucket"))
     # total column must NOT be named "N": Spark resolves column names
@@ -174,11 +190,7 @@ def lm_perplexity(
         .select("bucket", F.coalesce("n", F.lit(0)).alias("n"))
         .withColumn("n_total", F.sum("n").over(Window.partitionBy()))
     )
-    big = (
-        t_occ.filter(F.col("b1").isNotNull())
-        .groupBy("b1", "b2")
-        .agg(F.count(F.lit(1)).alias("n12"))
-    )
+    big = pc.filter(F.col("b1").isNotNull())
 
     occ = pair_occurrences(docs, id_col, text_col, n_buckets, out_id="__id")
     big_j = F.broadcast(big) if broadcast_model else big
@@ -240,16 +252,23 @@ def ppl_tiers(
     plan."""
     if len(labels) < 2:
         raise ValueError(f"need >= 2 tier labels, got {labels!r}")
-    if tier_col in scored.columns:
-        raise ValueError(f"scored already carries a '{tier_col}' column")
+    for c in (tier_col, "__tid"):
+        if c in scored.columns:
+            raise ValueError(f"scored already carries a '{c}' column")
     if thresholds is not None:
         if len(thresholds) != len(labels) - 1:
             raise ValueError(
                 f"{len(labels)} labels need {len(labels) - 1} thresholds, "
                 f"got {len(thresholds)}"
             )
-        if list(thresholds) != sorted(thresholds):
-            raise ValueError(f"thresholds must be ascending, got {thresholds}")
+        # STRICTLY ascending: approx_percentile over heavily-tied scores
+        # can return equal cutoffs, which would silently shadow the
+        # middle tier (head's <= wins every row the middle WHEN claims)
+        if any(a >= b for a, b in zip(thresholds, thresholds[1:])):
+            raise ValueError(
+                f"thresholds must be strictly ascending (equal adjacent "
+                f"cutoffs make a tier unreachable), got {thresholds}"
+            )
         tier: Column = F.lit(labels[-1])
         for lab, cut in zip(reversed(labels[:-1]), reversed(thresholds)):
             tier = F.when(F.col(score_col) <= F.lit(cut), F.lit(lab)).otherwise(

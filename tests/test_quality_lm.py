@@ -127,6 +127,33 @@ def test_lm_perplexity_null_and_collision_contracts(spark):
         lm_perplexity(docs, train, n_buckets=N_BUCKETS, backoff=0.0)
 
 
+def test_lm_perplexity_idless_train_scores_identically(spark):
+    """train ids are never used — a bare text-only trusted frame must
+    produce the same scores as a fully-keyed one."""
+    docs, train = _frames(spark)
+    keyed = {
+        r["doc_id"]: r["avg_nll"]
+        for r in lm_perplexity(docs, train, n_buckets=N_BUCKETS).collect()
+    }
+    bare = {
+        r["doc_id"]: r["avg_nll"]
+        for r in lm_perplexity(
+            docs, train.select("text"), n_buckets=N_BUCKETS
+        ).collect()
+    }
+    assert keyed == bare
+
+
+def test_ppl_tiers_rejects_tied_thresholds(spark):
+    scored = spark.createDataFrame(
+        [(1, 0.5)], "doc_id long, avg_nll double"
+    )
+    # approx_percentile over tied scores can emit equal cutoffs — the
+    # middle tier would be silently unreachable, so it must raise
+    with pytest.raises(ValueError, match="strictly ascending"):
+        ppl_tiers(scored, thresholds=(1.0, 1.0))
+
+
 def test_ppl_tiers_exact_thirds_and_null_passthrough(spark):
     rows = [(i, float(i)) for i in range(1, 10)] + [(10, None)]
     scored = spark.createDataFrame(rows, "doc_id long, avg_nll double")
