@@ -1308,14 +1308,83 @@ FROM ({ORACLE_RESAMPLE})
 # --------------------------------------------------------------------------
 
 def q_exact_dedup_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare ≤r7 plan (min-id survivor groups) — the unbroken BENCH row;
+    the BOARD entry is the two-face union below."""
     from schema_drift_detector_spark.operators.dedup import exact_duplicates
 
     return exact_duplicates(_t(spark, sf_dir, "events"), "event_id", "props")
 
 
+def _q_exact_dedup_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Board entry, two survivor rules tagged by `face`:
+    'groups' — min-id survivor (the ≤r7 single face);
+    'best' (late r7) — RANKED survivor via exact_duplicates_best: keep
+    the freshest copy (latest ts), ts NULL-planted on event_id % 53 == 0
+    (events has no natural NULLs) so the NULL-ranks-lowest contract is
+    exercised, min-id tiebreak. Gated: the two rules must disagree on
+    some group AND some duplicate group must contain a planted NULL."""
+    from schema_drift_detector_spark.operators.dedup import (
+        exact_duplicates,
+        exact_duplicates_best,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    groups = exact_duplicates(ev, "event_id", "props").select(
+        F.lit("groups").alias("face"), "fingerprint", "n_docs", "keep_id"
+    )
+    planted = ev.select(
+        "event_id",
+        "props",
+        F.when(F.col("event_id") % 53 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("ts").cast("timestamp"))
+        .alias("ts"),
+    )
+    best = exact_duplicates_best(
+        planted, "event_id", "props", F.col("ts").cast("long")
+    ).select(F.lit("best").alias("face"), "fingerprint", "n_docs", "keep_id")
+    out = groups.unionByName(best).localCheckpoint(eager=True)
+    disagree = (
+        out.groupBy("fingerprint")
+        .agg(F.count_distinct("keep_id").alias("k"))
+        .filter(F.col("k") == 2)
+        .limit(1)
+        .count()
+    )
+    null_in_group = (
+        planted.groupBy("props")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count(F.when(F.col("ts").isNull(), 1)).alias("nn"),
+        )
+        .filter((F.col("c") > 1) & (F.col("nn") > 0))
+        .limit(1)
+        .count()
+    )
+    if not (disagree and null_in_group):
+        raise RuntimeError(
+            "vacuous survivor-rule certification: rules never disagree or "
+            f"no planted NULL landed in a duplicate group ({disagree=}, {null_in_group=})"
+        )
+    return out
+
+
+# 'best' replay: latest planted ts wins (NULLS LAST = the engine's
+# NULL-ranks-lowest), id-asc tiebreak; floor(epoch()) mirrors Spark's
+# flooring timestamp->long cast (DuckDB CAST would round)
 ORACLE_EXACT_DEDUP = """
-SELECT md5(props) AS fingerprint, count(*) AS n_docs, min(event_id) AS keep_id
+SELECT 'groups' AS face, md5(props) AS fingerprint,
+       count(*) AS n_docs, min(event_id) AS keep_id
 FROM events GROUP BY props HAVING count(*) > 1
+UNION ALL
+SELECT 'best' AS face, fingerprint, n_docs, keep_id FROM (
+  SELECT md5(props) AS fingerprint, event_id AS keep_id,
+         count(*) OVER (PARTITION BY props) AS n_docs,
+         row_number() OVER (
+           PARTITION BY props
+           ORDER BY floor(epoch(CASE WHEN event_id % 53 = 0 THEN NULL
+                                     ELSE ts END)) DESC NULLS LAST,
+                    event_id ASC) AS rn
+  FROM events) WHERE rn = 1 AND n_docs > 1
 """
 
 
@@ -6035,7 +6104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": q_source_quota,
         "histogram_drift": q_histogram_drift_merged,
         "stream_stream_join": q_stream_stream_join,
-        "exact_dedup_props": q_exact_dedup_props,
+        "exact_dedup_props": _q_exact_dedup_entry,
         "jaccard_pairs": q_jaccard_pairs_merged,
         "token_stats_by_lang": q_token_stats_by_lang,
         "text_doc_features": q_text_doc_features,

@@ -50,6 +50,49 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def exact_duplicates_best(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    priority: Column,
+    ascending: bool = False,
+) -> DataFrame:
+    """`exact_duplicates` with a RANKED survivor: keep_id is the id of
+    the group member with the best ``priority`` (largest by default,
+    smallest with ``ascending=True`` — e.g. earliest crawl timestamp),
+    ties broken by min id. Real pipelines keep the best-quality /
+    first-seen copy of a duplicate, not the smallest id.
+
+    Shape: identical to exact_duplicates — ONE map-side-combinable
+    aggregation (max of a (priority, -id) struct), no window, no second
+    shuffle; same 100 TB posture. Requires a numeric id (the tiebreak
+    rides the struct as -id; use a window form for string ids).
+    NULL priority ranks LOWEST in either direction (no evidence never
+    beats evidence); NULL content groups as NULL fingerprint, matching
+    exact_duplicates / SQL GROUP BY semantics."""
+    idt = df.schema[id_col].dataType.typeName()
+    if idt not in ("byte", "short", "integer", "long", "float", "double", "decimal"):
+        raise ValueError(
+            f"exact_duplicates_best needs a numeric id for the in-struct "
+            f"tiebreak, got {id_col}: {idt}"
+        )
+    p = priority.cast("double")
+    q = F.coalesce(-p if ascending else p, F.lit(float("-inf")))
+    return (
+        df.select(
+            F.col(id_col), fingerprint_md5(content_col).alias("fingerprint"), q.alias("__q")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (-F.max(F.struct(F.col("__q").alias("q"), (-F.col(id_col)).alias("nid")))["nid"]).alias(
+                "keep_id"
+            ),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def drop_exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Keep one row per content fingerprint (min id wins) — the
     map-side-combinable form of exact dedup. NULL content groups as one

@@ -354,3 +354,48 @@ def test_take_token_budget_null_and_negative_tokens(spark):
     neg = spark.createDataFrame([(1, "s", -1)], "doc_id long, source string, nt long")
     with pytest.raises(Exception, match="negative token count"):
         take_token_budget(neg, "source", "doc_id", "nt", 400).count()
+
+
+def test_exact_duplicates_best_survivor_rules(spark):
+    """Ranked survivor: max priority wins (desc default), min with
+    ascending=True, NULL priority ranks lowest in BOTH directions,
+    ties fall back to min id; numeric-id precondition fails loud."""
+    import pytest
+
+    from schema_drift_detector_spark.operators.dedup import exact_duplicates_best
+
+    rows = [
+        # group "a": priorities 1/3/NULL -> desc keeps 12, asc keeps 10
+        (10, "a", 1.0),
+        (12, "a", 3.0),
+        (14, "a", None),
+        # group "b": all-NULL priorities -> min id both directions
+        (20, "b", None),
+        (22, "b", None),
+        # group "c": tied priorities -> min id
+        (30, "c", 7.0),
+        (31, "c", 7.0),
+        # singleton: filtered out (n_docs > 1)
+        (40, "d", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, content string, p double")
+    desc = {
+        r.fingerprint: (r.n_docs, r.keep_id)
+        for r in exact_duplicates_best(df, "id", "content", F.col("p")).collect()
+    }
+    asc = {
+        r.fingerprint: r.keep_id
+        for r in exact_duplicates_best(
+            df, "id", "content", F.col("p"), ascending=True
+        ).collect()
+    }
+    import hashlib
+
+    fp = {k: hashlib.md5(k.encode()).hexdigest() for k in "abc"}
+    assert desc[fp["a"]] == (3, 12) and asc[fp["a"]] == 10
+    assert desc[fp["b"]] == (2, 20) and asc[fp["b"]] == 20
+    assert desc[fp["c"]] == (2, 30) and asc[fp["c"]] == 30
+    assert len(desc) == 3  # singleton dropped
+    sdf = spark.createDataFrame([("x", "a", 1.0)], "id string, content string, p double")
+    with pytest.raises(ValueError, match="numeric id"):
+        exact_duplicates_best(sdf, "id", "content", F.col("p"))
