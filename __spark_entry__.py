@@ -718,63 +718,20 @@ r AS (
 )
 SELECT doc_id, source, dsir_score, (rk <= 20) AS selected FROM ranked
 """
-    # CCNet bigram stupid-backoff replay: position pairing over the
-    # FILTERED token list (adjacency is post-empty-removal, mirroring
-    # pair_occurrences), ':lm'-salted 4096 buckets, train = ':lmT' 10%
-    # hash subset, the three scoring branches, round(-avg(ln p), 5),
-    # ntile(3) tiers ordered by (rounded score, doc_id). Integer '/'
-    # is float division in DuckDB (n12 / c1 matches Spark's
-    # bigint/bigint -> double); sum(int) is HUGEINT -> CAST.
-    lmb = hash_bucket_sql  # alias for line width
+    # CCNet bigram stupid-backoff replay from the SHARED CTE builder
+    # (lm_ppl_sql_ctes — the same block the corpus_pipeline_e2e oracle
+    # composes, so the standalone face and the pipeline stage cannot
+    # desynchronize): ':lm'-salted 4096 buckets, train = ':lmT' 10%
+    # hash subset, all three scoring branches, round(-avg(ln p), 5),
+    # ntile(3) tiers ordered by (rounded score, doc_id)
+    from schema_drift_detector_spark.operators.quality_lm import lm_ppl_sql_ctes
+
     ppl = f"""
 WITH pl AS (
   SELECT doc_id, CASE WHEN doc_id % 97 = 3 THEN NULL ELSE text END AS text
   FROM documents
-), lf AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-  FROM pl WHERE text IS NOT NULL
-), pos AS (
-  SELECT doc_id,
-         CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS w1,
-         ts[i] AS w2
-  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
-        FROM lf WHERE len(ts) >= 1)
-), occ AS (
-  SELECT doc_id, {lmb("w1", 4096, ":lm")} AS b1, {lmb("w2", 4096, ":lm")} AS b2
-  FROM pos
-), tocc AS (
-  SELECT * FROM occ
-  WHERE {lmb("CAST(doc_id AS VARCHAR)", salt=":lmT")} < 100000
-), uni AS (SELECT b2 AS b, count(*) AS c FROM tocc GROUP BY 1),
-ttot AS (SELECT count(*) AS n FROM tocc),
-big AS (SELECT b1, b2, count(*) AS n12 FROM tocc
-        WHERE b1 IS NOT NULL GROUP BY 1, 2),
-lns AS (
-  SELECT o.doc_id,
-         CASE WHEN o.b1 IS NULL
-                THEN ln((coalesce(u2.c, 0) + 0.5) / (ttot.n + 0.5 * 4096))
-              WHEN g.n12 IS NOT NULL THEN ln(g.n12 / u1.c)
-              ELSE ln(0.4 * ((coalesce(u2.c, 0) + 0.5) / (ttot.n + 0.5 * 4096)))
-         END AS l,
-         CASE WHEN o.b1 IS NOT NULL AND g.n12 IS NULL THEN 1 ELSE 0 END AS bo
-  FROM occ o
-  LEFT JOIN big g ON g.b1 = o.b1 AND g.b2 = o.b2
-  LEFT JOIN uni u1 ON u1.b = o.b1
-  LEFT JOIN uni u2 ON u2.b = o.b2
-  CROSS JOIN ttot
-), sc AS (
-  SELECT doc_id, round(-avg(l), 5) AS avg_nll,
-         count(*) AS n_scored, CAST(sum(bo) AS BIGINT) AS n_backoff
-  FROM lns GROUP BY 1
-), tiers AS (
-  SELECT doc_id,
-         CASE ntile(3) OVER (ORDER BY avg_nll ASC, doc_id ASC)
-              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-         END AS ppl_tier
-  FROM sc
-)
-SELECT p.doc_id, sc.avg_nll, sc.n_scored, sc.n_backoff, t.ppl_tier
-FROM pl p LEFT JOIN sc USING (doc_id) LEFT JOIN tiers t USING (doc_id)
+), {lm_ppl_sql_ctes('lm', 'pl')}
+SELECT doc_id, avg_nll, n_scored, n_backoff, ppl_tier FROM lmtier
 """
     return f"""
 SELECT 'carve' AS face, doc_id, lang, split, q_keep,
@@ -4921,8 +4878,9 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       Gopher quality filter → exact dedup → substring (boilerplate)
       strip → intra-doc repetition strip → PII redaction → benchmark
-      decontamination → MinHash near-dup drop → per-source
-      token-budget mixing → context chunking → next-fit packing
+      decontamination → MinHash near-dup drop → CCNet LM-perplexity
+      tiering (drop 'tail') → per-source token-budget mixing →
+      context chunking → next-fit packing
 
     Every stage BINDS (gated): the quality filter drops low-word-count
     docs (0 < n_filtered < n_base); planted clones (doc_id+1e6, %10) make
@@ -4931,11 +4889,15 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc's own first 10 tokens appended twice) make the intra pass
     strip; planted e-mails (%11) redact; a 4% eval-prefix sample
     contaminates (those docs drop); LSH finds near-dup survivors to
-    drop; the 400-token budget truncates every source; multi-chunk
-    docs and multi-chunk bins exist. The untested surface this
-    certifies is the COMPOSITION: cross-doc cleaning changes the gram
-    identities the intra pass sees, both strips change what
-    decontamination and MinHash see, and the post-clean token counts
+    drop; the LM tier stage (bigram stupid-backoff counted from the
+    ':lmT' 10% hash subset OF THE SURVIVORS) drops the 'tail'
+    perplexity third; the 400-token budget truncates every source;
+    multi-chunk docs and multi-chunk bins exist. The untested surface
+    this certifies is the COMPOSITION: cross-doc cleaning changes the
+    gram identities the intra pass sees, both strips change what
+    decontamination and MinHash see, the redacted+stripped text is
+    what the LM counts and scores (so its tiers shift with every
+    upstream stage), and the post-clean token counts
     feed the budget — the oracle replays the exact chain, so any
     stage reading stale upstream text would hash-mismatch. Output:
     the packed-chunk manifest (chunk_uid, shard, bin, n_tokens,
@@ -4946,8 +4908,10 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified plan (one md5 shuffle; two gram passes; one ZERO-shuffle
     Arrow intra pass; codegen regexps; broadcast eval grams; banded
     LSH — never all-pairs; one window; zero-shuffle chunk explode;
-    two-column pack fold). The composition adds ONE extra join
-    (chunk_fp back onto the pack manifest, key co-partitioned)."""
+    two-column pack fold; the LM stage's model tables broadcast, its
+    only wide exchange the per-doc mean). The composition adds ONE
+    extra join (chunk_fp back onto the pack manifest, key
+    co-partitioned)."""
     from schema_drift_detector_spark.functions.pii import pii_redact
     from schema_drift_detector_spark.functions.text import token_count
     from schema_drift_detector_spark.operators.cleaning import gopher_quality_filter
@@ -4963,6 +4927,10 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.packing import (
         chunk_documents,
         pack_next_fit,
+    )
+    from schema_drift_detector_spark.operators.quality_lm import (
+        lm_perplexity,
+        ppl_tiers,
     )
     from schema_drift_detector_spark.operators.sampling import (
         hash_bucket,
@@ -5056,9 +5024,28 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops = connected_components(pairs).filter(F.col("doc") != F.col("cluster"))
     surv = decon.join(
         drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)  # LM model + scoring + budget all read it
+
+    # stage (late r7): CCNet LM-perplexity tiering over the SURVIVORS'
+    # cleaned text — the trusted counting subset is the ':lmT' 10% hash
+    # of the survivors themselves (CCNet's in-domain side), tail third
+    # drops. Composition under test: the LM sees redacted+stripped
+    # text, so a stale-text stage upstream would shift every tier.
+    tiers = ppl_tiers(
+        lm_perplexity(
+            surv,
+            surv.filter(hash_bucket("doc_id", salt=":lmT") < 100_000),
+            id_col="doc_id",
+            text_col="text",
+            n_buckets=4096,
+        ),
+        id_col="doc_id",
+    )
+    lmkept = tiers.filter(F.col("ppl_tier").isin("head", "middle")).drop(
+        "avg_nll", "n_scored", "n_backoff", "ppl_tier"
     )
     budgeted = take_token_budget(
-        surv.withColumn("__nt", token_count("text")), "source", "doc_id", "__nt", 400
+        lmkept.withColumn("__nt", token_count("text")), "source", "doc_id", "__nt", 400
     ).localCheckpoint(eager=True)
 
     stage = budgeted.agg(
@@ -5067,7 +5054,7 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("__cross_stripped").cast("int")).alias("any_cross"),
         F.max(F.col("__intra_stripped").cast("int")).alias("any_intra"),
     ).first()
-    n_decon, n_surv = decon.count(), surv.count()
+    n_decon, n_surv, n_lmkept = decon.count(), surv.count(), lmkept.count()
     binding = {
         "quality_filter": 0 < n_filtered < n_base,
         "exact_dedup": n_exact < n_filtered,
@@ -5076,7 +5063,8 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pii_redact": bool(stage.any_redact),
         "decontaminate": n_decon < n_exact,
         "neardup_drop": n_surv < n_decon,
-        "token_budget": stage.n_budgeted < n_surv,
+        "lm_tier_drop": 0 < n_lmkept < n_surv,
+        "token_budget": stage.n_budgeted < n_lmkept,
     }
     dead = [k for k, ok in binding.items() if not ok]
     if dead:
@@ -5163,6 +5151,9 @@ def _oracle_corpus_pipeline_e2e() -> str:
     gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
     mh_ctes, mh_pairs = _minhash_oracle_parts(table="decon")
     gq_ctes = gopher_metrics_ctes("q", "base", min_stopword_hits=1)
+    from schema_drift_detector_spark.operators.quality_lm import lm_ppl_sql_ctes
+
+    lm_ctes = lm_ppl_sql_ctes("lm", "surv")
     return f"""
 WITH RECURSIVE raw AS (
   SELECT doc_id, source,
@@ -5266,9 +5257,19 @@ reach(doc, r) AS (
 ),
 cl AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
 ndrops AS (SELECT doc FROM cl WHERE doc <> cluster),
-surv AS (
+surv AS MATERIALIZED (
+  -- MATERIALIZED: the LM builder reads it twice (occurrences + the
+  -- per-doc tier join) and lmkept a third time
   SELECT d.* FROM decon d LEFT JOIN ndrops ON d.doc_id = ndrops.doc
   WHERE ndrops.doc IS NULL
+),
+{lm_ctes},
+lmkept AS MATERIALIZED (
+  -- CCNet tier stage: tail perplexity third drops (NULL tiers cannot
+  -- occur here — every survivor has text — but IN () would drop them,
+  -- matching the engine's isin filter)
+  SELECT s.* FROM surv s JOIN lmtier t USING (doc_id)
+  WHERE t.ppl_tier IN ('head', 'middle')
 ),
 budget AS (
   SELECT doc_id, text FROM (
@@ -5277,7 +5278,7 @@ budget AS (
              PARTITION BY source
              ORDER BY {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':budget')} ASC, doc_id ASC
              ROWS UNBOUNDED PRECEDING) AS cum
-    FROM surv) b
+    FROM lmkept) b
   WHERE cum <= 400
 ),
 ctok AS (

@@ -85,6 +85,92 @@ def _validate(n_buckets: int, alpha: float, backoff: float) -> None:
         raise ValueError(f"backoff must be in (0, 1], got {backoff}")
 
 
+def lm_ppl_sql_ctes(
+    sfx: str,
+    src: str,
+    n_buckets: int = 4096,
+    train_pred: str | None = None,
+    alpha: float = 0.5,
+    backoff: float = 0.4,
+    round_digits: int = 5,
+) -> str:
+    """DuckDB CTE block replaying ``lm_perplexity`` + exact-thirds
+    ``ppl_tiers`` over the relation ``src`` (must expose doc_id, text).
+    ONE definition feeds both the standalone certification face and any
+    composed-pipeline oracle (the _intra_strip_ctes discipline), so the
+    replays cannot desynchronize. Emits CTEs prefixed ``sfx``; the
+    final CTE ``{sfx}tier`` has one row per src doc:
+    (doc_id, avg_nll, n_scored, n_backoff, ppl_tier), NULLs for
+    unscored docs. ``train_pred`` filters the trusted counting subset
+    (over {sfx}occ rows; default = the ':lmT' 10% doc_id hash).
+    Position pairing happens over the FILTERED token list (adjacency is
+    post-empty-removal, mirroring pair_occurrences); integer '/' is
+    float division in DuckDB (n12 / c matches Spark's bigint/bigint ->
+    double); sum(int) is HUGEINT -> CAST. occ/tocc are MATERIALIZED:
+    each is referenced more than once, and DuckDB re-inlines
+    non-materialized CTEs per reference — over a deep upstream
+    pipeline that re-runs the whole chain."""
+    _validate(n_buckets, alpha, backoff)
+    from .sampling import hash_bucket_sql
+
+    if train_pred is None:
+        train_pred = (
+            f"{hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':lmT')} < 100000"
+        )
+    s = sfx
+    puni = (
+        f"(coalesce(u2.c, 0) + {alpha!r}) / ({s}ttot.n + {alpha * n_buckets!r})"
+    )
+    return f"""{s}lf AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM {src} WHERE text IS NOT NULL
+), {s}pos AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS w1,
+         ts[i] AS w2
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+        FROM {s}lf WHERE len(ts) >= 1)
+), {s}occ AS MATERIALIZED (
+  SELECT doc_id, {hash_bucket_sql("w1", n_buckets, _LM_SALT)} AS b1,
+         {hash_bucket_sql("w2", n_buckets, _LM_SALT)} AS b2
+  FROM {s}pos
+), {s}tocc AS MATERIALIZED (
+  SELECT * FROM {s}occ WHERE {train_pred}
+), {s}uni AS (SELECT b2 AS b, count(*) AS c FROM {s}tocc GROUP BY 1),
+{s}ttot AS (SELECT count(*) AS n FROM {s}tocc),
+{s}big AS (SELECT b1, b2, count(*) AS n12 FROM {s}tocc
+           WHERE b1 IS NOT NULL GROUP BY 1, 2),
+{s}lns AS (
+  SELECT o.doc_id,
+         CASE WHEN o.b1 IS NULL THEN ln({puni})
+              WHEN g.n12 IS NOT NULL THEN ln(g.n12 / u1.c)
+              ELSE ln({backoff!r} * ({puni}))
+         END AS l,
+         CASE WHEN o.b1 IS NOT NULL AND g.n12 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM {s}occ o
+  LEFT JOIN {s}big g ON g.b1 = o.b1 AND g.b2 = o.b2
+  LEFT JOIN {s}uni u1 ON u1.b = o.b1
+  LEFT JOIN {s}uni u2 ON u2.b = o.b2
+  CROSS JOIN {s}ttot
+), {s}sc AS MATERIALIZED (
+  SELECT doc_id, round(-avg(l), {round_digits}) AS avg_nll,
+         count(*) AS n_scored, CAST(sum(bo) AS BIGINT) AS n_backoff
+  FROM {s}lns GROUP BY 1
+), {s}tn AS (
+  SELECT doc_id, ntile(3) OVER (ORDER BY avg_nll ASC, doc_id ASC) AS t
+  FROM {s}sc
+), {s}tier AS (
+  SELECT s.doc_id, sc.avg_nll, sc.n_scored, sc.n_backoff,
+         -- no ELSE: an unscored doc's NULL tn.t must yield a NULL
+         -- tier, not fall through to 'tail'
+         CASE tn.t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   WHEN 3 THEN 'tail' END AS ppl_tier
+  FROM (SELECT doc_id FROM {src}) s
+  LEFT JOIN {s}sc sc USING (doc_id)
+  LEFT JOIN {s}tn tn USING (doc_id)
+)"""
+
+
 def pair_occurrences(
     docs: DataFrame,
     id_col: str,
