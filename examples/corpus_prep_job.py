@@ -1,11 +1,12 @@
 """spark-submit entry point for the composed LLM-corpus preparation
-pipeline — the certified 10-stage hygiene chain (corpus_pipeline_e2e's
+pipeline — the certified 11-stage hygiene chain (corpus_pipeline_e2e's
 operator composition) over an arbitrary documents table:
 
     Gopher quality filter → exact dedup → cross-doc boilerplate strip →
     intra-doc repetition strip → PII redaction → benchmark
-    decontamination → MinHash near-dup drop → per-source token-budget
-    mixing → context chunking → next-fit sequence packing
+    decontamination → MinHash near-dup drop → CCNet LM-perplexity
+    tier drop → per-source token-budget mixing → context chunking →
+    next-fit sequence packing
 
     zip -r engine.zip schema_drift_detector_spark
     spark-submit --py-files engine.zip examples/corpus_prep_job.py \
@@ -13,7 +14,8 @@ operator composition) over an arbitrary documents table:
         --out /path/to/prep_out \
         [--eval-docs /path/to/eval.parquet]   # decontamination source
         [--budget-tokens 1000000] [--chunk-tokens 2048] [--stride 1024] \
-        [--pack-cap 4096] [--shards 64] [--min-words 50] [--skip-quality]
+        [--pack-cap 4096] [--shards 64] [--min-words 50] [--skip-quality] \
+        [--skip-lm-tier] [--lm-buckets 4096] [--lm-train-frac 0.1]
 
 Input schema: (doc_id long, source string, text string) — extra
 columns pass through to the survivors output, EXCEPT the reserved
@@ -56,6 +58,15 @@ def main() -> None:
     ap.add_argument("--boilerplate-min-df", type=int, default=4)
     ap.add_argument("--lsh-threshold", type=float, default=0.6)
     ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument("--skip-lm-tier", action="store_true")
+    ap.add_argument("--lm-buckets", type=int, default=4096)
+    ap.add_argument(
+        "--lm-train-frac",
+        type=float,
+        default=0.1,
+        help="deterministic doc_id-hash fraction of the survivors used "
+        "as the LM's trusted counting corpus (CCNet's in-domain side)",
+    )
     args = ap.parse_args()
 
     from schema_drift_detector_spark.functions.pii import pii_redact
@@ -88,7 +99,10 @@ def main() -> None:
     # n_tokens/n_removed are produced-and-consumed internally by the
     # strip stages; a caller's same-named columns would be silently
     # destroyed — fail loud instead (the gopher clash-guard discipline)
-    reserved = {"n_tokens", "n_removed"} & set(docs.columns)
+    reserved_names = {"n_tokens", "n_removed"}
+    if not args.skip_lm_tier:
+        reserved_names |= {"avg_nll", "n_scored", "n_backoff", "ppl_tier"}
+    reserved = reserved_names & set(docs.columns)
     if reserved:
         raise SystemExit(
             f"input carries reserved column(s) {sorted(reserved)} — rename them"
@@ -151,6 +165,32 @@ def main() -> None:
         drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
     ).localCheckpoint(eager=True)
     stats["after_neardup_drop"] = docs.count()
+
+    if not args.skip_lm_tier:
+        from schema_drift_detector_spark.operators.quality_lm import (
+            lm_perplexity,
+            ppl_tiers,
+        )
+        from schema_drift_detector_spark.operators.sampling import hash_bucket
+
+        # CCNet tier drop: score every survivor against a bigram LM
+        # counted from the in-domain hash subset; the 'tail' perplexity
+        # third drops (zero-token docs score NULL and drop too — they
+        # cannot contribute training tokens anyway)
+        train = docs.filter(
+            hash_bucket("doc_id", salt=":lmT")
+            < int(round(args.lm_train_frac * 1_000_000))
+        )
+        docs = (
+            ppl_tiers(
+                lm_perplexity(docs, train, n_buckets=args.lm_buckets),
+                id_col="doc_id",
+            )
+            .filter(F.col("ppl_tier").isin("head", "middle"))
+            .drop("avg_nll", "n_scored", "n_backoff", "ppl_tier")
+            .localCheckpoint(eager=True)
+        )
+        stats["after_lm_tier_drop"] = docs.count()
 
     docs = take_token_budget(
         docs.withColumn("__nt", token_count("text")),
