@@ -765,7 +765,16 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     token ratios, so each source contributes a greedy deterministic
     prefix in (hash, doc_id) order whose running token total stays
     within budget). Both caps BIND on every source at sf0.01 (25 docs
-    ≈ 1350 tokens each), and DuckDB replays the exact member sets."""
+    ≈ 1350 tokens each), and DuckDB replays the exact member sets.
+
+    'reputation' (late r7) — RefinedWeb-style SOURCE-level governance
+    (source_reputation): per-source mean quality evidence, the
+    (mean desc, source asc) rank over eligible sources, and the
+    top-half keep verdict; source NULL-planted on doc_id % 101 == 5
+    (documents has none) to pin the unattributed-docs-are-ineligible
+    contract. Evidence, ranks, AND verdicts are hash-certified.
+    Gated: keep both-valued, the NULL-source row present, means vary."""
+    from schema_drift_detector_spark.operators.reputation import source_reputation
     from schema_drift_detector_spark.operators.sampling import (
         cap_per_group,
         take_token_budget,
@@ -773,29 +782,78 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.functions.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
+
+    def _rep_pad():
+        return (
+            F.lit(None).cast("bigint").alias("n_docs"),
+            F.lit(None).cast("double").alias("mean_score"),
+            F.lit(None).cast("int").alias("rep_rank"),
+            F.lit(None).cast("boolean").alias("keep"),
+        )
+
     capped = cap_per_group(docs, "source", "doc_id", 10).select(
-        F.lit("docs_cap").alias("face"), "doc_id", "source"
+        F.lit("docs_cap").alias("face"), "doc_id", "source", *_rep_pad()
     )
     n_tok = F.when(F.col("text").isNull(), 0).otherwise(token_count("text"))
     budgeted = take_token_budget(
         docs.withColumn("__nt", n_tok), "source", "doc_id", "__nt", 400
-    ).select(F.lit("token_budget").alias("face"), "doc_id", "source")
-    out = capped.unionByName(budgeted).localCheckpoint(eager=True)
+    ).select(F.lit("token_budget").alias("face"), "doc_id", "source", *_rep_pad())
+    planted = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 101 == 5, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    rep = source_reputation(planted, "source", keep_frac=0.5, min_docs=2).select(
+        F.lit("reputation").alias("face"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "source",
+        "n_docs",
+        "mean_score",
+        "rep_rank",
+        "keep",
+    )
+    out = capped.unionByName(budgeted).unionByName(rep).localCheckpoint(eager=True)
     n_docs = docs.count()
     n_budget = out.filter(F.col("face") == "token_budget").count()
     if not (0 < n_budget < n_docs):
         raise RuntimeError(
             f"vacuous token budget: kept {n_budget} of {n_docs} docs"
         )
+    rf = out.filter(F.col("face") == "reputation")
+    rst = rf.agg(
+        F.count(F.when(F.col("keep"), 1)).alias("nk"),
+        F.count(F.when(~F.col("keep"), 1)).alias("nd"),
+        F.count(F.when(F.col("source").isNull(), 1)).alias("nnull"),
+        F.count_distinct("mean_score").alias("nm"),
+    ).first()
+    if not (rst.nk > 0 and rst.nd > 0 and rst.nnull == 1 and rst.nm > 1):
+        raise RuntimeError(
+            f"vacuous reputation certification: verdicts/evidence degenerate ({rst})"
+        )
     return out
 
+
+# pads for the 'reputation' face's four columns on the doc-level faces
+_REP_PAD = (
+    "CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS DOUBLE) AS mean_score, "
+    "CAST(NULL AS INTEGER) AS rep_rank, CAST(NULL AS BOOLEAN) AS keep"
+)
 
 # null-key rows pass through unchanged (exempt from both caps) — the
 # UNION ALL branches mirror the passthrough contract even though
 # sf-synth documents have no null doc_id (the branches are empty here;
-# the unit tests exercise them with real nulls)
-ORACLE_SOURCE_QUOTA = f"""
-SELECT 'docs_cap' AS face, doc_id, source FROM documents
+# the unit tests exercise them with real nulls). The 'reputation' face
+# replays source_reputation over NULL-planted sources: per-source mean
+# of the shared ORACLE_QUALITY score, eligibility (non-NULL source,
+# n_docs >= 2), the (mean desc NULLS LAST, source asc) rank, and the
+# ceil(0.5 * n_eligible) keep cut (false AND NULL = false pins the
+# ineligible verdict in both engines). A function, not a constant:
+# it embeds ORACLE_QUALITY, defined later in this module.
+def _oracle_source_quota() -> str:
+    return f"""
+SELECT 'docs_cap' AS face, doc_id, source, {_REP_PAD} FROM documents
 WHERE doc_id IS NOT NULL
 QUALIFY row_number() OVER (
   PARTITION BY source
@@ -803,9 +861,10 @@ QUALIFY row_number() OVER (
            doc_id ASC
 ) <= 10
 UNION ALL
-SELECT 'docs_cap' AS face, doc_id, source FROM documents WHERE doc_id IS NULL
+SELECT 'docs_cap' AS face, doc_id, source, {_REP_PAD}
+FROM documents WHERE doc_id IS NULL
 UNION ALL
-SELECT 'token_budget' AS face, doc_id, source FROM (
+SELECT 'token_budget' AS face, doc_id, source, {_REP_PAD} FROM (
   SELECT doc_id, source,
          sum(coalesce(len(string_split(text, ' ')), 0)) OVER (
            PARTITION BY source
@@ -815,7 +874,30 @@ SELECT 'token_budget' AS face, doc_id, source FROM (
   FROM documents WHERE doc_id IS NOT NULL) b
 WHERE cum <= 400
 UNION ALL
-SELECT 'token_budget' AS face, doc_id, source FROM documents WHERE doc_id IS NULL
+SELECT 'token_budget' AS face, doc_id, source, {_REP_PAD}
+FROM documents WHERE doc_id IS NULL
+UNION ALL
+SELECT 'reputation' AS face, CAST(NULL AS BIGINT) AS doc_id,
+       source, n_docs, mean_score, rep_rank,
+       (elig AND rep_rank <= ceil(0.5 * ne)) AS keep
+FROM (
+  SELECT source, n_docs, mean_score, elig,
+         CASE WHEN elig THEN CAST(row_number() OVER (
+           PARTITION BY elig
+           ORDER BY mean_score DESC NULLS LAST, source ASC) AS INTEGER)
+         END AS rep_rank,
+         count(*) OVER (PARTITION BY elig) AS ne
+  FROM (
+    SELECT pd.source, count(*) AS n_docs,
+           round(avg(q.quality), 6) AS mean_score,
+           (pd.source IS NOT NULL AND count(*) >= 2) AS elig
+    FROM (SELECT doc_id,
+                 CASE WHEN doc_id % 101 = 5 THEN NULL ELSE source END AS source
+          FROM documents) pd
+    JOIN ({ORACLE_QUALITY}) q USING (doc_id)
+    GROUP BY pd.source
+  )
+)
 """
 
 
@@ -6157,7 +6239,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": ORACLE_PROFILE_EVENTS,
         "zorder_layout": _oracle_zorder_layout(),
         "stratified_split": _oracle_stratified_split(),
-        "source_quota": ORACLE_SOURCE_QUOTA,
+        "source_quota": _oracle_source_quota(),
         "histogram_drift": _oracle_histogram_drift_merged(),
         "stream_stream_join": ORACLE_STREAM_STREAM_JOIN,
         "exact_dedup_props": ORACLE_EXACT_DEDUP,
