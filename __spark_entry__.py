@@ -1664,6 +1664,62 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the SQ8-quantized corpus: fit per-dimension
+    min/max on the corpus (one Arrow scan), encode every vector to
+    8-bit codes, dequantize, then exact full-precision-query cosine —
+    the asymmetric-distance search Faiss/Milvus run over SQ8 indexes.
+    The oracle replays fit + encode + decode + cosine in SQL, so the
+    quantization ARITHMETIC (floor(x+0.5) grid, clamp-to-edge,
+    constant-dim pin) is certified bit-exactly, not just the ranking.
+    At 100 TB the codes are the point: 4x smaller corpus vectors in
+    memory/shuffle; queries never lose precision."""
+    from schema_drift_detector_spark.operators.quantize import fit_sq8, topk_sq8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lo, hi = fit_sq8(emb, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return topk_sq8(emb, queries, lo, hi, k=5)
+
+
+# fit (per-dim min/max over float64-cast values) + encode
+# (floor((x-lo)/span*255+0.5) clamped to [0,255], constant dims pinned
+# to code 0) + decode (lo + code/255*span) in the exact operation order
+# quantize.py's numpy computes — float32→float64 casts are exact, and
+# min/max have no summation-order sensitivity, so lo/hi and every
+# dequantized value are bit-identical cross-engine
+ORACLE_ANN_TOPK_SQ8 = """
+WITH sq8_elems AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+),
+sq8_rng AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM sq8_elems GROUP BY dim
+),
+sq8_deq AS (
+  SELECT e.vec_id,
+         list(CASE WHEN r.hi = r.lo THEN r.lo
+              ELSE r.lo + (least(greatest(
+                     floor((e.x - r.lo) / (r.hi - r.lo) * 255.0 + 0.5),
+                     0.0), 255.0) / 255.0) * (r.hi - r.lo)
+              END ORDER BY e.dim) AS v
+  FROM sq8_elems e JOIN sq8_rng r USING (dim)
+  GROUP BY e.vec_id
+)
+SELECT q.vec_id AS query_id,
+       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(
+                                     c.v, CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                   c.vec_id ASC) AS rank,
+       c.vec_id AS vec_id,
+       round(list_cosine_similarity(c.v, CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM sq8_deq c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+QUALIFY rank <= 5
+"""
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.ann import assign_cells, deterministic_centroids
 
@@ -4539,13 +4595,16 @@ def q_ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     over TRAINED k-means cells (the full trainer→assign→probe
     composition), and (r6) the raw cell ASSIGNMENT face (every vector's
     nearest centroid — the IVF index-build step, formerly its own
-    entry). Each face keeps its exact DuckDB replay."""
+    entry), and (r7) the SQ8 face — asymmetric search over the
+    scalar-quantized corpus, the quantization arithmetic certified
+    bit-exactly. Each face keeps its exact DuckDB replay."""
     brute = q_ann_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
     ivf = q_ann_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
     ivf_km = q_ann_topk_ivf_kmeans(spark, sf_dir).select(
         F.lit("ivf_kmeans").alias("method"), "*"
     )
-    topk = brute.unionByName(ivf).unionByName(ivf_km)
+    sq8 = q_ann_topk_sq8(spark, sf_dir).select(F.lit("sq8").alias("method"), "*")
+    topk = brute.unionByName(ivf).unionByName(ivf_km).unionByName(sq8)
     assign = q_ivf_assign(spark, sf_dir)
     cid_type = dict(assign.dtypes)["centroid_id"]
     topk = topk.withColumn("centroid_id", F.lit(None).cast(cid_type))
@@ -4572,6 +4631,9 @@ FROM ({ORACLE_ANN_TOPK_IVF}) a_ivf
 UNION ALL
 SELECT 'ivf_kmeans' AS method, a_km.*, CAST(NULL AS INT) AS centroid_id
 FROM ({ORACLE_ANN_TOPK_IVF_KMEANS}) a_km
+UNION ALL
+SELECT 'sq8' AS method, a_sq8.*, CAST(NULL AS INT) AS centroid_id
+FROM ({ORACLE_ANN_TOPK_SQ8}) a_sq8
 UNION ALL
 SELECT 'assign' AS method, CAST(NULL AS BIGINT) AS query_id,
        CAST(NULL AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS cos_sim,
