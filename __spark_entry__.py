@@ -1720,6 +1720,68 @@ QUALIFY rank <= 5
 """
 
 
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PRODUCT-quantized corpus (Faiss PQ shape:
+    8 subspaces x 16 codes = 8-byte codes for 64-dim vectors, 32x
+    smaller than float32): deterministic md5-picked codebook, per-
+    subspace L2-argmin encode, reconstruction cosine. The oracle
+    replays codebook pick + slicing + argmin + reconstruction + cosine
+    — the whole quantizer — in SQL. The LUT scorer (topk_pq_adc, the
+    form that never decodes the corpus) is equality-tested against
+    this reconstruction form in tests/test_quantize.py."""
+    from schema_drift_detector_spark.operators.quantize import (
+        pq_fit_deterministic,
+        topk_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_fit_deterministic(emb, m=8, ks=16, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return topk_pq(emb, queries, cb, k=5)
+
+
+# codebook = the 16 md5-smallest corpus vectors (the deterministic_
+# centroids pick rule), sliced into 8 contiguous 8-dim subspaces;
+# encode = per-subspace (L2 dist ASC, code_id ASC) argmin — Spark
+# computes the literal sum((x-c)^2), the same arithmetic list_distance
+# orders by; decode = concatenated codebook slices (exact)
+ORACLE_ANN_TOPK_PQ = """
+WITH pq_picked AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1
+           AS code_id,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16) pq_pick
+),
+pq_sub AS (
+  SELECT s.s, p.code_id, p.cvec[s.s*8+1 : s.s*8+8] AS sv
+  FROM pq_picked p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) s
+),
+pq_codes AS (
+  SELECT e.vec_id, sub.s, sub.code_id
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+  CROSS JOIN pq_sub sub
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id, sub.s
+            ORDER BY list_distance(e.v[sub.s*8+1 : sub.s*8+8], sub.sv) ASC,
+                     sub.code_id ASC) = 1
+),
+pq_deq AS (
+  SELECT c.vec_id, flatten(list(sub.sv ORDER BY c.s)) AS v
+  FROM pq_codes c JOIN pq_sub sub ON sub.s = c.s AND sub.code_id = c.code_id
+  GROUP BY c.vec_id
+)
+SELECT q.vec_id AS query_id,
+       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY round(list_cosine_similarity(
+                                     c.v, CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                                   c.vec_id ASC) AS rank,
+       c.vec_id AS vec_id,
+       round(list_cosine_similarity(c.v, CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM pq_deq c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+QUALIFY rank <= 5
+"""
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.ann import assign_cells, deterministic_centroids
 
@@ -4595,16 +4657,20 @@ def q_ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     over TRAINED k-means cells (the full trainer→assign→probe
     composition), and (r6) the raw cell ASSIGNMENT face (every vector's
     nearest centroid — the IVF index-build step, formerly its own
-    entry), and (r7) the SQ8 face — asymmetric search over the
-    scalar-quantized corpus, the quantization arithmetic certified
-    bit-exactly. Each face keeps its exact DuckDB replay."""
+    entry), and (r7) the SQ8 and PQ faces — asymmetric search over the
+    scalar-quantized / product-quantized corpus, both quantizers'
+    arithmetic certified bit-exactly. Each face keeps its exact DuckDB
+    replay."""
     brute = q_ann_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "*")
     ivf = q_ann_topk_ivf(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
     ivf_km = q_ann_topk_ivf_kmeans(spark, sf_dir).select(
         F.lit("ivf_kmeans").alias("method"), "*"
     )
     sq8 = q_ann_topk_sq8(spark, sf_dir).select(F.lit("sq8").alias("method"), "*")
-    topk = brute.unionByName(ivf).unionByName(ivf_km).unionByName(sq8)
+    pq = q_ann_topk_pq(spark, sf_dir).select(F.lit("pq").alias("method"), "*")
+    topk = (
+        brute.unionByName(ivf).unionByName(ivf_km).unionByName(sq8).unionByName(pq)
+    )
     assign = q_ivf_assign(spark, sf_dir)
     cid_type = dict(assign.dtypes)["centroid_id"]
     topk = topk.withColumn("centroid_id", F.lit(None).cast(cid_type))
@@ -4634,6 +4700,9 @@ FROM ({ORACLE_ANN_TOPK_IVF_KMEANS}) a_km
 UNION ALL
 SELECT 'sq8' AS method, a_sq8.*, CAST(NULL AS INT) AS centroid_id
 FROM ({ORACLE_ANN_TOPK_SQ8}) a_sq8
+UNION ALL
+SELECT 'pq' AS method, a_pq.*, CAST(NULL AS INT) AS centroid_id
+FROM ({ORACLE_ANN_TOPK_PQ}) a_pq
 UNION ALL
 SELECT 'assign' AS method, CAST(NULL AS BIGINT) AS query_id,
        CAST(NULL AS INT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS cos_sim,

@@ -113,10 +113,12 @@ BENCH_QUERIES = [
     # late-r7 NEW row: CCNet bigram stupid-backoff LM scoring + ntile
     # tiering (the bare 'ppl' face of the stratified_split board entry)
     "lm_perplexity",
-    # late-r7 NEW row: SQ8 fit + encode/decode + ADC top-k (the bare
-    # 'sq8' face of the ann_topk_methods board entry); new series —
-    # the existing ann_topk/ivf rows continue unbroken
+    # late-r7 NEW rows: SQ8 fit + encode/decode + ADC top-k and PQ
+    # codebook + per-subspace argmin encode + reconstruction top-k
+    # (the bare 'sq8'/'pq' faces of the ann_topk_methods board entry);
+    # new series — the existing ann_topk/ivf rows continue unbroken
     "ann_topk_sq8",
+    "ann_topk_pq",
 ]
 
 

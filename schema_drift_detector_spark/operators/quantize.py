@@ -182,6 +182,211 @@ def sq8_decode(
     return _dec(c)
 
 
+def pq_fit_deterministic(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic PQ codebook: the `ks` corpus vectors with the
+    smallest (md5(cast(id as string)), id) — the same reproducible
+    pick rule deterministic_centroids uses (TakeOrderedAndProject, no
+    global sort) — sliced into `m` contiguous subspaces of dim/m.
+    Returns an (m, ks, dim/m) float64 array (metadata-scale; rides the
+    encode/decode UDF closures). Fails loud on a pick containing an
+    invalid vector (NULL / ragged / non-finite) — a codebook built on
+    garbage would silently quantize everything to garbage.
+
+    Production path: train per-subspace k-means instead and pass the
+    resulting array; every consumer below takes the codebook by value."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    if not (2 <= ks <= 256):
+        raise ValueError(f"ks must be in [2, 256] (8-bit codes), got {ks}")
+    rows = (
+        corpus.select(
+            F.md5(F.col(id_col).cast("string")).alias("__hk"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("vec"),
+        )
+        .orderBy(F.col("__hk").asc(), F.col("__id").asc())
+        .limit(ks)
+        .collect()
+    )
+    if len(rows) < ks:
+        raise ValueError(f"corpus has {len(rows)} rows, need >= ks={ks}")
+    vecs = [r["vec"] for r in rows]
+    mask = _valid_mask(np.array(vecs, dtype=object), dim)
+    if not mask.all():
+        bad = [rows[i]["__id"] for i in np.flatnonzero(~mask)]
+        raise ValueError(f"picked codebook vectors invalid at ids {bad[:5]}")
+    cb = np.vstack(vecs).astype(np.float64)  # (ks, dim)
+    dsub = dim // m
+    return np.stack([cb[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+
+def _check_codebook(codebook: np.ndarray) -> tuple[int, int, int]:
+    cb = np.asarray(codebook, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError(f"codebook must be (m, ks, dsub), got shape {cb.shape}")
+    if not np.isfinite(cb).all():
+        raise ValueError("codebook contains non-finite values")
+    return cb.shape
+
+
+def pq_encode(vec: Column | str, codebook: np.ndarray) -> Column:
+    """array<int> of `m` codes — per subspace, the L2-nearest codebook
+    row (first-min tie-break = lowest code id, matching the SQL replay's
+    (dist ASC, code_id ASC) rank). Distances use the literal
+    sum((x-c)^2) formula — the same arithmetic the DuckDB replay's
+    list_distance computes — so the argmin ORDERING is cross-engine
+    stable, not just close. Invalid vectors encode NULL. One Arrow
+    pass; the codebook rides the closure, no join."""
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, ks, dsub = _check_codebook(cb)
+    dim = m * dsub
+    c = F.col(vec) if isinstance(vec, str) else vec
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _enc(xs: pd.Series) -> pd.Series:
+        vals = xs.to_numpy()
+        out = [None] * len(vals)
+        if len(vals):
+            msk = _valid_mask(vals, dim)
+            if msk.any():
+                x = np.vstack(vals[msk]).astype(np.float64)
+                xs3 = x.reshape(len(x), m, dsub)
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for s in range(m):
+                    # (n, ks): same formula as SQL list_distance (sans
+                    # the order-preserving sqrt)
+                    d2 = ((xs3[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                    codes[:, s] = d2.argmin(axis=1)
+                for j, i in enumerate(np.flatnonzero(msk)):
+                    out[i] = codes[j]
+        return pd.Series(out, dtype=object)
+
+    return _enc(c)
+
+
+def pq_decode(codes: Column | str, codebook: np.ndarray) -> Column:
+    """array<double> reconstruction: concatenated per-subspace codebook
+    rows (NULL codes stay NULL). Exact — the codebook IS the value."""
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, ks, dsub = _check_codebook(cb)
+    c = F.col(codes) if isinstance(codes, str) else codes
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _dec(xs: pd.Series) -> pd.Series:
+        vals = xs.to_numpy()
+        out = [None] * len(vals)
+        for i, v in enumerate(vals):
+            if v is not None:
+                k = np.asarray(v, dtype=np.int64)
+                out[i] = np.concatenate([cb[s, k[s]] for s in range(m)])
+        return pd.Series(out, dtype=object)
+
+    return _dec(c)
+
+
+def topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric top-k, reconstruction form: encode -> decode ->
+    full-precision-query cosine -> window rank (the certifiable
+    semantics; topk_pq_adc is the equal-answer LUT fast path). Same
+    output contract as topk_bruteforce."""
+    from .ann import topk_bruteforce
+
+    deq = corpus.select(
+        F.col(id_col),
+        pq_decode(pq_encode(vec_col, codebook), codebook).alias("__deq"),
+    )
+    return topk_bruteforce(
+        deq, queries, k=k, id_col=id_col, vec_col="__deq",
+        query_id_col=id_col, query_vec_col=vec_col,
+    )
+
+
+def topk_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric top-k, LUT form — the 100 TB scorer: per query,
+    precompute the (m, ks) table of query-subvector · codebook-row dots
+    plus the (m, ks) codebook-row squared norms ONCE, then each corpus
+    row's cosine is m table lookups instead of a dim-wide dot
+    (dim=4096, m=16: 256x less multiply work per candidate). Computes
+    cos(query, reconstruction) EXACTLY like topk_pq up to FP summation
+    order (equality tested on separable data); scores round 6dp, ties
+    break on vec_id. Corpus codes never decode."""
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, ks, dsub = _check_codebook(cb)
+    dim = m * dsub
+    from pyspark.sql.functions import pandas_udf
+
+    cb_norm2 = (cb ** 2).sum(-1)  # (m, ks)
+
+    @pandas_udf("double")
+    def _adc(codes: pd.Series, qvecs: pd.Series) -> pd.Series:
+        cvals = codes.to_numpy()
+        qvals = qvecs.to_numpy()
+        # None (not NaN): Spark sorts NaN ABOVE every number, so a NaN
+        # score would outrank real matches; NULLs drop from the ranking
+        # (the cosine_arrow invalid-row contract)
+        out = [None] * len(cvals)
+        for i, (cd, qv) in enumerate(zip(cvals, qvals)):
+            if cd is None or qv is None or len(qv) != dim:
+                continue
+            q = np.asarray(qv, dtype=np.float64)
+            if not np.isfinite(q).all():
+                continue
+            qs = q.reshape(m, dsub)
+            lut = np.einsum("sd,skd->sk", qs, cb)  # (m, ks) dots
+            kk = np.asarray(cd, dtype=np.int64)
+            idx = (np.arange(m), kk)
+            num = lut[idx].sum()
+            den = np.sqrt((q ** 2).sum()) * np.sqrt(cb_norm2[idx].sum())
+            if den > 0:
+                out[i] = num / den
+        return pd.Series(out, dtype=object)
+
+    from pyspark.sql import Window
+
+    enc = corpus.select(
+        F.col(id_col).alias("vec_id"), pq_encode(vec_col, codebook).alias("__codes")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = enc.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(_adc(F.col("__codes"), F.col("qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos_sim")
+    )
+
+
 def topk_sq8(
     corpus: DataFrame,
     queries: DataFrame,
