@@ -4282,6 +4282,99 @@ SELECT 'sample10' AS variant, * FROM ({ORACLE_JACCARD_SAMPLE}) j_samp
 """
 
 
+# normalize-face plants, defined ONCE and rendered into the oracle by
+# _sql_str so the Spark literal and the SQL literal cannot drift:
+# decomposed accents + NBSP + Turkish İ + Greek final-sigma word (NFC +
+# casing rules), C0 controls incl. NUL + tab (strip/map rules), double
+# spaces + CRLF + edge whitespace (collapse/trim rules)
+_NORM_PLANT_NFC = "\nCafe\u0301 \u00a0 NAI\u0308VE \u0130STANBUL \u03a1\u0397\u0393\u0391\u03a3"
+_NORM_PLANT_CTRL = "\nbell\x07s and\ttabs\x00end"
+_NORM_PLANT_WS = "  double  spaces \r\n crlf line "
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression — printable-ASCII
+    runs as quoted literals, everything else (controls, quotes,
+    non-ASCII) as chr(n) — so plant constants embed safely in oracle
+    SQL regardless of content."""
+    parts: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        if run:
+            parts.append("'" + "".join(run) + "'")
+            run.clear()
+
+    for ch in s:
+        if " " <= ch <= "~" and ch != "'":
+            run.append(ch)
+        else:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+    flush()
+    return " || ".join(parts) if parts else "''"
+
+
+def q_text_doc_features__normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'normalize' face (bare plan): Unicode normalization
+    (functions/normalize.py — strip controls, NFC, space mapping,
+    collapse, line-edge trim, pinned-casing lowercase) over planted
+    fixtures that make each rule family bind; the md5 of the normalized
+    text hash-checks every composed codepoint and collapsed run."""
+    from schema_drift_detector_spark.functions.normalize import normalize_text_arrow
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 97 == 3, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(d % 11 == 0, F.lit(_NORM_PLANT_NFC)).otherwise(F.lit("")),
+                F.when(d % 13 == 0, F.lit(_NORM_PLANT_CTRL)).otherwise(F.lit("")),
+                F.when(d % 17 == 0, F.lit(_NORM_PLANT_WS)).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    out = docs.select(
+        "doc_id",
+        F.col("text").alias("__raw"),
+        normalize_text_arrow("text", lowercase=True).alias("__norm"),
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("__norm"), F.lit(""))).alias("cleaned_fp"),
+        F.length("__raw").alias("n_chars_raw"),
+        F.length("__norm").alias("n_chars_norm"),
+    )
+
+
+def _oracle_tdf_normalize() -> str:
+    from schema_drift_detector_spark.functions.normalize import normalize_sql
+
+    return f"""
+WITH norm_fixture AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 3 THEN NULL
+              ELSE text
+                || CASE WHEN doc_id % 11 = 0 THEN {_sql_str(_NORM_PLANT_NFC)} ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN {_sql_str(_NORM_PLANT_CTRL)} ELSE '' END
+                || CASE WHEN doc_id % 17 = 0 THEN {_sql_str(_NORM_PLANT_WS)} ELSE '' END
+         END AS t
+  FROM documents
+),
+normed AS (
+  SELECT doc_id, t, {normalize_sql('t', lowercase=True)} AS n FROM norm_fixture
+)
+SELECT doc_id,
+       md5(coalesce(n, '')) AS cleaned_fp,
+       CAST(length(t) AS INT) AS n_chars_raw,
+       CAST(length(n) AS INT) AS n_chars_norm
+FROM normed
+"""
+
+
 def q_text_doc_features__features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'features' face (bare plan — bench-timed directly; this was
     the whole entry through r7-early): per-document text-analysis
@@ -4434,6 +4527,8 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_kept_lines", "int"),
             ("n_words", "int"),
             ("mean_word_len", "double"),
+            ("n_chars_raw", "int"),
+            ("n_chars_norm", "int"),
             *[(c, "boolean") for c in _GOPHER_RULE_COLS],
             ("keep", "boolean"),
         ]:
@@ -4494,7 +4589,32 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gopher",
         dict.fromkeys(["n_words", "mean_word_len", *_GOPHER_RULE_COLS, "keep"]),
     )
-    return feats.unionByName(c4_face).unionByName(gopher_face)
+
+    # normalize face (r7): every plant family must SHRINK at least one
+    # document (NFC composes, controls strip, whitespace collapses) —
+    # length-based so the gate binds on the unicode machinery itself,
+    # not on the lowercasing that touches nearly every doc
+    norm = q_text_doc_features__normalize(spark, sf_dir).localCheckpoint(eager=True)
+    shrunk = F.col("n_chars_norm") < F.col("n_chars_raw")
+    d = F.col("doc_id")
+    ng = norm.agg(
+        F.sum(F.when((d % 11 == 0) & shrunk, 1).otherwise(0)).alias("nfc_shrunk"),
+        F.sum(F.when((d % 13 == 0) & shrunk, 1).otherwise(0)).alias("ctrl_shrunk"),
+        F.sum(F.when((d % 17 == 0) & shrunk, 1).otherwise(0)).alias("ws_shrunk"),
+        F.sum(F.when(d % 97 == 3, 1).otherwise(0)).alias("nulls"),
+    ).first()
+    for g in ("nfc_shrunk", "ctrl_shrunk", "ws_shrunk", "nulls"):
+        if not ng[g]:
+            raise RuntimeError(f"vacuous normalize fixture: gate {g} is zero")
+    norm_face = _pad_tail(
+        norm, "normalize", dict.fromkeys(["cleaned_fp", "n_chars_raw", "n_chars_norm"])
+    )
+
+    return (
+        feats.unionByName(c4_face)
+        .unionByName(gopher_face)
+        .unionByName(norm_face)
+    )
 
 
 # repetition replay: bigram max-multiplicity and 5-gram distinct counts
@@ -4615,9 +4735,10 @@ _TDF_GOPHER_OK_SQL = ", ".join(_GOPHER_RULE_COLS)
 
 
 def _oracle_text_doc_features_merged() -> str:
-    nulls_c4g = """CAST(NULL AS VARCHAR) AS cleaned_fp, CAST(NULL AS INT) AS n_lines,
+    chars_nulls = "CAST(NULL AS INT) AS n_chars_raw, CAST(NULL AS INT) AS n_chars_norm"
+    nulls_c4g = f"""CAST(NULL AS VARCHAR) AS cleaned_fp, CAST(NULL AS INT) AS n_lines,
        CAST(NULL AS INT) AS n_kept_lines, CAST(NULL AS INT) AS n_words,
-       CAST(NULL AS DOUBLE) AS mean_word_len,
+       CAST(NULL AS DOUBLE) AS mean_word_len, {chars_nulls},
        CAST(NULL AS BOOLEAN) AS ok_word_count, CAST(NULL AS BOOLEAN) AS ok_mean_word_len,
        CAST(NULL AS BOOLEAN) AS ok_symbol_ratio, CAST(NULL AS BOOLEAN) AS ok_bullet_lines,
        CAST(NULL AS BOOLEAN) AS ok_ellipsis_lines, CAST(NULL AS BOOLEAN) AS ok_alpha_words,
@@ -4627,6 +4748,10 @@ def _oracle_text_doc_features_merged() -> str:
        CAST(NULL AS DOUBLE) AS quality, CAST(NULL AS VARCHAR) AS fp_exact,
        CAST(NULL AS VARCHAR) AS fp_normalized, CAST(NULL AS DOUBLE) AS frac_dup_tokens,
        CAST(NULL AS DOUBLE) AS top_bigram_frac, CAST(NULL AS DOUBLE) AS dup_5gram_frac"""
+    gopher_bool_nulls = """CAST(NULL AS BOOLEAN) AS ok_word_count, CAST(NULL AS BOOLEAN) AS ok_mean_word_len,
+       CAST(NULL AS BOOLEAN) AS ok_symbol_ratio, CAST(NULL AS BOOLEAN) AS ok_bullet_lines,
+       CAST(NULL AS BOOLEAN) AS ok_ellipsis_lines, CAST(NULL AS BOOLEAN) AS ok_alpha_words,
+       CAST(NULL AS BOOLEAN) AS ok_stopwords, CAST(NULL AS BOOLEAN) AS ok_dup_lines"""
     return f"""
 SELECT 'features' AS face, doc_id, lang, pred_lang, quality, fp_exact, fp_normalized,
        frac_dup_tokens, top_bigram_frac, dup_5gram_frac,
@@ -4636,18 +4761,24 @@ UNION ALL
 SELECT 'c4' AS face, doc_id, {feat_nulls},
        cleaned_fp, n_lines, n_kept_lines,
        CAST(NULL AS INT) AS n_words, CAST(NULL AS DOUBLE) AS mean_word_len,
-       CAST(NULL AS BOOLEAN) AS ok_word_count, CAST(NULL AS BOOLEAN) AS ok_mean_word_len,
-       CAST(NULL AS BOOLEAN) AS ok_symbol_ratio, CAST(NULL AS BOOLEAN) AS ok_bullet_lines,
-       CAST(NULL AS BOOLEAN) AS ok_ellipsis_lines, CAST(NULL AS BOOLEAN) AS ok_alpha_words,
-       CAST(NULL AS BOOLEAN) AS ok_stopwords, CAST(NULL AS BOOLEAN) AS ok_dup_lines,
+       {chars_nulls},
+       {gopher_bool_nulls},
        keep
 FROM ({ORACLE_TDF_C4})
 UNION ALL
 SELECT 'gopher' AS face, doc_id, {feat_nulls},
        CAST(NULL AS VARCHAR) AS cleaned_fp, CAST(NULL AS INT) AS n_lines,
        CAST(NULL AS INT) AS n_kept_lines,
-       n_words, mean_word_len, {_TDF_GOPHER_OK_SQL}, keep
+       n_words, mean_word_len, {chars_nulls}, {_TDF_GOPHER_OK_SQL}, keep
 FROM ({_oracle_tdf_gopher()})
+UNION ALL
+SELECT 'normalize' AS face, doc_id, {feat_nulls},
+       cleaned_fp, CAST(NULL AS INT) AS n_lines, CAST(NULL AS INT) AS n_kept_lines,
+       CAST(NULL AS INT) AS n_words, CAST(NULL AS DOUBLE) AS mean_word_len,
+       n_chars_raw, n_chars_norm,
+       {gopher_bool_nulls},
+       CAST(NULL AS BOOLEAN) AS keep
+FROM ({_oracle_tdf_normalize()})
 """
 
 
