@@ -4291,6 +4291,14 @@ _NORM_PLANT_NFC = "\nCafe\u0301 \u00a0 NAI\u0308VE \u0130STANBUL \u03a1\u0397\u0
 _NORM_PLANT_CTRL = "\nbell\x07s and\ttabs\x00end"
 _NORM_PLANT_WS = "  double  spaces \r\n crlf line "
 
+# e2e-pipeline unicode-clone plants: the %10 original gets the COMPOSED
+# suffix, its clone the DECOMPOSED+NBSP+double-space one \u2014 byte-unequal
+# strings that normalize to the SAME text, so exact dedup catches the
+# clone pair ONLY if the normalize stage is live (the binding gate for
+# composing normalization ahead of dedup)
+_E2E_NFC_RAW = " na\u00efve caf\u00e9"
+_E2E_NFC_CLONE = " nai\u0308ve\u00a0 cafe\u0301"
+
 
 def _sql_str(s: str) -> str:
     """Render a Python string as a DuckDB expression — printable-ASCII
@@ -5220,13 +5228,19 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     full hygiene chain a pretraining data job actually runs, certified
     as ONE DuckDB replay:
 
-      Gopher quality filter → exact dedup → substring (boilerplate)
-      strip → intra-doc repetition strip → PII redaction → benchmark
-      decontamination → MinHash near-dup drop → CCNet LM-perplexity
-      tiering (drop 'tail') → per-source token-budget mixing →
-      context chunking → next-fit packing
+      Unicode normalization → Gopher quality filter → exact dedup →
+      substring (boilerplate) strip → intra-doc repetition strip →
+      PII redaction → benchmark decontamination → MinHash near-dup
+      drop → CCNet LM-perplexity tiering (drop 'tail') → per-source
+      token-budget mixing → context chunking → next-fit packing
 
-    Every stage BINDS (gated): the quality filter drops low-word-count
+    Every stage BINDS (gated): the normalize stage (r7) appends a
+    COMPOSED unicode suffix to each %10 original and the DECOMPOSED+
+    NBSP+double-space spelling of the same suffix to its clone —
+    byte-unequal texts that normalize identical, so the clone pair
+    reaches exact dedup as a duplicate ONLY if normalization ran
+    (gate: ≥1 clone survives the quality filter AND zero clones
+    survive exact dedup); the quality filter drops low-word-count
     docs (0 < n_filtered < n_base); planted clones (doc_id+1e6, %10) make
     exact dedup drop rows; the planted footer (%7) reaches min_df so
     the cross-doc substring pass strips; planted self-repeats (%13:
@@ -5314,10 +5328,29 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"corpus_pipeline_e2e fixture assumes doc_id < 1e6 (max={max_id})"
         )
     clones = raw.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(_E2E_NFC_CLONE)).alias("text"),
     )
-    base = raw.unionByName(clones)
+    base = raw.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_E2E_NFC_RAW))
+        ).otherwise(F.col("text")),
+    ).unionByName(clones)
     n_base = base.count()
+
+    # stage 0 (r7): Unicode normalization — the hygiene pass that runs
+    # BEFORE any fingerprinting, because un-normalized text makes
+    # identical documents hash differently and silently defeats every
+    # downstream dedup/decontamination gram identity. Zero-shuffle
+    # Arrow scan; the %10 original/clone pair above is byte-unequal
+    # until this stage unifies it.
+    from schema_drift_detector_spark.functions.normalize import normalize_text_arrow
+
+    base = base.select(
+        "doc_id", "source", normalize_text_arrow("text").alias("text")
+    )
 
     # stage 1 (r7): Gopher quality filter — the hygiene gate a corpus
     # job runs BEFORE spending dedup compute. include_input composes
@@ -5337,6 +5370,11 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = drop_exact_duplicates(filtered, "doc_id", "text")
     sub = substring_dedup(exact, n=8, min_df=4).localCheckpoint(eager=True)
     n_exact = sub.count()
+    # normalize-stage gate counts: clones are byte-unequal to their
+    # originals until normalization, so "clones entered dedup AND none
+    # survived it" certifies the stage actually unified them
+    n_clone_filtered = filtered.filter(F.col("doc_id") >= 1_000_000).count()
+    n_clone_exact = sub.filter(F.col("doc_id") >= 1_000_000).count()
 
     # per-doc strip flags RIDE THROUGH the rest of the chain so the
     # binding gates below certify that a stripped doc SURVIVED to the
@@ -5400,6 +5438,7 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     n_decon, n_surv, n_lmkept = decon.count(), surv.count(), lmkept.count()
     binding = {
+        "normalize_unify": n_clone_filtered > 0 and n_clone_exact == 0,
         "quality_filter": 0 < n_filtered < n_base,
         "exact_dedup": n_exact < n_filtered,
         "substring_strip": bool(stage.any_cross),
@@ -5492,9 +5531,11 @@ def _oracle_corpus_pipeline_e2e() -> str:
 
     from schema_drift_detector_spark.operators.cleaning import gopher_metrics_ctes
 
+    from schema_drift_detector_spark.functions.normalize import normalize_sql
+
     gh = gram_hash64_sql("h", "CAST(i AS INT)", 8)
     mh_ctes, mh_pairs = _minhash_oracle_parts(table="decon")
-    gq_ctes = gopher_metrics_ctes("q", "base", min_stopword_hits=1)
+    gq_ctes = gopher_metrics_ctes("q", "normed", min_stopword_hits=1)
     from schema_drift_detector_spark.operators.quality_lm import lm_ppl_sql_ctes
 
     lm_ctes = lm_ppl_sql_ctes("lm", "surv")
@@ -5512,13 +5553,23 @@ WITH RECURSIVE raw AS (
         FROM documents)
 ),
 base AS (
-  SELECT * FROM raw
+  SELECT doc_id, source,
+         text || CASE WHEN doc_id % 10 = 0 THEN {_sql_str(_E2E_NFC_RAW)}
+                      ELSE '' END AS text
+  FROM raw
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, source, text FROM raw WHERE doc_id % 10 = 0
+  SELECT doc_id + 1000000 AS doc_id, source,
+         text || {_sql_str(_E2E_NFC_CLONE)} AS text
+  FROM raw WHERE doc_id % 10 = 0
+),
+normed AS MATERIALIZED (
+  -- stage 0: Unicode normalization (shared builder with the engine's
+  -- Arrow pass — tests/test_normalize pins the parity)
+  SELECT doc_id, source, {normalize_sql('text')} AS text FROM base
 ),
 {gq_ctes},
 filt AS (
-  SELECT b.* FROM base b JOIN qgq USING (doc_id) WHERE qgq.keep
+  SELECT b.* FROM normed b JOIN qgq USING (doc_id) WHERE qgq.keep
 ),
 exact AS MATERIALIZED (
   SELECT * FROM filt QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))

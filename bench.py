@@ -155,8 +155,10 @@ FACE_SPLITS: dict[str, list[str]] = {
     # helper (series unbroken) and these faces add per-face detail
     "order_chain": ["chain", "latest", "analytic"],
     # r7: C4 line cleaning + Gopher quality rules merged in —
-    # 'features' continues the ≤r7-early single-face series
-    "text_doc_features": ["features", "c4", "gopher"],
+    # 'features' continues the ≤r7-early single-face series;
+    # 'normalize' (Unicode normalization) joined late-r7 — the row
+    # re-prices again (annotated in BENCH/BASELINE.md)
+    "text_doc_features": ["features", "c4", "gopher", "normalize"],
 }
 
 

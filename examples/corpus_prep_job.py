@@ -1,12 +1,12 @@
 """spark-submit entry point for the composed LLM-corpus preparation
-pipeline — the certified 11-stage hygiene chain (corpus_pipeline_e2e's
+pipeline — the certified 12-stage hygiene chain (corpus_pipeline_e2e's
 operator composition) over an arbitrary documents table:
 
-    Gopher quality filter → exact dedup → cross-doc boilerplate strip →
-    intra-doc repetition strip → PII redaction → benchmark
-    decontamination → MinHash near-dup drop → CCNet LM-perplexity
-    tier drop → per-source token-budget mixing → context chunking →
-    next-fit sequence packing
+    Unicode normalization → Gopher quality filter → exact dedup →
+    cross-doc boilerplate strip → intra-doc repetition strip → PII
+    redaction → benchmark decontamination → MinHash near-dup drop →
+    CCNet LM-perplexity tier drop → per-source token-budget mixing →
+    context chunking → next-fit sequence packing
 
     zip -r engine.zip schema_drift_detector_spark
     spark-submit --py-files engine.zip examples/corpus_prep_job.py \
@@ -15,6 +15,7 @@ operator composition) over an arbitrary documents table:
         [--eval-docs /path/to/eval.parquet]   # decontamination source
         [--budget-tokens 1000000] [--chunk-tokens 2048] [--stride 1024] \
         [--pack-cap 4096] [--shards 64] [--min-words 50] [--skip-quality] \
+        [--skip-normalize] \
         [--skip-lm-tier] [--lm-buckets 4096] [--lm-train-frac 0.1]
 
 Input schema: (doc_id long, source string, text string) — extra
@@ -58,6 +59,14 @@ def main() -> None:
     ap.add_argument("--boilerplate-min-df", type=int, default=4)
     ap.add_argument("--lsh-threshold", type=float, default=0.6)
     ap.add_argument("--skip-quality", action="store_true")
+    ap.add_argument(
+        "--skip-normalize",
+        action="store_true",
+        help="skip Unicode normalization (strip controls, NFC, space "
+        "mapping, whitespace collapse) — ON by default because "
+        "un-normalized text defeats every downstream dedup/decontam "
+        "gram identity",
+    )
     ap.add_argument("--skip-lm-tier", action="store_true")
     ap.add_argument("--lm-buckets", type=int, default=4096)
     ap.add_argument(
@@ -114,6 +123,20 @@ def main() -> None:
     # drop it up front, audited
     docs = docs.filter(F.col("text").isNotNull())
     stats["after_null_text_drop"] = docs.count()
+
+    if not args.skip_normalize:
+        # stage 0: Unicode normalization (zero-shuffle Arrow scan) —
+        # row-preserving, so no stats entry; everything downstream
+        # (dedup grams, PII regexes, LM counts, token budgets) reads
+        # the normalized text
+        from schema_drift_detector_spark.functions.normalize import (
+            normalize_text_arrow,
+        )
+
+        docs = docs.select(
+            *[c for c in docs.columns if c != "text"],
+            normalize_text_arrow("text").alias("text"),
+        )
 
     if not args.skip_quality:
         from schema_drift_detector_spark.operators.cleaning import GOPHER_RULE_COLS
