@@ -773,11 +773,22 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-half keep verdict; source NULL-planted on doc_id % 101 == 5
     (documents has none) to pin the unattributed-docs-are-ineligible
     contract. Evidence, ranks, AND verdicts are hash-certified.
-    Gated: keep both-valued, the NULL-source row present, means vary."""
+    Gated: keep both-valued, the NULL-source row present, means vary.
+
+    'temperature' (late r7) — mT5-style temperature-scaled mixture
+    sampling (temperature_mix, quotas ∝ size**0.3) over PLANTED skewed
+    strata (doc_id%16 → mega 10/16, mid 4/16, small+tiny 1/16 each;
+    %101==5 → NULL stratum) — documents' natural sources are
+    near-uniform, so alpha would not bind on them. Certified: the
+    exact per-stratum prefix member sets under the pinned quota rule.
+    Gated: null-stratum plants dropped, some stratum truncated, and
+    the small stratum's kept share EXCEEDS its raw share (alpha<1
+    upweighting actually bound)."""
     from schema_drift_detector_spark.operators.reputation import source_reputation
     from schema_drift_detector_spark.operators.sampling import (
         cap_per_group,
         take_token_budget,
+        temperature_mix,
     )
     from schema_drift_detector_spark.functions.text import token_count
 
@@ -814,7 +825,22 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_rank",
         "keep",
     )
-    out = capped.unionByName(budgeted).unionByName(rep).localCheckpoint(eager=True)
+    strata = docs.select("doc_id", _strat_col().alias("stratum"))
+    n_strat = strata.filter(F.col("stratum").isNotNull()).count()
+    mixed = temperature_mix(
+        strata, "stratum", "doc_id", n_strat // 4, alpha=0.3
+    ).select(
+        F.lit("temperature").alias("face"),
+        "doc_id",
+        F.col("stratum").alias("source"),
+        *_rep_pad(),
+    )
+    out = (
+        capped.unionByName(budgeted)
+        .unionByName(rep)
+        .unionByName(mixed)
+        .localCheckpoint(eager=True)
+    )
     n_docs = docs.count()
     n_budget = out.filter(F.col("face") == "token_budget").count()
     if not (0 < n_budget < n_docs):
@@ -832,7 +858,74 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"vacuous reputation certification: verdicts/evidence degenerate ({rst})"
         )
+    n_null_plant = docs.filter(F.col("doc_id") % 101 == 5).count()
+    tf = out.filter(F.col("face") == "temperature")
+    if n_null_plant == 0 or tf.filter(F.col("doc_id") % 101 == 5).count() != 0:
+        raise RuntimeError(
+            "vacuous temperature certification: no NULL-stratum plants in the "
+            "input, or a planted row leaked into the mixture"
+        )
+    sizes = {
+        r["stratum"]: r["n"]
+        for r in strata.filter(F.col("stratum").isNotNull())
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = {
+        r["source"]: r["n"]
+        for r in tf.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not any(kept.get(s, 0) < n for s, n in sizes.items()):
+        raise RuntimeError(
+            f"vacuous temperature certification: no stratum truncated {kept=} {sizes=}"
+        )
+    tk, ts = sum(kept.values()), sum(sizes.values())
+    if not kept.get("small", 0) / tk > sizes["small"] / ts:
+        raise RuntimeError(
+            "vacuous temperature certification: alpha<1 upweighting did not "
+            f"bind (small kept share {kept.get('small', 0) / tk:.4f} <= raw "
+            f"share {sizes['small'] / ts:.4f})"
+        )
     return out
+
+
+# the planted-strata rule shared by the entry's Spark plan, the bare
+# bench helper, and (as _STRAT_CASE) the DuckDB oracle: doc_id%16
+# carves skewed mega/mid/small/tiny strata, doc_id%101==5 plants the
+# NULL (unattributable) stratum on top
+def _strat_col() -> Column:
+    return (
+        F.when(F.col("doc_id") % 101 == 5, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 16 < 10, F.lit("mega"))
+        .when(F.col("doc_id") % 16 < 14, F.lit("mid"))
+        .when(F.col("doc_id") % 16 == 14, F.lit("small"))
+        .otherwise(F.lit("tiny"))
+    )
+
+
+_STRAT_CASE = (
+    "CASE WHEN doc_id % 101 = 5 THEN NULL "
+    "WHEN doc_id % 16 < 10 THEN 'mega' "
+    "WHEN doc_id % 16 < 14 THEN 'mid' "
+    "WHEN doc_id % 16 = 14 THEN 'small' "
+    "ELSE 'tiny' END"
+)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: the bare 'temperature' face plan (stratum plant →
+    size count → integer-pinned pow quotas → broadcast → hash-prefix
+    pick), without the merged source_quota entry's other faces, gates,
+    or checkpoint. The size count() is part of the operator's real
+    cost and is priced here."""
+    from schema_drift_detector_spark.operators.sampling import temperature_mix
+
+    strata = _t(spark, sf_dir, "documents").select(
+        "doc_id", _strat_col().alias("stratum")
+    )
+    n = strata.filter(F.col("stratum").isNotNull()).count()
+    return temperature_mix(strata, "stratum", "doc_id", n // 4, alpha=0.3)
 
 
 # pads for the 'reputation' face's four columns on the doc-level faces
@@ -898,6 +991,39 @@ FROM (
     GROUP BY pd.source
   )
 )
+UNION ALL
+-- 'temperature': temperature_mix's verbatim replay — per-stratum sizes
+-- over the planted strata, integer micro-weights round(pow(n,0.3)*1e6)
+-- (the ONLY transcendental, pinned to BIGINT immediately), quota =
+-- greatest(1, floor(total * w/sumw)) with total = floor(n_strat/4),
+-- then each stratum's deterministic (hash, doc_id)-prefix. NULL-stratum
+-- plants never join (CASE yields NULL; inner join drops them).
+SELECT 'temperature' AS face, s.doc_id, s.stratum AS source, {_REP_PAD}
+FROM (
+  SELECT doc_id, stratum,
+         row_number() OVER (
+           PARTITION BY stratum
+           ORDER BY {hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':mix')} ASC,
+                    doc_id ASC) AS rn
+  FROM (SELECT doc_id, {_STRAT_CASE} AS stratum FROM documents)
+  WHERE stratum IS NOT NULL
+) s
+JOIN (
+  SELECT stratum,
+         greatest(1, CAST(floor(
+           CAST(floor(CAST(sum(n) OVER () AS DOUBLE) / 4) AS BIGINT)
+           * (CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE))
+         ) AS BIGINT)) AS quota
+  FROM (
+    SELECT stratum, n,
+           CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 1e6, 0) AS BIGINT) AS w
+    FROM (
+      SELECT {_STRAT_CASE} AS stratum, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ) WHERE stratum IS NOT NULL
+  )
+) q ON s.stratum = q.stratum
+WHERE s.rn <= q.quota
 """
 
 

@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     # new series — the existing ann_topk/ivf rows continue unbroken
     "ann_topk_sq8",
     "ann_topk_pq",
+    # late-r7 NEW row: mT5-style temperature-scaled mixture sampling
+    # (the bare 'temperature' face of the source_quota board entry);
+    # new series from r7
+    "temperature_mix",
 ]
 
 

@@ -306,3 +306,112 @@ def cap_per_group(
         .filter(F.col(key).isNull() | (F.col("__rn") <= max_rows))
         .drop("__rn", "__spread")
     )
+
+
+def temperature_quotas(
+    sizes: DataFrame,
+    strata_col: str,
+    size_col: str,
+    total_rows: int,
+    alpha: float = 0.3,
+    min_quota: int = 1,
+) -> DataFrame:
+    """Per-stratum quotas under TEMPERATURE-scaled mixture weights —
+    the multilingual-corpus mixing rule (mT5/XLM-R style): stratum i
+    gets a share proportional to ``n_i ** alpha``, so alpha=1 is
+    proportional sampling (big strata dominate), alpha→0 is uniform
+    (every stratum equal), and the usual 0.2–0.5 range UPWEIGHTS small
+    strata relative to their raw share without drowning large ones.
+
+    Cross-engine float discipline: the ONLY transcendental is
+    ``pow(n, alpha)``, immediately pinned to an integer micro-weight
+    ``round(pow(n, alpha) * 1e6)`` (a JVM-vs-libm 1-ulp pow divergence
+    would need to land within ~1e-8 of a rounding boundary to matter);
+    the weight SUM is integer (exact, order-free — a double sum would
+    be summation-order-dependent across engines), and the final
+    ``floor(total · w/Σw)`` is IEEE-exact on identical inputs. DuckDB
+    replays the rule verbatim (see the source_quota oracle).
+
+    Returns (strata_col, size_col, __quota). quota = max(min_quota,
+    floor(total_rows · share)) — NOT capped at the stratum size: an
+    under-supplied stratum simply contributes everything it has (the
+    caller sees quota > size and can rebalance).
+
+    Scale shape: ``sizes`` is stratum-cardinality (tiny) — this is
+    driver-free arithmetic on a frame meant to be broadcast."""
+    if total_rows < 1:
+        raise ValueError(f"total_rows must be >= 1, got {total_rows}")
+    if alpha <= 0 or alpha > 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if min_quota < 0:
+        raise ValueError(f"min_quota must be >= 0, got {min_quota}")
+    w = F.round(
+        F.pow(F.col(size_col).cast("double"), F.lit(float(alpha))) * 1e6, 0
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    sumw = F.sum("__w").over(Window.partitionBy())
+    return (
+        sizes.withColumn("__w", w)
+        .withColumn(
+            "__quota",
+            F.greatest(
+                F.lit(min_quota).cast("bigint"),
+                F.floor(
+                    F.lit(int(total_rows))
+                    * (F.col("__w").cast("double") / sumw.cast("double"))
+                ),
+            ),
+        )
+        .drop("__w")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    total_rows: int,
+    alpha: float = 0.3,
+    salt: str = ":mix",
+    min_quota: int = 1,
+    keep_null_keys: bool = True,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: draw ~``total_rows`` rows
+    with per-stratum quotas ∝ size**alpha (temperature_quotas), each
+    stratum contributing its deterministic (hash_bucket(key, salt),
+    key)-prefix — the whole mixture is reproducible bit-for-bit across
+    runs, engines, and cluster sizes, like everything in this module.
+
+    NULL-STRATUM rows are DROPPED (they cannot be attributed to a
+    mixture component — mirror of source_reputation's ineligibility
+    contract); NULL-KEY rows within a stratum pass through exempt by
+    default (cap_per_group's contract; ``keep_null_keys=False`` drops
+    them). Stratum sizes count every non-null-stratum row, null keys
+    included — the weight reflects the stratum's true mass even though
+    exempt rows don't consume quota slots.
+
+    Scale shape: one partial-agg count shuffle (stratum cardinality),
+    quotas BROADCAST back, ONE window shuffle on the stratum for the
+    prefix rank — identical to cap_per_group's shape; AQE splits
+    oversized strata's sort. At extreme scale swap the exact prefix
+    for rate sampling (sample_by_hash at quota/size), as cap_per_group
+    documents."""
+    from pyspark.sql import Window
+
+    dfs = df.filter(F.col(strata_col).isNotNull())
+    sizes = dfs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    quotas = temperature_quotas(
+        sizes, strata_col, "__n", total_rows, alpha=alpha, min_quota=min_quota
+    ).drop("__n")
+    if not keep_null_keys:
+        dfs = dfs.filter(F.col(key).isNotNull())
+    w = Window.partitionBy(strata_col, F.col(key).isNull()).orderBy(
+        hash_bucket(key, salt=salt).asc(), F.col(key).asc()
+    )
+    return (
+        dfs.join(F.broadcast(quotas), strata_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col(key).isNull() | (F.col("__rn") <= F.col("__quota")))
+        .drop("__rn", "__quota")
+    )

@@ -399,3 +399,93 @@ def test_exact_duplicates_best_survivor_rules(spark):
     sdf = spark.createDataFrame([("x", "a", 1.0)], "id string, content string, p double")
     with pytest.raises(ValueError, match="numeric id"):
         exact_duplicates_best(sdf, "id", "content", F.col("p"))
+
+def _py_temperature_quotas(sizes: dict, total: int, alpha: float, min_quota: int = 1):
+    """Pure-python reference of the temperature quota rule."""
+    w = {s: round(n**alpha * 1e6) for s, n in sizes.items()}
+    sumw = sum(w.values())
+    import math
+
+    return {
+        s: max(min_quota, math.floor(total * (wi / sumw))) for s, wi in w.items()
+    }
+
+
+def test_temperature_quotas_rule_and_duckdb_parity(spark):
+    """temperature_quotas matches the pure-python rule AND DuckDB's
+    verbatim replay over a size sweep (pow is the only transcendental;
+    the integer micro-weight pin must hold on all three engines)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.sampling import temperature_quotas
+
+    sizes = {f"s{i}": n for i, n in enumerate([1, 2, 7, 125, 500, 1250, 99999, 10**9])}
+    df = spark.createDataFrame(list(sizes.items()), "strat string, n long")
+    got = {
+        r.strat: r["__quota"]
+        for r in temperature_quotas(df, "strat", "n", 400, alpha=0.3).collect()
+    }
+    assert got == _py_temperature_quotas(sizes, 400, 0.3)
+
+    rows = duckdb.sql(
+        f"""
+        WITH s(strat, n) AS (VALUES {", ".join(f"('{s}', {n})" for s, n in sizes.items())}),
+        w AS (SELECT strat, CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 1e6, 0) AS BIGINT) AS w FROM s)
+        SELECT strat, greatest(1, CAST(floor(400 * (CAST(w AS DOUBLE) /
+               CAST(sum(w) OVER () AS DOUBLE))) AS BIGINT)) AS q FROM w
+        """
+    ).fetchall()
+    assert {s: q for s, q in rows} == got
+
+    # alpha=1 is proportional; alpha<1 upweights small strata
+    prop = {
+        r.strat: r["__quota"]
+        for r in temperature_quotas(df, "strat", "n", 400, alpha=1.0).collect()
+    }
+    n_total = sum(sizes.values())
+    assert prop["s7"] == int(400 * sizes["s7"] / n_total)  # big stratum ~proportional
+    assert got["s0"] >= prop["s0"] and got["s7"] < prop["s7"]
+
+
+def test_temperature_mix_contracts(spark):
+    """temperature_mix: deterministic member set at any parallelism,
+    null-stratum rows dropped, null-key rows exempt, small strata
+    upweighted vs their proportional share."""
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.sampling import temperature_mix
+
+    # skewed strata: 1250 / 500 / 125 / 125 over 2000 rows
+    df = spark.range(2_000).select(
+        F.format_string("doc-%05d", F.col("id")).alias("k"),
+        F.when(F.col("id") % 16 < 10, "mega")
+        .when(F.col("id") % 16 < 14, "mid")
+        .when(F.col("id") % 16 == 14, "small")
+        .otherwise("tiny")
+        .alias("g"),
+    )
+    out = temperature_mix(df, "g", "k", 400, alpha=0.3)
+    kept = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    # quotas from the pure rule over the planted sizes
+    exp = _py_temperature_quotas({"mega": 1250, "mid": 500, "small": 125, "tiny": 125}, 400, 0.3)
+    assert kept == {g: min(q, {"mega": 1250, "mid": 500, "small": 125, "tiny": 125}[g]) for g, q in exp.items()}
+    # upweighting binds: small stratum's kept share > its raw share
+    total_kept = sum(kept.values())
+    assert kept["small"] / total_kept > 125 / 2000
+
+    a = {(r.g, r.k) for r in out.collect()}
+    b = {(r.g, r.k) for r in temperature_mix(df.repartition(17), "g", "k", 400, alpha=0.3).collect()}
+    assert a == b
+
+    # null stratum dropped; null key exempt (passes without a slot)
+    aug = df.unionByName(
+        spark.createDataFrame(
+            [("x1", None), (None, "mega")], "k string, g string"
+        )
+    )
+    out2 = temperature_mix(aug, "g", "k", 400, alpha=0.3)
+    assert out2.filter(F.col("g").isNull()).count() == 0
+    assert out2.filter(F.col("k").isNull()).count() == 1
+    kept2 = {r.g: r["count"] for r in out2.filter(F.col("k").isNotNull()).groupBy("g").count().collect()}
+    assert kept2 == kept  # the exempt null-key row consumed no slot
