@@ -503,7 +503,22 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram/bigram counts, all three stupid-backoff branches, the
     rounded mean, and the (score, doc_id) ntile. Gated: planted NULLs
     present, all 3 tiers hit, BOTH the seen-bigram and the backoff
-    branches taken, scores vary."""
+    branches taken, scores vary.
+
+    'nb' (late r7) — supervised multinomial Naive Bayes over hashed
+    token buckets (nb_classify — the deterministic stand-in for the
+    fastText-style model-based quality/domain filters real corpus
+    pipelines run): a 3-class marker fixture is PLANTED (documents'
+    synthetic text carries no natural token-label signal), the model
+    is trained in one pass on the 30% ':nbT' hash subset, and every
+    doc gets rounded per-class log-posterior scores, the name-ordered
+    argmax prediction, and the winner-runner-up margin. The oracle
+    replays tokenization, bucket hashing, smoothed per-class
+    conditionals, priors, the rounded sums, argmax, and margin. Gated:
+    planted NULL texts predict NULL (and only them), all 3 classes
+    predicted, >= 95% accuracy on marker-carrying docs, at least one
+    unmarked doc misclassified (the noise floor is real), margins
+    vary."""
     from schema_drift_detector_spark.functions.text import quality_score
     from schema_drift_detector_spark.operators.importance import (
         dsir_scores,
@@ -529,6 +544,7 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("double").alias("dsir_score"),
         F.lit(None).cast("boolean").alias("selected"),
+        *_nb_null_pad(),
         *_ppl_null_pad(),
     ).localCheckpoint(eager=True)
     kept = carve.filter(F.col("q_keep")).limit(1).count()
@@ -557,6 +573,7 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "dsir_score",
         "selected",
+        *_nb_null_pad(),
         *_ppl_null_pad(),
     ).localCheckpoint(eager=True)
     st = dsir.agg(
@@ -580,6 +597,7 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("double").alias("dsir_score"),
         F.lit(None).cast("boolean").alias("selected"),
+        *_nb_null_pad(),
         "avg_nll",
         "n_scored",
         "n_backoff",
@@ -604,7 +622,56 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"vacuous LM-perplexity certification: a branch or tier never fired ({pst})"
         )
-    return carve.unionByName(dsir).unionByName(ppl)
+
+    nb = _nb_face_frame(docs).select(
+        F.lit("nb").alias("face"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("split"),
+        F.lit(None).cast("boolean").alias("q_keep"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("double").alias("dsir_score"),
+        F.lit(None).cast("boolean").alias("selected"),
+        "nb_label",
+        "nb_pred",
+        "nb_score",
+        "nb_margin",
+        *_ppl_null_pad(),
+    ).localCheckpoint(eager=True)
+    marked = nb.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 97 != 3))
+    nst = nb.agg(
+        F.count(F.when(F.col("nb_pred").isNull(), 1)).alias("n_null"),
+        F.count(F.when((F.col("doc_id") % 97 == 3) & F.col("nb_pred").isNotNull(), 1)).alias("bad_null"),
+        F.count_distinct("nb_pred").alias("n_classes"),
+        F.count(
+            F.when(
+                (F.col("doc_id") % 7 == 0)
+                & F.col("nb_pred").isNotNull()
+                & (F.col("nb_pred") != F.col("nb_label")),
+                1,
+            )
+        ).alias("n_err"),
+        F.min("nb_margin").alias("mlo"),
+        F.max("nb_margin").alias("mhi"),
+    ).first()
+    mst = marked.agg(
+        F.avg((F.col("nb_pred") == F.col("nb_label")).cast("double")).alias("acc")
+    ).first()
+    if not (
+        nst.n_null > 0
+        and nst.bad_null == 0
+        and nst.n_classes == 3
+        and nst.n_err > 0
+        and nst.mlo is not None
+        and nst.mlo < nst.mhi
+        and mst.acc is not None
+        and mst.acc >= 0.95
+    ):
+        raise RuntimeError(
+            f"vacuous NB-classifier certification: a contract never bound "
+            f"({nst}, marked acc={mst.acc})"
+        )
+    return carve.unionByName(dsir).unionByName(ppl).unionByName(nb)
 
 
 # the 'ppl' face's four columns, null-typed for the other two faces
@@ -648,6 +715,81 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ppl_face_frame(_t(spark, sf_dir, "documents")).select(
         "doc_id", "avg_nll", "n_scored", "n_backoff", "ppl_tier"
     )
+
+
+# the 'nb' face's four columns, null-typed for the other faces
+def _nb_null_pad() -> tuple:
+    return (
+        F.lit(None).cast("string").alias("nb_label"),
+        F.lit(None).cast("string").alias("nb_pred"),
+        F.lit(None).cast("double").alias("nb_score"),
+        F.lit(None).cast("double").alias("nb_margin"),
+    )
+
+
+# the 'nb' face's planted class-conditional fixture, shared between the
+# Spark plan and (as _NB_MARKER_CASE / _NB_LABEL_CASE) the DuckDB
+# oracle: documents' synthetic text carries NO natural token-label
+# signal (token rates are uniform across lang/source — verified), so
+# the supervised task plants one. Truth label from doc_id % 10; a
+# 3-token class marker is appended ONLY when doc_id % 7 != 0, leaving
+# ~14% of docs unmarked (classified off the uninformative base tokens —
+# the noise floor that makes the error-exists gate non-vacuous); text
+# NULLed on doc_id % 97 == 3 (documents has no natural NULLs).
+_NB_CLASSES = ["ads", "forum", "wiki"]
+_NB_LABEL_CASE = (
+    "CASE WHEN doc_id % 10 < 3 THEN 'ads' "
+    "WHEN doc_id % 10 < 6 THEN 'wiki' ELSE 'forum' END"
+)
+_NB_MARKER_CASE = (
+    "CASE WHEN doc_id % 10 < 3 THEN ' buynow offer cheap' "
+    "WHEN doc_id % 10 < 6 THEN ' citation infobox notable' "
+    "ELSE ' reply thread upvote' END"
+)
+
+
+def _nb_face_frame(docs: DataFrame) -> DataFrame:
+    """The 'nb' face's bare plan (shared with the bench row): plant the
+    class fixture, train multinomial NB on the 30% ':nbT' hash subset,
+    score + predict every doc. Output: (doc_id, nb_label, nb_pred,
+    nb_score, nb_margin)."""
+    from schema_drift_detector_spark.operators.classify import nb_classify
+    from schema_drift_detector_spark.operators.sampling import hash_bucket
+
+    marker = (
+        F.when(F.col("doc_id") % 10 < 3, F.lit(" buynow offer cheap"))
+        .when(F.col("doc_id") % 10 < 6, F.lit(" citation infobox notable"))
+        .otherwise(F.lit(" reply thread upvote"))
+    )
+    label = (
+        F.when(F.col("doc_id") % 10 < 3, F.lit("ads"))
+        .when(F.col("doc_id") % 10 < 6, F.lit("wiki"))
+        .otherwise(F.lit("forum"))
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 7 != 0, marker).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+        label.alias("nb_label"),
+    )
+    train = planted.filter(hash_bucket("doc_id", salt=":nbT") < 300_000)
+    return nb_classify(
+        planted, train, label_col="nb_label", classes=_NB_CLASSES, n_buckets=4096
+    ).select("doc_id", "nb_label", "nb_pred", "nb_score", "nb_margin")
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row: the bare 'nb' face plan (one-pass NB train over the
+    30% seed + broadcast-model scoring + codegen argmax), without the
+    merged entry's other faces, gates, or checkpoints. The tiny
+    class-list/priors collects are part of the operator's real cost."""
+    return _nb_face_frame(_t(spark, sf_dir, "documents"))
 
 
 # three INDEPENDENT salted buckets: bs (unsalted) gates the sample, bsp
@@ -733,17 +875,44 @@ WITH pl AS (
 ), {lm_ppl_sql_ctes('lm', 'pl')}
 SELECT doc_id, avg_nll, n_scored, n_backoff, ppl_tier FROM lmtier
 """
+    # supervised-NB replay from the SHARED CTE builder (nb_sql_ctes):
+    # the planted fixture (_NB_LABEL_CASE / _NB_MARKER_CASE mirror the
+    # entry's Column expressions), the ':nbT' 30% train hash, 4096
+    # ':nb'-salted buckets, add-0.5 smoothing, rounded per-class sums,
+    # name-ordered argmax, and the winner-runner-up margin
+    from schema_drift_detector_spark.operators.classify import nb_sql_ctes
+
+    nb_train_pred = (
+        f"{hash_bucket_sql('CAST(doc_id AS VARCHAR)', salt=':nbT')} < 300000"
+    )
+    nb = f"""
+WITH nbsrc AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 3 THEN NULL
+              ELSE text || CASE WHEN doc_id % 7 <> 0 THEN {_NB_MARKER_CASE}
+                                ELSE '' END
+         END AS text,
+         {_NB_LABEL_CASE} AS label
+  FROM documents
+), {nb_sql_ctes('nb', 'nbsrc', _NB_CLASSES, nb_train_pred)}
+SELECT o.doc_id, s.label AS nb_label, o.nb_pred, o.nb_score, o.nb_margin
+FROM nbout o JOIN nbsrc s USING (doc_id)
+"""
+    _NB_PAD = (
+        "CAST(NULL AS VARCHAR) AS nb_label, CAST(NULL AS VARCHAR) AS nb_pred, "
+        "CAST(NULL AS DOUBLE) AS nb_score, CAST(NULL AS DOUBLE) AS nb_margin"
+    )
     return f"""
 SELECT 'carve' AS face, doc_id, lang, split, q_keep,
        CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS dsir_score,
-       CAST(NULL AS BOOLEAN) AS selected,
+       CAST(NULL AS BOOLEAN) AS selected, {_NB_PAD},
        CAST(NULL AS DOUBLE) AS avg_nll, CAST(NULL AS BIGINT) AS n_scored,
        CAST(NULL AS BIGINT) AS n_backoff, CAST(NULL AS VARCHAR) AS ppl_tier
 FROM ({carve})
 UNION ALL
 SELECT 'dsir' AS face, doc_id, CAST(NULL AS VARCHAR) AS lang,
        CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BOOLEAN) AS q_keep,
-       source, dsir_score, selected,
+       source, dsir_score, selected, {_NB_PAD},
        CAST(NULL AS DOUBLE) AS avg_nll, CAST(NULL AS BIGINT) AS n_scored,
        CAST(NULL AS BIGINT) AS n_backoff, CAST(NULL AS VARCHAR) AS ppl_tier
 FROM ({dsir})
@@ -751,9 +920,18 @@ UNION ALL
 SELECT 'ppl' AS face, doc_id, CAST(NULL AS VARCHAR) AS lang,
        CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BOOLEAN) AS q_keep,
        CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS dsir_score,
-       CAST(NULL AS BOOLEAN) AS selected,
+       CAST(NULL AS BOOLEAN) AS selected, {_NB_PAD},
        avg_nll, n_scored, n_backoff, ppl_tier
 FROM ({ppl})
+UNION ALL
+SELECT 'nb' AS face, doc_id, CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS VARCHAR) AS split, CAST(NULL AS BOOLEAN) AS q_keep,
+       CAST(NULL AS VARCHAR) AS source, CAST(NULL AS DOUBLE) AS dsir_score,
+       CAST(NULL AS BOOLEAN) AS selected,
+       nb_label, nb_pred, nb_score, nb_margin,
+       CAST(NULL AS DOUBLE) AS avg_nll, CAST(NULL AS BIGINT) AS n_scored,
+       CAST(NULL AS BIGINT) AS n_backoff, CAST(NULL AS VARCHAR) AS ppl_tier
+FROM ({nb})
 """
 
 

@@ -123,6 +123,11 @@ BENCH_QUERIES = [
     # (the bare 'temperature' face of the source_quota board entry);
     # new series from r7
     "temperature_mix",
+    # late-r7 NEW row: supervised Naive Bayes quality/domain classifier
+    # (the bare 'nb' face of the stratified_split board entry — the
+    # fastText-style model-based filter stand-in: one-pass train +
+    # broadcast-model scoring + codegen argmax); new series from r7
+    "nb_classify",
 ]
 
 
