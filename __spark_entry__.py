@@ -2327,7 +2327,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-key-only salting on events⋈per_user with the measured heavy-
     hitter set; 'hitters' = the hot-key DETECTION itself — frequent-
     items sketch + broadcast exact recount, the operator that feeds
-    the 'hot' face's salting decision). Merged in r7 under the 50-row
+    the 'hot' face's salting decision; 'cms' (late r7) = a count-min
+    sketch over the same key stream — per-user estimates vs exact
+    counts, hash-certified with a deliberately tight 2x32 sketch so
+    the est >= true invariant AND real collision overcounts are both
+    pinned; gated: zero undercounts, >= 1 overcount, >= 1 exact).
+    Merged in r7 under the 50-row
     driver attestation cap to make room for `bm25_topk` (uniform+hot)
     and `zorder_layout` (hitters); merge recipe: tag + null-pad +
     union; series-breaks annotated in BENCH/BASELINE.md r7 notes — the
@@ -2377,8 +2382,39 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("first_event_id"),
         "n_occurrences",
         "share",
+        F.lit(None).cast("bigint").alias("cms_est"),
     )
-    return uni.unionByName(hot).unionByName(hitters)
+    uni = uni.withColumn("cms_est", F.lit(None).cast("bigint"))
+    hot = hot.withColumn("cms_est", F.lit(None).cast("bigint"))
+
+    cms = q_cms_sketch(spark, sf_dir).select(
+        F.lit("cms").alias("face"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        F.lit(None).cast("bigint").alias("first_event_id"),
+        F.lit(None).cast("bigint").alias("n_occurrences"),
+        F.lit(None).cast("double").alias("share"),
+        "cms_est",
+    ).localCheckpoint(eager=True)
+    cst = cms.agg(
+        F.count(F.when(F.col("cms_est") < F.col("n_events"), 1)).alias("n_under"),
+        F.count(F.when(F.col("cms_est") > F.col("n_events"), 1)).alias("n_over"),
+        F.count(F.when(F.col("cms_est") == F.col("n_events"), 1)).alias("n_exact"),
+    ).first()
+    if not (cst.n_under == 0 and cst.n_over > 0 and cst.n_exact > 0):
+        raise RuntimeError(
+            f"vacuous CMS certification: undercount (impossible unless the "
+            f"sketch is broken), or no collision overcount, or no exact "
+            f"estimate at this SF ({cst})"
+        )
+    return uni.unionByName(hot).unionByName(hitters).unionByName(cms)
 
 
 # bench face helpers: bare per-face plans (the hot face eagerly
@@ -2392,22 +2428,64 @@ def q_salted_join__hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_heavy_hitter_users(spark, sf_dir)
 
 
+# CMS parameters for the 'cms' face: chosen so BOTH gate branches bind
+# deterministically at the fixture SFs (sf0.001: 15 users -> 14 exact /
+# 1 collision overcount; sf0.01: 150 users -> 2 exact / 148 over —
+# simulated over the real key sets before pinning)
+_CMS_DEPTH, _CMS_WIDTH = 2, 32
+
+
+def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench row + the 'cms' face's bare plan: count-min sketch over
+    event user_ids (depth 2 x width 32 — deliberately tight so
+    collisions are real), estimates for every distinct user joined
+    against the exact counts. Output: (user_id, n_events, cms_est) —
+    the est >= true invariant and the collision overcounts are both
+    hash-certified; the sketch state is depth*width counters no matter
+    how many distinct users exist (the scale story exact counting
+    cannot offer)."""
+    from schema_drift_detector_spark.functions.cms import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sk = cms_build(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    true = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return cms_estimate(true, sk, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
 def _oracle_salted_join_merged() -> str:
+    from schema_drift_detector_spark.functions.cms import cms_sql_ctes
+
+    cms = f"""
+WITH {cms_sql_ctes("c_", "events", "user_id", _CMS_DEPTH, _CMS_WIDTH)},
+c_true AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+SELECT t.user_id, t.n_events, e.cms_est
+FROM c_true t JOIN c_est e ON e.key = t.user_id
+"""
     return f"""
 SELECT 'uniform' AS face, o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey,
        CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS user_id,
        CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS BIGINT) AS n_events,
        CAST(NULL AS BIGINT) AS first_event_id,
-       CAST(NULL AS BIGINT) AS n_occurrences, CAST(NULL AS DOUBLE) AS share
+       CAST(NULL AS BIGINT) AS n_occurrences, CAST(NULL AS DOUBLE) AS share,
+       CAST(NULL AS BIGINT) AS cms_est
 FROM ({ORACLE_SALTED_JOIN_ORDERS})
 UNION ALL
 SELECT 'hot', NULL, NULL, NULL, NULL, NULL,
-       event_id, user_id, event_type, n_events, first_event_id, NULL, NULL
+       event_id, user_id, event_type, n_events, first_event_id, NULL, NULL, NULL
 FROM ({ORACLE_SALTED_JOIN_HOT_EVENTS})
 UNION ALL
 SELECT 'hitters', NULL, NULL, NULL, NULL, NULL,
-       NULL, user_id, NULL, NULL, NULL, n_occurrences, share
+       NULL, user_id, NULL, NULL, NULL, n_occurrences, share, NULL
 FROM ({ORACLE_HEAVY_HITTER_USERS})
+UNION ALL
+SELECT 'cms', NULL, NULL, NULL, NULL, NULL,
+       NULL, user_id, NULL, n_events, NULL, NULL, NULL, cms_est
+FROM ({cms})
 """
 
 

@@ -128,6 +128,10 @@ BENCH_QUERIES = [
     # fastText-style model-based filter stand-in: one-pass train +
     # broadcast-model scoring + codegen argmax); new series from r7
     "nb_classify",
+    # late-r7 NEW row: count-min sketch build + estimate vs exact
+    # counts (the bare 'cms' face of the salted_join board entry);
+    # new series from r7
+    "cms_sketch",
 ]
 
 
