@@ -6151,10 +6151,20 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, not the engine's whitespace split. Gated non-vacuous: the
     chargram tokenization must produce MORE chunks than the whitespace
     one (4-char pieces outnumber words), so the face can't silently
-    collapse into the default path."""
+    collapse into the default path.
+
+    'bpe' (late r7) — the same windows over GPT-2-style regex
+    pre-tokenization (bpe_ish_tokens: contractions, Unicode letter
+    runs, digit TRIPLES, punctuation runs — the Java∩RE2 pattern,
+    parity-pinned in tests) over text planted with BPE-relevant
+    suffixes on doc_id % 11 == 0 (the corpus is pure lowercase words,
+    on which BPE and whitespace tokenization provably coincide — the
+    gate pins exactly that on unplanted docs, and that planted docs
+    out-token the ws face)."""
     ws = q_chunk_documents__ws(spark, sf_dir)
     cg = q_chunk_documents__chargram(spark, sf_dir)
-    out = ws.unionByName(cg).localCheckpoint(eager=True)
+    bpe = q_chunk_documents__bpe(spark, sf_dir)
+    out = ws.unionByName(cg).unionByName(bpe).localCheckpoint(eager=True)
     counts = {
         r["face"]: (r["n"], r["mx"])
         for r in out.groupBy("face")
@@ -6180,6 +6190,37 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "vacuous tokenizer seam: chargram face must out-chunk the "
             f"whitespace face, got {n_cg} <= {n_ws}"
+        )
+    # 'bpe' contracts: on the pure-word corpus the BPE regex and the
+    # space split coincide doc-for-doc (same chunk counts); on the
+    # planted docs the BPE face must out-chunk or out-token the ws face
+    per_doc = (
+        out.filter(F.col("face").isin("ws", "bpe"))
+        .groupBy("doc_id", "face")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chunk_tokens").alias("nt"))
+        .groupBy("doc_id")
+        .pivot("face", ["ws", "bpe"])
+        .agg(F.first("n").alias("n"), F.first("nt").alias("nt"))
+    )
+    bst = per_doc.agg(
+        F.count(
+            F.when(
+                (F.col("doc_id") % 11 != 0)
+                & (F.col("ws_n") != F.col("bpe_n")),
+                1,
+            )
+        ).alias("diverged_unplanted"),
+        F.count(
+            F.when(
+                (F.col("doc_id") % 11 == 0) & (F.col("bpe_nt") > F.col("ws_nt")),
+                1,
+            )
+        ).alias("plant_bound"),
+    ).first()
+    if not (bst.diverged_unplanted == 0 and bst.plant_bound > 0):
+        raise RuntimeError(
+            f"vacuous BPE tokenizer face: unplanted docs must chunk "
+            f"identically to ws and planted docs must out-token it ({bst})"
         )
     return out
 
@@ -6230,6 +6271,44 @@ def q_chunk_documents__chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the 'bpe' face's plant: the synthetic corpus is pure lowercase words
+# (whitespace and BPE-regex tokenization coincide on it — verified), so
+# docs on doc_id % 11 == 0 get a suffix whose contractions, digits, and
+# punctuation the BPE pre-tokenizer splits finer than the space split.
+# Shared with the oracle as _BPE_PLANT_SQL.
+_BPE_PLANT = " it's v2.0 (beta-3) costs $1,234!"
+_BPE_PLANT_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN text || ' it''s v2.0 (beta-3) costs $1,234!' "
+    "ELSE text END"
+)
+
+
+def q_chunk_documents__bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'bpe' face PLAN of q_chunk_documents (see __ws): the same
+    windows over GPT-2-style regex pre-tokenization (bpe_ish_tokens —
+    contractions, digit triples, punctuation runs) via the tokens_col
+    seam, over text planted with BPE-relevant suffixes."""
+    from schema_drift_detector_spark.functions.text import bpe_ish_tokens
+    from schema_drift_detector_spark.operators.packing import chunk_documents
+
+    docs = _chunk_entry_docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat("text", F.lit(_BPE_PLANT))
+        ).otherwise(F.col("text")),
+    )
+    toks = docs.withColumn("toks", bpe_ish_tokens("text"))
+    return chunk_documents(
+        toks, chunk_tokens=24, stride=12, tokens_col="toks", joiner=" "
+    ).select(
+        F.lit("bpe").alias("face"),
+        "doc_id",
+        "chunk_index",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
 def _oracle_chunk_face(face: str, tok_expr: str, joiner_lit: str) -> str:
     # one face's full replay; array_to_string demands a CONSTANT
     # separator in DuckDB, so each face is a complete branch with its
@@ -6256,15 +6335,27 @@ FROM ks
 """
 
 
-ORACLE_CHUNK_DOCUMENTS = (
-    "SELECT * FROM (\n"
-    + _oracle_chunk_face("ws", "string_split(text, ' ')", "' '")
-    + "\n) UNION ALL SELECT * FROM (\n"
-    + _oracle_chunk_face(
-        "chargram", "regexp_extract_all(text, '(?s).{1,4}')", "''"
+def _oracle_chunk_documents() -> str:
+    from schema_drift_detector_spark.functions.text import bpe_ish_tokens_sql
+
+    return (
+        "SELECT * FROM (\n"
+        + _oracle_chunk_face("ws", "string_split(text, ' ')", "' '")
+        + "\n) UNION ALL SELECT * FROM (\n"
+        + _oracle_chunk_face(
+            "chargram", "regexp_extract_all(text, '(?s).{1,4}')", "''"
+        )
+        + "\n) UNION ALL SELECT * FROM (\n"
+        # 'bpe': GPT-2-style regex pre-tokenization (shared pattern via
+        # bpe_ish_tokens_sql) over the planted text — the plant CASE is
+        # applied inside the token expression, after the %97 NULLing
+        # (NULL || plant is NULL in both engines)
+        + _oracle_chunk_face("bpe", bpe_ish_tokens_sql(_BPE_PLANT_SQL), "' '")
+        + "\n)"
     )
-    + "\n)"
-)
+
+
+ORACLE_CHUNK_DOCUMENTS = _oracle_chunk_documents()
 
 
 def q_histogram_drift_merged(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -152,8 +152,9 @@ FACE_SPLITS: dict[str, list[str]] = {
     # row re-prices; profile/pivot sub-timings continue their series
     "profile_events": ["profile", "pivot", "json"],
     # r7: tokenizer-seam face merged into the entry — 'ws' continues the
-    # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
-    "chunk_documents": ["ws", "chargram"],
+    # ≤r6 single-face series; 'bpe' (GPT-2-style regex pre-tokenization)
+    # joined late-r7 (annotated in BENCH/BASELINE.md r7 notes)
+    "chunk_documents": ["ws", "chargram", "bpe"],
     # r7: intra-doc repetition strip merged in — 'cross' continues the
     # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "substring_dedup": ["cross", "intra"],

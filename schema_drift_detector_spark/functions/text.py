@@ -37,14 +37,35 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenization, restricted to the Java-regex ∩ RE2
+# dialect (the functions/pii.py discipline — no lookaround, both
+# engines are leftmost-first here): English contractions split off,
+# Unicode letter runs, digit runs chunked in THREES (the GPT-3.5+
+# number tokenization), punctuation/symbol runs, lone apostrophes.
+# Whitespace is a separator, not a token (real BPE keeps leading
+# spaces via a lookahead RE2 lacks — a certified engine trades that
+# for cross-engine bit-parity; token COUNTS, the quantity every
+# budget/chunk operator consumes, are unaffected by the space glue).
+BPE_REGEX_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}{1,3}|[^\p{L}\p{N}\s']+|'"
+
+
 def bpe_ish_tokens(text: Column | str) -> Column:
-    """A BPE-ish tokenizer: splits words from digits and punctuation
-    (regex classes), the usual pre-tokenization step of byte-pair
-    encoders."""
+    """BPE-ish pre-tokenization (BPE_REGEX_PATTERN): the token stream a
+    byte-pair encoder would merge — the engine's closest stand-in for
+    real BPE token budgeting in an offline sandbox. Whole-stage-codegen
+    regexp_extract_all (no interpreted higher-order functions);
+    replayed verbatim in DuckDB by ``bpe_ish_tokens_sql`` (pattern
+    parity pinned over adversarial fixtures in tests)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(
-        F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda t: t != ""
-    )
+    return F.regexp_extract_all(c, F.lit(BPE_REGEX_PATTERN), 0)
+
+
+def bpe_ish_tokens_sql(expr: str) -> str:
+    """The DuckDB replay of bpe_ish_tokens over a VARCHAR SQL
+    expression — lives beside the Column form so the pattern can never
+    fork between the engine and an oracle."""
+    quoted = BPE_REGEX_PATTERN.replace("'", "''")
+    return f"regexp_extract_all({expr}, '{quoted}')"
 
 
 def char_shingles(text: Column | str, n: int = 5) -> Column:

@@ -28,9 +28,38 @@ def test_token_count(spark):
 
 
 def test_bpe_ish_tokens(spark):
-    toks = _one(spark, "don't stop, 42k runs!", bpe_ish_tokens("t"))
-    assert toks == ["don", "'", "t", "stop", ",", " ", "42", "k", " ", "runs", "!"] or "don" in toks
-    assert "" not in toks
+    toks = _one(spark, "don't stop, 42,000 runs!", bpe_ish_tokens("t"))
+    # contractions split off, digit runs chunk in threes, punctuation
+    # runs separate, whitespace is never a token
+    assert toks == ["don", "'t", "stop", ",", "42", ",", "000", "runs", "!"]
+    assert _one(spark, "été 中文 x'y", bpe_ish_tokens("t")) == ["été", "中文", "x", "'", "y"]
+
+
+def test_bpe_ish_tokens_duckdb_parity(spark):
+    """The pattern must behave identically under Java regex and RE2 —
+    pinned over adversarial fixtures (contractions, Unicode classes,
+    digit chunking, apostrophe edge cases, separator runs)."""
+    import duckdb
+
+    from schema_drift_detector_spark.functions.text import bpe_ish_tokens_sql
+
+    samples = [
+        "it's John's 12345th try!!", "don't can't we'll I'm they've he'd",
+        "price: $1,234.56 (50%)", "emoji ❤️ mix été café 中文词",
+        "'''", "trailing'", "'leading", "x'y", "", "123456789",
+        "a-b--c---d", "tabs\tand\nnewlines", "under_score dash-case",
+        "  spaced   out  ",
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, s string"
+    )
+    got = {r.i: r.t for r in df.select("i", bpe_ish_tokens("s").alias("t")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        exp = con.sql(f"SELECT {bpe_ish_tokens_sql('?')}", params=[s]).fetchone()[0]
+        assert got[i] == exp, (s, got[i], exp)
 
 
 def test_char_shingles_short_text(spark):
