@@ -1789,6 +1789,62 @@ WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2
 
 
 def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus reporting, two faces:
+
+    'stats' — the token/char aggregate profile per lang (the ≤r7-early
+    single-face output, unchanged).
+
+    'distinctive' (late r7) — top-5 DISTINCTIVE terms per lang by
+    TF-IDF (distinctive_terms: tf = the lang's token occurrences,
+    df = corpus-wide docs containing the term, score = tf·ln((1+N)/
+    (1+df)) — stopwords self-suppress). The synthetic corpus shares
+    one vocabulary across langs (no natural distinctive term —
+    verified), so a marker token ' langmark_<lang>' is PLANTED on
+    doc_id % 5 == 0; the gate pins that every lang's rank-1 term is
+    exactly its own marker, i.e. distinctiveness actually bound."""
+    stats = q_token_stats_by_lang__stats(spark, sf_dir)
+    dist = q_token_stats_by_lang__distinctive(spark, sf_dir)
+    out = (
+        stats.withColumns(
+            {
+                "rank": F.lit(None).cast("int"),
+                "term": F.lit(None).cast("string"),
+                "tf": F.lit(None).cast("bigint"),
+                "df": F.lit(None).cast("bigint"),
+                "score": F.lit(None).cast("double"),
+            }
+        )
+        .unionByName(
+            dist.withColumns(
+                {
+                    "n_docs": F.lit(None).cast("bigint"),
+                    "n_tokens_total": F.lit(None).cast("bigint"),
+                    "avg_tokens": F.lit(None).cast("double"),
+                    "max_chars": F.lit(None).cast("bigint"),
+                }
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    top1 = {
+        r["lang"]: r["term"]
+        for r in out.filter(F.col("face") == "distinctive")
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    langs = [r[0] for r in out.filter(F.col("face") == "stats").select("lang").collect()]
+    bad = {g: t for g, t in top1.items() if t != f"langmark_{g}"}
+    if not langs or set(top1) != set(langs) or bad:
+        raise RuntimeError(
+            f"vacuous distinctive-terms certification: a lang's rank-1 term "
+            f"is not its planted marker ({bad=} {top1=} {langs=})"
+        )
+    return out
+
+
+def q_token_stats_by_lang__stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'stats' face PLAN (the ≤r7-early bench series continues
+    here)."""
     from schema_drift_detector_spark.functions.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
@@ -1801,16 +1857,60 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
             F.max("n_chars").alias("max_chars"),
         )
+        .select(F.lit("stats").alias("face"), "*")
     )
 
 
-ORACLE_TOKEN_STATS = """
-SELECT lang, count(*) AS n_docs,
+def q_token_stats_by_lang__distinctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'distinctive' face PLAN (see the entry docstring)."""
+    from schema_drift_detector_spark.operators.retrieval import distinctive_terms
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit(" langmark_"), "lang"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return distinctive_terms(docs, "lang", k=5).select(
+        F.lit("distinctive").alias("face"), "lang", "rank", "term", "tf", "df", "score"
+    )
+
+
+def _oracle_token_stats() -> str:
+    from schema_drift_detector_spark.operators.retrieval import (
+        distinctive_terms_sql_ctes,
+    )
+
+    dist = f"""
+WITH planted AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' langmark_' || lang
+              ELSE text END AS text
+  FROM documents
+), {distinctive_terms_sql_ctes("d_", "planted", "lang", k=5)}
+SELECT grp AS lang, rank, term, tf, df, score FROM d_top
+"""
+    return f"""
+SELECT 'stats' AS face, lang, count(*) AS n_docs,
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_total,
        round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 4) AS avg_tokens,
-       max(n_chars) AS max_chars
+       max(n_chars) AS max_chars,
+       CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS term,
+       CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df,
+       CAST(NULL AS DOUBLE) AS score
 FROM documents GROUP BY lang
+UNION ALL
+SELECT 'distinctive', lang, NULL, NULL, NULL, NULL,
+       CAST(rank AS INT), term, tf, df, score
+FROM ({dist})
 """
+
+
+ORACLE_TOKEN_STATS = _oracle_token_stats()
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

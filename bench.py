@@ -155,6 +155,10 @@ FACE_SPLITS: dict[str, list[str]] = {
     # ≤r6 single-face series; 'bpe' (GPT-2-style regex pre-tokenization)
     # joined late-r7 (annotated in BENCH/BASELINE.md r7 notes)
     "chunk_documents": ["ws", "chargram", "bpe"],
+    # late-r7: TF-IDF distinctive-terms face merged in — 'stats'
+    # continues the ≤r7-early single-face series (annotated in
+    # BENCH/BASELINE.md r7 notes)
+    "token_stats_by_lang": ["stats", "distinctive"],
     # r7: intra-doc repetition strip merged in — 'cross' continues the
     # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "substring_dedup": ["cross", "intra"],

@@ -192,3 +192,117 @@ def bm25_topk(
             "score",
         )
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-``k`` DISTINCTIVE terms per group by TF-IDF — the corpus
+    comparison report every mixture pipeline runs ("what is source X
+    full of that the rest of the corpus is not"): term frequency is
+    the group's token-occurrence count, document frequency is
+    corpus-wide (how many DOCS contain the term), and
+    ``score = (1 + ln(tf)) * ln((1 + N) / (1 + df))`` — SUBLINEAR tf
+    scaling (Manning et al., IR ch. 6): a term in every doc scores ~0
+    no matter how frequent (stopwords self-suppress), and raw
+    occurrence counts can't buy rank linearly (a corpus-wide word with
+    tf in the thousands would otherwise out-score a genuinely
+    group-exclusive term — observed on the fixture before pinning
+    this). No +1 idf floor on purpose: this ranks DISTINCTIVENESS,
+    not relevance, and the floor would re-admit ubiquitous terms.
+
+    Determinism: scores are rounded to ``score_decimals`` BEFORE
+    ranking and ties break by ascending term (total order) — the BM25/
+    ANN discipline, so the DuckDB replay reproduces the exact top-k.
+
+    NULL contract: NULL-``group_col`` rows are dropped (no
+    attribution — the temperature_mix contract); NULL text contributes
+    no tokens but the doc still counts toward N (the bm25 docCount
+    contract).
+
+    Scale shape: ONE data-scale shuffle — the (group, term) partial-
+    aggregated count. The df table is vocab-sized and joins back
+    BROADCAST; N arrives as a broadcast single-row cross join (no
+    collect); the top-k window shuffles only the (group, term) counts
+    (vocab x groups rows, not the corpus). Output:
+    (group_col, rank, term, tf, df, score).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grouped = docs.filter(F.col(group_col).isNotNull())
+    n = grouped.agg(F.count(F.lit(1)).alias("__n"))
+    occ = grouped.select(
+        group_col, id_col, F.explode(_toks(text_col)).alias("term")
+    )
+    tf = occ.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        occ.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                (F.lit(1.0) + F.log("tf"))
+                * F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("df"))),
+                score_decimals,
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "term", "tf", "df", "score")
+    )
+
+
+def distinctive_terms_sql_ctes(
+    sfx: str,
+    src: str,
+    group_expr: str,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB CTE block replaying ``distinctive_terms`` over the
+    relation ``src`` (must expose doc_id, text, and ``group_expr``).
+    Emits CTEs prefixed ``sfx``; the final CTE ``{sfx}top`` has
+    (grp, rank, term, tf, df, score). ONE definition per oracle (the
+    nb_sql_ctes discipline)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    s = sfx
+    return f"""{s}g AS MATERIALIZED (
+  SELECT doc_id, {group_expr} AS grp, text FROM {src}
+  WHERE {group_expr} IS NOT NULL
+), {s}occ AS MATERIALIZED (
+  SELECT doc_id, grp, unnest(list_filter(string_split(text, ' '),
+         t -> t <> '')) AS term
+  FROM {s}g WHERE text IS NOT NULL
+), {s}tf AS (SELECT grp, term, count(*) AS tf FROM {s}occ GROUP BY 1, 2),
+{s}df AS (SELECT term, count(DISTINCT doc_id) AS df FROM {s}occ GROUP BY 1),
+{s}n AS (SELECT count(*) AS n FROM {s}g),
+{s}sc AS (
+  SELECT tf.grp, tf.term, tf.tf, df.df,
+         round((1 + ln(tf.tf)) * ln((1 + n.n) * 1.0 / (1 + df.df)), {score_decimals}) AS score
+  FROM {s}tf tf JOIN {s}df df USING (term) CROSS JOIN {s}n n
+), {s}top AS (
+  SELECT grp, rank, term, tf, df, score FROM (
+    SELECT grp, term, tf, df, score,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY score DESC, term ASC) AS rank
+    FROM {s}sc
+  ) WHERE rank <= {k}
+)"""

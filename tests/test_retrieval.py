@@ -146,3 +146,66 @@ def test_bm25_plan_shape(spark):
     # no sort-merge join anywhere: every join against the corpus-side
     # flow is broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_distinctive_terms_matches_pure_python(spark):
+    """distinctive_terms reproduces the sublinear-tf/idf rule computed
+    by hand, with the (score desc, term asc) tie-break and the
+    NULL-group / NULL-text contracts."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.retrieval import distinctive_terms
+
+    rows = [
+        (0, "g1", "apple apple shared shared"),
+        (1, "g1", "apple shared zebra"),
+        (2, "g2", "banana shared shared"),
+        (3, "g2", "banana banana shared"),
+        (4, "g2", None),            # NULL text: no tokens, counts in N
+        (5, None, "ghost ghost"),   # NULL group: dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    got = [
+        (r.grp, r.rank, r.term, r.tf, r.df, r.score)
+        for r in distinctive_terms(df, "grp", k=3).orderBy("grp", "rank").collect()
+    ]
+
+    # hand-computed: N = 5 grouped docs (NULL-text doc counts; the
+    # NULL-group doc does not)
+    def score(tf, dfc):
+        return round((1 + math.log(tf)) * math.log((1 + 5) / (1 + dfc)), 6)
+
+    exp = [
+        ("g1", 1, "apple", 3, 2, score(3, 2)),
+        ("g1", 2, "zebra", 1, 1, score(1, 1)),
+        ("g1", 3, "shared", 3, 4, score(3, 4)),
+        ("g2", 1, "banana", 3, 2, score(3, 2)),
+        ("g2", 2, "shared", 3, 4, score(3, 4)),
+    ]
+    assert got == exp
+    # 'ghost' never appears anywhere (its doc had no group)
+    assert all(t != "ghost" for _g, _r, t, *_ in got)
+
+    with __import__("pytest").raises(ValueError, match="k must be"):
+        distinctive_terms(df, "grp", k=0)
+
+    # deterministic across parallelism
+    again = [
+        (r.grp, r.rank, r.term)
+        for r in distinctive_terms(df.repartition(7), "grp", k=3)
+        .orderBy("grp", "rank")
+        .collect()
+    ]
+    assert again == [(g, r, t) for g, r, t, *_ in exp]
+
+    # df table and N join back broadcast — the corpus-side plan keeps
+    # exactly one data-scale aggregation
+    plan = (
+        distinctive_terms(df, "grp", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
