@@ -1004,7 +1004,17 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep",
     )
     strata = docs.select("doc_id", _strat_col().alias("stratum"))
-    n_strat = strata.filter(F.col("stratum").isNotNull()).count()
+    # ONE sizes aggregation serves the mixture total, the truncation
+    # gate, and the upweighting gate (review catch: count() here plus a
+    # second groupBy collect in the gate was the same job twice)
+    sizes = {
+        r["stratum"]: r["n"]
+        for r in strata.filter(F.col("stratum").isNotNull())
+        .groupBy("stratum")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_strat = sum(sizes.values())
     mixed = temperature_mix(
         strata, "stratum", "doc_id", n_strat // 4, alpha=0.3
     ).select(
@@ -1043,13 +1053,6 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vacuous temperature certification: no NULL-stratum plants in the "
             "input, or a planted row leaked into the mixture"
         )
-    sizes = {
-        r["stratum"]: r["n"]
-        for r in strata.filter(F.col("stratum").isNotNull())
-        .groupBy("stratum")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
     kept = {
         r["source"]: r["n"]
         for r in tf.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -6302,11 +6305,18 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("face", ["ws", "bpe"])
         .agg(F.first("n").alias("n"), F.first("nt").alias("nt"))
     )
+    # coalesce both sides: a doc chunking under ONE face only leaves the
+    # other pivot cell NULL, and `ws_n != bpe_n` would be NULL-skipped —
+    # exactly the kind of divergence this gate exists to catch (review
+    # catch)
     bst = per_doc.agg(
         F.count(
             F.when(
                 (F.col("doc_id") % 11 != 0)
-                & (F.col("ws_n") != F.col("bpe_n")),
+                & (
+                    F.coalesce("ws_n", F.lit(0))
+                    != F.coalesce("bpe_n", F.lit(0))
+                ),
                 1,
             )
         ).alias("diverged_unplanted"),

@@ -134,20 +134,26 @@ def cms_sql_ctes(
     string form, so pass the same textual form the engine hashes."""
     _validate(depth, width)
     s = sfx
-    rows = " UNION ALL ".join(
-        f"SELECT key, {i * width} + "
-        f"{hash_bucket_sql('CAST(key AS VARCHAR)', width, f'{salt}:{i}')} AS idx "
-        f"FROM {s}keys"
-        for i in range(depth)
-    )
+
+    # one formatter, two sources — never textual rewriting of already-
+    # generated SQL (a salt or sfx that happened to contain the CTE
+    # name would corrupt the query silently; review catch)
+    def _rows(from_cte: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT key, {i * width} + "
+            f"{hash_bucket_sql('CAST(key AS VARCHAR)', width, f'{salt}:{i}')} AS idx "
+            f"FROM {from_cte}"
+            for i in range(depth)
+        )
+
     return f"""{s}keys AS MATERIALIZED (
   SELECT {key_expr} AS key FROM {src} WHERE {key_expr} IS NOT NULL
-), {s}rows AS MATERIALIZED ({rows}),
+), {s}rows AS MATERIALIZED ({_rows(f'{s}keys')}),
 {s}sk AS (SELECT idx, count(*) AS n FROM {s}rows GROUP BY 1),
 {s}probe AS (SELECT DISTINCT key FROM {s}keys),
 {s}est AS (
   SELECT p.key, min(coalesce(sk.n, 0)) AS cms_est
-  FROM (SELECT key, idx FROM ({rows.replace(f'{s}keys', f'{s}probe')}) q) p
+  FROM (SELECT key, idx FROM ({_rows(f'{s}probe')}) q) p
   LEFT JOIN {s}sk sk USING (idx)
   GROUP BY p.key
 )"""

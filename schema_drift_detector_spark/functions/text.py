@@ -46,7 +46,13 @@ def token_count(text: Column | str) -> Column:
 # spaces via a lookahead RE2 lacks — a certified engine trades that
 # for cross-engine bit-parity; token COUNTS, the quantity every
 # budget/chunk operator consumes, are unaffected by the space glue).
-BPE_REGEX_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}{1,3}|[^\p{L}\p{N}\s']+|'"
+# The separator class is EXPLICIT [\t\n\x0B\f\r ], never \s: Java's
+# \s includes U+000B but RE2's does not, so \s in the negated class
+# would tokenize vertical tabs differently per engine (review catch,
+# verified empirically on 'a\x0Bb').
+BPE_REGEX_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}{1,3}|[^\p{L}\p{N}\t\n\x0B\f\r ']+|'"
+)
 
 
 def bpe_ish_tokens(text: Column | str) -> Column:

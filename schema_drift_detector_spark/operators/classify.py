@@ -112,13 +112,16 @@ def nb_classify(
     _validate(n_buckets, alpha)
     tcol = train_text_col or text_col
 
-    tlabels = sorted(
-        r[0]
-        for r in train.filter(F.col(label_col).isNotNull())
-        .select(label_col)
-        .distinct()
-        .collect()
-    )
+    ltrain = train.filter(F.col(label_col).isNotNull())
+    # priors over train DOCS (token-less train docs still carry prior
+    # evidence); token totals over train token OCCURRENCES. The label
+    # universe falls out of this same aggregate — no separate
+    # distinct() job (review catch).
+    pr = {
+        r[label_col]: r["n"]
+        for r in ltrain.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tlabels = sorted(pr)
     if not tlabels:
         raise ValueError("train has no non-NULL labels")
     if classes is None:
@@ -133,14 +136,6 @@ def nb_classify(
             )
     if len(set(classes)) != len(classes):
         raise ValueError(f"classes must be distinct, got {classes}")
-
-    ltrain = train.filter(F.col(label_col).isNotNull())
-    # priors over train DOCS (token-less train docs still carry prior
-    # evidence); token totals over train token OCCURRENCES
-    pr = {
-        r[label_col]: r["n"]
-        for r in ltrain.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     n_train = sum(pr.values())
     tocc = _occurrences(ltrain, [label_col], tcol, n_buckets)
     tot = {
@@ -198,9 +193,13 @@ def nb_classify(
     ]
     scored = sums.select(id_col, *score_cols)
 
-    best = F.greatest(*[F.col(f"__sc_{i}") for i in range(len(classes))])
+    # F.greatest requires >= 2 columns — the K == 1 case must take the
+    # direct form FIRST, not as a dead reassignment (review catch:
+    # greatest(*[one]) raises before a late fallback can run)
     if len(classes) == 1:
         best = F.col("__sc_0")
+    else:
+        best = F.greatest(*[F.col(f"__sc_{i}") for i in range(len(classes))])
     pred = F.lit(None).cast("string")
     runner = F.lit(None).cast("double")
     # first class (ascending name order) whose rounded score equals the

@@ -345,6 +345,9 @@ def temperature_quotas(
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if min_quota < 0:
         raise ValueError(f"min_quota must be >= 0, got {min_quota}")
+    for c in (strata_col, size_col):
+        if c not in sizes.columns:
+            raise ValueError(f"sizes has no column {c!r} (has {sizes.columns})")
     w = F.round(
         F.pow(F.col(size_col).cast("double"), F.lit(float(alpha))) * 1e6, 0
     ).cast("bigint")

@@ -116,6 +116,20 @@ def test_nb_tie_breaks_by_class_name(spark):
     assert out[0].nb_pred == "aaa" and out[0].nb_margin == 0.0
 
 
+def test_nb_single_class(spark):
+    """K == 1 is a legal degenerate problem: every tokenized doc
+    predicts the one class with margin exactly 0.0 (regression: the
+    one-arg F.greatest crash)."""
+    rows = [(0, "x y", "only"), (1, "z", "only"), (2, None, "only")]
+    sdocs = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    got = {
+        r.doc_id: (r.nb_pred, r.nb_margin)
+        for r in nb_classify(sdocs, sdocs, n_buckets=N_BUCKETS).collect()
+    }
+    assert got[0] == ("only", 0.0) and got[1] == ("only", 0.0)
+    assert got[2] == (None, None)
+
+
 def test_nb_guards(spark):
     sdocs = spark.createDataFrame(
         [(0, "x", "a"), (1, "y", "b")], "doc_id long, text string, label string"

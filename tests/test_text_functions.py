@@ -49,6 +49,10 @@ def test_bpe_ish_tokens_duckdb_parity(spark):
         "'''", "trailing'", "'leading", "x'y", "", "123456789",
         "a-b--c---d", "tabs\tand\nnewlines", "under_score dash-case",
         "  spaced   out  ",
+        # U+000B: Java \s includes it, RE2's does not — the pattern
+        # must treat it as a separator in BOTH engines (regression:
+        # the \s-in-negated-class dialect divergence)
+        "a\x0bb", "\x0b", "x \x0b\x0c\r y",
     ]
     import pyspark.sql.functions as F
 
