@@ -4868,6 +4868,67 @@ FROM normed
 """
 
 
+# the 'url' face's governance config + planted fixture (documents has
+# no URL column; the CASE below is mirrored verbatim in _URL_CASE_SQL):
+# %7==0 exercises the exact-domain rule THROUGH the www+case
+# canonicalization, %7==1 the subdomain-suffix rule, %7==2 the soft
+# keyword threshold (score 4 >= 3), %7==3 the hard keyword, %7==4 a
+# PASS with a positive sub-threshold score (score 2 — the threshold
+# actually binds), %7==5 a schemeless pass, %7==6 a clean pass;
+# doc_id%97==3 plants NULL urls (the no-attribution contract).
+_URL_BLOCK = ["evil-ads.example", "spam.example"]
+_URL_HARD = ["/xxx"]
+_URL_SOFT = {"bonus": 1, "casino": 2, "free": 1}
+_URL_TH = 3
+_URL_BASES = [
+    "https://www.Evil-Ads.example/landing/",
+    "https://tracker.evil-ads.example/px/",
+    "https://news.site.example/free-casino-bonus-",
+    "https://shop.example.io/xxx/",
+    "https://free.example/free-",
+    "docs.example.org/guide/",
+    "https://mirror.example.com/pub/",
+]
+_URL_CASE_SQL = (
+    "CASE WHEN doc_id % 97 = 3 THEN NULL ELSE CASE doc_id % 7 "
+    + " ".join(f"WHEN {i} THEN '{b}'" for i, b in enumerate(_URL_BASES))
+    + " END || CAST(doc_id AS VARCHAR) END"
+)
+
+
+def q_text_doc_features__url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'url' face (bare plan): RefinedWeb-style URL governance —
+    canonical host extraction (lowercase, www-strip), the
+    domain-blocklist (exact + subdomain suffix), hard-keyword, and
+    weighted soft-keyword rules over planted URLs; verdict + soft
+    score + host are the certified artifacts. Pure codegen scan, zero
+    shuffle."""
+    from schema_drift_detector_spark.functions.urlmeta import (
+        url_host,
+        url_soft_score,
+        url_verdict,
+    )
+
+    d = F.col("doc_id")
+    base = F.element_at(
+        F.array(*[F.lit(b) for b in _URL_BASES]), (d % 7 + 1).cast("int")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 97 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(base, d.cast("string")))
+        .alias("url"),
+    )
+    return docs.select(
+        "doc_id",
+        url_host("url").alias("url_host"),
+        url_verdict("url", _URL_BLOCK, _URL_HARD, _URL_SOFT, _URL_TH).alias(
+            "url_verdict"
+        ),
+        url_soft_score("url", _URL_SOFT).alias("url_score"),
+    )
+
+
 def q_text_doc_features__features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 'features' face (bare plan — bench-timed directly; this was
     the whole entry through r7-early): per-document text-analysis
@@ -5024,6 +5085,9 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("n_chars_norm", "int"),
             *[(c, "boolean") for c in _GOPHER_RULE_COLS],
             ("keep", "boolean"),
+            ("url_host", "string"),
+            ("url_verdict", "string"),
+            ("url_score", "int"),
         ]:
             sel.append(
                 F.col(name) if name in cols else F.lit(None).cast(typ).alias(name)
@@ -5103,10 +5167,42 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm, "normalize", dict.fromkeys(["cleaned_fp", "n_chars_raw", "n_chars_norm"])
     )
 
+    # url face (late r7): every rule branch must fire — exact-domain
+    # through www+case canonicalization, subdomain suffix, hard kw,
+    # soft kw AT threshold, a pass with a positive sub-threshold score
+    # (the threshold binds), and NULL urls scoring NULL
+    url = q_text_doc_features__url(spark, sf_dir).localCheckpoint(eager=True)
+    d = F.col("doc_id")
+    ug = url.agg(
+        F.sum(F.when((d % 7 == 0) & (F.col("url_verdict") == "domain"), 1).otherwise(0)).alias("dom_exact"),
+        F.sum(F.when((d % 7 == 1) & (F.col("url_verdict") == "domain"), 1).otherwise(0)).alias("dom_suffix"),
+        F.sum(F.when(F.col("url_verdict") == "hard_kw", 1).otherwise(0)).alias("hard"),
+        F.sum(F.when(F.col("url_verdict") == "soft_kw", 1).otherwise(0)).alias("soft"),
+        F.sum(
+            F.when(
+                F.col("url_verdict").isNull()
+                & F.col("url_host").isNotNull()
+                & (F.col("url_score") > 0),
+                1,
+            ).otherwise(0)
+        ).alias("pass_scored"),
+        F.sum(F.when((d % 97 == 3) & F.col("url_score").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.sum(F.when((d % 97 == 3) & F.col("url_score").isNotNull(), 1).otherwise(0)).alias("bad_nulls"),
+    ).first()
+    for g in ("dom_exact", "dom_suffix", "hard", "soft", "pass_scored", "nulls"):
+        if not ug[g]:
+            raise RuntimeError(f"vacuous url fixture: gate {g} is zero ({ug})")
+    if ug.bad_nulls:
+        raise RuntimeError(f"url face: NULL urls produced scores ({ug})")
+    url_face = _pad_tail(
+        url, "url", dict.fromkeys(["url_host", "url_verdict", "url_score"])
+    )
+
     return (
         feats.unionByName(c4_face)
         .unionByName(gopher_face)
         .unionByName(norm_face)
+        .unionByName(url_face)
     )
 
 
@@ -5245,10 +5341,28 @@ def _oracle_text_doc_features_merged() -> str:
        CAST(NULL AS BOOLEAN) AS ok_symbol_ratio, CAST(NULL AS BOOLEAN) AS ok_bullet_lines,
        CAST(NULL AS BOOLEAN) AS ok_ellipsis_lines, CAST(NULL AS BOOLEAN) AS ok_alpha_words,
        CAST(NULL AS BOOLEAN) AS ok_stopwords, CAST(NULL AS BOOLEAN) AS ok_dup_lines"""
+    url_nulls = (
+        "CAST(NULL AS VARCHAR) AS url_host, CAST(NULL AS VARCHAR) AS url_verdict, "
+        "CAST(NULL AS INT) AS url_score"
+    )
+    from schema_drift_detector_spark.functions.urlmeta import (
+        url_host_sql,
+        url_soft_score_sql,
+        url_verdict_sql,
+    )
+
+    url_branch = f"""
+WITH u AS (SELECT doc_id, {_URL_CASE_SQL} AS url FROM documents)
+SELECT doc_id,
+       {url_host_sql("url")} AS url_host,
+       {url_verdict_sql("url", _URL_BLOCK, _URL_HARD, _URL_SOFT, _URL_TH)} AS url_verdict,
+       {url_soft_score_sql("url", _URL_SOFT)} AS url_score
+FROM u
+"""
     return f"""
 SELECT 'features' AS face, doc_id, lang, pred_lang, quality, fp_exact, fp_normalized,
        frac_dup_tokens, top_bigram_frac, dup_5gram_frac,
-       {nulls_c4g}
+       {nulls_c4g}, {url_nulls}
 FROM ({ORACLE_TEXT_DOC_FEATURES})
 UNION ALL
 SELECT 'c4' AS face, doc_id, {feat_nulls},
@@ -5256,13 +5370,13 @@ SELECT 'c4' AS face, doc_id, {feat_nulls},
        CAST(NULL AS INT) AS n_words, CAST(NULL AS DOUBLE) AS mean_word_len,
        {chars_nulls},
        {gopher_bool_nulls},
-       keep
+       keep, {url_nulls}
 FROM ({ORACLE_TDF_C4})
 UNION ALL
 SELECT 'gopher' AS face, doc_id, {feat_nulls},
        CAST(NULL AS VARCHAR) AS cleaned_fp, CAST(NULL AS INT) AS n_lines,
        CAST(NULL AS INT) AS n_kept_lines,
-       n_words, mean_word_len, {chars_nulls}, {_TDF_GOPHER_OK_SQL}, keep
+       n_words, mean_word_len, {chars_nulls}, {_TDF_GOPHER_OK_SQL}, keep, {url_nulls}
 FROM ({_oracle_tdf_gopher()})
 UNION ALL
 SELECT 'normalize' AS face, doc_id, {feat_nulls},
@@ -5270,8 +5384,13 @@ SELECT 'normalize' AS face, doc_id, {feat_nulls},
        CAST(NULL AS INT) AS n_words, CAST(NULL AS DOUBLE) AS mean_word_len,
        n_chars_raw, n_chars_norm,
        {gopher_bool_nulls},
-       CAST(NULL AS BOOLEAN) AS keep
+       CAST(NULL AS BOOLEAN) AS keep, {url_nulls}
 FROM ({_oracle_tdf_normalize()})
+UNION ALL
+SELECT 'url' AS face, doc_id, {feat_nulls},
+       {nulls_c4g},
+       url_host, url_verdict, url_score
+FROM ({url_branch})
 """
 
 

@@ -176,7 +176,9 @@ FACE_SPLITS: dict[str, list[str]] = {
     # 'features' continues the ≤r7-early single-face series;
     # 'normalize' (Unicode normalization) joined late-r7 — the row
     # re-prices again (annotated in BENCH/BASELINE.md)
-    "text_doc_features": ["features", "c4", "gopher", "normalize"],
+    # 'url' (RefinedWeb URL governance) joined late-r7 — the row
+    # re-prices again (annotated in BENCH/BASELINE.md)
+    "text_doc_features": ["features", "c4", "gopher", "normalize", "url"],
 }
 
 

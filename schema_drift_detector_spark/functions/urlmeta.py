@@ -35,10 +35,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # host = authority up to the first :, /, ?, or # after an optional
-# scheme; path = everything from the first / after the authority up to
-# ?/# (Java∩RE2: character classes + alternation only)
+# scheme (Java∩RE2: character classes + alternation only). The PATH
+# extraction strips the scheme FIRST (regexp_replace) and only then
+# matches — a single optional-scheme pattern would backtrack into the
+# no-scheme branch on path-less URLs and return '//host' as the path
+# (identically in both engines, but semantically wrong).
 _HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/:?#]+)"
-_PATH_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*(/[^?#]*)"
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_PATH_RE = r"^[^/?#]*(/[^?#]*)"
 
 
 def url_host(url: Column | str) -> Column:
@@ -61,15 +65,17 @@ def url_host_sql(expr: str) -> str:
 def url_path(url: Column | str) -> Column:
     """Path component ('' when absent, NULL only for NULL url)."""
     c = F.col(url) if isinstance(url, str) else url
+    stripped = F.regexp_replace(c, _SCHEME_RE, "")
     return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
-        F.regexp_extract(c, _PATH_RE, 1)
+        F.regexp_extract(stripped, _PATH_RE, 1)
     )
 
 
 def url_path_sql(expr: str) -> str:
+    stripped = f"regexp_replace({expr}, '{_SCHEME_RE}', '')"
     return (
         f"CASE WHEN {expr} IS NULL THEN NULL "
-        f"ELSE coalesce(regexp_extract({expr}, '{_PATH_RE}', 1), '') END"
+        f"ELSE coalesce(regexp_extract({stripped}, '{_PATH_RE}', 1), '') END"
     )
 
 
