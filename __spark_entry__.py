@@ -5832,11 +5832,17 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     full hygiene chain a pretraining data job actually runs, certified
     as ONE DuckDB replay:
 
-      Unicode normalization → Gopher quality filter → exact dedup →
-      substring (boilerplate) strip → intra-doc repetition strip →
-      PII redaction → benchmark decontamination → MinHash near-dup
-      drop → CCNet LM-perplexity tiering (drop 'tail') → per-source
-      token-budget mixing → context chunking → next-fit packing
+      URL governance (crawl-record drop) → Unicode normalization →
+      Gopher quality filter → exact dedup → substring (boilerplate)
+      strip → intra-doc repetition strip → PII redaction → benchmark
+      decontamination → MinHash near-dup drop → CCNet LM-perplexity
+      tiering (drop 'tail') → per-source token-budget mixing →
+      context chunking → next-fit packing
+
+    The URL stage (late r7) runs FIRST, before cloning, on planted
+    URLs (%23 domain-blocklisted, %29 soft-keyword-blocked, rest
+    pass — both drop branches gated to fire), so every downstream
+    stage sees only governed crawl records — the RefinedWeb ordering.
 
     Every stage BINDS (gated): the normalize stage (r7) appends a
     COMPOSED unicode suffix to each %10 original and the DECOMPOSED+
@@ -5926,6 +5932,36 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
+    # stage -1 (late r7): URL governance — real web pipelines filter at
+    # the CRAWL-RECORD granularity before any text work (RefinedWeb
+    # §3.1: blocklist + keyword scoring). Runs BEFORE cloning so a
+    # clone family shares one URL fate and the exact-dedup gates below
+    # stay well-defined. Planted URLs: %23 hits the domain blocklist,
+    # %29 the soft-keyword threshold, the rest pass. Codegen scan,
+    # zero shuffle.
+    from schema_drift_detector_spark.functions.urlmeta import url_verdict
+
+    d = F.col("doc_id")
+    url_expr = F.concat(
+        F.when(d % 23 == 0, F.lit("https://www.Evil-Ads.example/e/"))
+        .when(d % 29 == 0, F.lit("https://news.site.example/free-casino-bonus/"))
+        .otherwise(F.lit("https://docs.example.org/d/")),
+        d.cast("string"),
+    )
+    raw_urled = raw.withColumn(
+        "__uv", url_verdict(url_expr, _URL_BLOCK, _URL_HARD, _URL_SOFT, _URL_TH)
+    )
+    uvc = {
+        r["__uv"]: r["n"]
+        for r in raw_urled.groupBy("__uv").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not (uvc.get("domain", 0) and uvc.get("soft_kw", 0) and uvc.get(None, 0)):
+        raise RuntimeError(
+            f"vacuous URL stage: a verdict branch never fired or nothing "
+            f"survived ({uvc})"
+        )
+    raw = raw_urled.filter(F.col("__uv").isNull()).drop("__uv")
+
     max_id = raw.agg(F.max("doc_id")).first()[0]
     if max_id is None or max_id >= 1_000_000:
         raise RuntimeError(
@@ -6143,8 +6179,21 @@ def _oracle_corpus_pipeline_e2e() -> str:
     from schema_drift_detector_spark.operators.quality_lm import lm_ppl_sql_ctes
 
     lm_ctes = lm_ppl_sql_ctes("lm", "surv")
+    from schema_drift_detector_spark.functions.urlmeta import url_verdict_sql
+
+    e2e_url = (
+        "CASE WHEN doc_id % 23 = 0 THEN 'https://www.Evil-Ads.example/e/' "
+        "WHEN doc_id % 29 = 0 THEN 'https://news.site.example/free-casino-bonus/' "
+        "ELSE 'https://docs.example.org/d/' END || CAST(doc_id AS VARCHAR)"
+    )
+    url_pred = (
+        f"({url_verdict_sql(e2e_url, _URL_BLOCK, _URL_HARD, _URL_SOFT, _URL_TH)})"
+        " IS NULL"
+    )
     return f"""
 WITH RECURSIVE raw AS (
+  -- stage -1: URL governance (shared url_verdict_sql builder) — the
+  -- crawl-record drop applied before any text stage
   SELECT doc_id, source,
          (CASE WHEN doc_id % 7 = 0 THEN text || '{_SUBSTR_FOOTER}' ELSE text END)
          || (CASE WHEN doc_id % 11 = 0
@@ -6155,6 +6204,7 @@ WITH RECURSIVE raw AS (
   FROM (SELECT doc_id, source, text,
                array_to_string(string_split(text, ' ')[1:10], ' ') AS rep
         FROM documents)
+  WHERE {url_pred}
 ),
 base AS (
   SELECT doc_id, source,
