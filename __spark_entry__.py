@@ -329,7 +329,10 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, and `path_mismatches` counts rows where the two
     extraction paths disagree, which the oracle pins at EXACTLY 0 (the
     tolerance-contract shape: a Spark-side divergence between the two
-    JSON readers would hash-mismatch)."""
+    JSON readers would hash-mismatch); 'unpivot' (late r7) = the
+    wide→long inverse via the real DataFrame.unpivot operator, NULL
+    pivot cells retained as NULL-valued long rows, gated to round-trip
+    exactly to the per-(user, type) counts."""
     json_pads = [
         F.lit(None).cast("bigint").alias("n_parsed"),
         F.lit(None).cast("bigint").alias("sum_k"),
@@ -374,7 +377,49 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_k",
         "path_mismatches",
     )
-    return prof.unionByName(piv).unionByName(jsf)
+    # unpivot face (late r7): the wide→long inverse of the pivot face
+    # via the REAL DataFrame.unpivot operator (not a manual stack) —
+    # NULL pivot cells survive as NULL-valued long rows (Spark melt
+    # retains them; the oracle unions per-type columns explicitly so
+    # the NULL-retention semantics are pinned, not left to a dialect's
+    # UNPIVOT default). Gated: round-trips to the per-(user, type)
+    # counts, and NULL cells exist.
+    unp = q_profile_events__unpivot(spark, sf_dir).localCheckpoint(eager=True)
+    truth = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .filter(F.col("event_type").isin(list(_PIVOT_TYPES)))
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    diverged = (
+        unp.filter(F.col("n").isNotNull())
+        .join(truth, ["user_id", "event_type"], "full_outer")
+        .filter(~F.col("n").eqNullSafe(F.col("n_true")))
+        .limit(1)
+        .count()
+    )
+    n_null_cells = unp.filter(F.col("n").isNull()).limit(1).count()
+    if diverged or not n_null_cells:
+        raise RuntimeError(
+            f"vacuous unpivot certification: round-trip diverged ({diverged}) "
+            f"or no NULL pivot cell survived the melt ({n_null_cells})"
+        )
+    unpf = unp.select(
+        F.lit("unpivot").alias("face"),
+        "event_type",
+        F.lit(None).cast("bigint").alias("n_rows"),
+        F.lit(None).cast("bigint").alias("n_users"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.lit(None).cast("double").alias("null_ratio"),
+        "user_id",
+        *[F.lit(None).cast("bigint").alias(f"n_{t}") for t in _PIVOT_TYPES],
+        F.col("n").alias("n_parsed"),
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit(None).cast("bigint").alias("path_mismatches"),
+    )
+    return prof.unionByName(piv).unionByName(jsf).unionByName(unpf)
 
 
 def q_profile_events__profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,6 +441,27 @@ def q_profile_events__pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .pivot("event_type", _PIVOT_TYPES)
         .count()
+    )
+
+
+def q_profile_events__unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'unpivot' face (bare plan): the pivot shape over a 1/97
+    event slice (the full matrix is DENSE at every fixture SF — every
+    user has every type — so the NULL-cell-retention contract could
+    never bind on it), melted back long via DataFrame.unpivot —
+    (user_id, event_type, n), NULL n for empty pivot cells."""
+    sparse = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return sparse.unpivot(
+        ids=["user_id"],
+        values=list(_PIVOT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
     )
 
 
@@ -468,6 +534,22 @@ FROM (
   )
 )
 GROUP BY event_type
+UNION ALL
+-- 'unpivot' face: the pivot matrix melted back long. The per-type
+-- columns are unioned EXPLICITLY (one branch per pivot value) so the
+-- NULL-retention semantics match Spark's melt exactly — a dialect
+-- UNPIVOT's default NULL-exclusion is precisely the divergence this
+-- replay must not inherit
+{" UNION ALL ".join(
+    f'''SELECT 'unpivot' AS face, '{t}' AS event_type, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), user_id,
+       {", ".join("CAST(NULL AS BIGINT)" for _ in _PIVOT_TYPES)},
+       n_{t} AS n_parsed, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT user_id, {_PIVOT_ORACLE_COLS} FROM events
+      WHERE event_id % 97 = 0 GROUP BY user_id)'''
+    for t in _PIVOT_TYPES
+)}
 """
 
 
@@ -2434,7 +2516,11 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch over the same key stream — per-user estimates vs exact
     counts, hash-certified with a deliberately tight 2x32 sketch so
     the est >= true invariant AND real collision overcounts are both
-    pinned; gated: zero undercounts, >= 1 overcount, >= 1 exact).
+    pinned; gated: zero undercounts, >= 1 overcount, >= 1 exact;
+    'nullsafe' (late r7) = the <=> join semantics — NULL-planted event
+    user_ids joined to per-user counts on eqNullSafe vs DuckDB's
+    IS NOT DISTINCT FROM, gated: every NULL-key row pairs with the
+    NULL-group stats, which a plain equi-join would drop).
     Merged in r7 under the 50-row
     driver attestation cap to make room for `bm25_topk` (uniform+hot)
     and `zorder_layout` (hitters); merge recipe: tag + null-pad +
@@ -2490,6 +2576,35 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = uni.withColumn("cms_est", F.lit(None).cast("bigint"))
     hot = hot.withColumn("cms_est", F.lit(None).cast("bigint"))
 
+    ns = q_salted_join__nullsafe(spark, sf_dir).localCheckpoint(eager=True)
+    nulled = ns.filter(F.col("user_id").isNull())
+    nst = nulled.agg(
+        F.count(F.lit(1)).alias("n_null_rows"),
+        F.count(F.when(F.col("n_events").isNull(), 1)).alias("unmatched"),
+    ).first()
+    if not (nst.n_null_rows and nst.unmatched == 0):
+        raise RuntimeError(
+            f"vacuous null-safe join certification: no planted NULL-key rows "
+            f"({nst.n_null_rows}) or a NULL row failed to pair with the "
+            f"NULL-group stats ({nst.unmatched}) — the <=> semantics never bound"
+        )
+    nsf = ns.select(
+        F.lit("nullsafe").alias("face"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        "event_id",
+        "user_id",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        F.lit(None).cast("bigint").alias("first_event_id"),
+        F.lit(None).cast("bigint").alias("n_occurrences"),
+        F.lit(None).cast("double").alias("share"),
+        F.lit(None).cast("bigint").alias("cms_est"),
+    )
+
     cms = q_cms_sketch(spark, sf_dir).select(
         F.lit("cms").alias("face"),
         F.lit(None).cast("bigint").alias("o_orderkey"),
@@ -2517,7 +2632,12 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"sketch is broken), or no collision overcount, or no exact "
             f"estimate at this SF ({cst})"
         )
-    return uni.unionByName(hot).unionByName(hitters).unionByName(cms)
+    return (
+        uni.unionByName(hot)
+        .unionByName(hitters)
+        .unionByName(nsf)
+        .unionByName(cms)
+    )
 
 
 # bench face helpers: bare per-face plans (the hot face eagerly
@@ -2529,6 +2649,42 @@ q_salted_join__hot = q_salted_join_hot_events
 
 def q_salted_join__hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_heavy_hitter_users(spark, sf_dir)
+
+
+def q_salted_join__nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'nullsafe' face (bare plan): the <=> (eqNullSafe) join
+    semantics — events with user_id NULL-planted on event_id % 53 == 0
+    (events has no natural NULLs) joined to per-user counts computed
+    over the SAME planted frame, on user_id <=> user_id. A plain
+    equi-join silently drops every NULL-key row; the null-safe join
+    pairs them with the NULL-group aggregate — the semantics the gate
+    pins (every NULL row matched). Output: (event_id, user_id,
+    n_events)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 53 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return ev.alias("l").join(
+        per_user.alias("r"),
+        F.col("l.user_id").eqNullSafe(F.col("r.user_id")),
+        "left",
+    ).select("l.event_id", "l.user_id", "r.n_events")
+
+
+ORACLE_SALTED_JOIN_NULLSAFE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN event_id % 53 = 0 THEN NULL ELSE user_id END AS user_id
+  FROM events
+), per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM ev GROUP BY 1
+)
+SELECT l.event_id, l.user_id, r.n_events
+FROM ev l LEFT JOIN per_user r ON l.user_id IS NOT DISTINCT FROM r.user_id
+"""
 
 
 # CMS parameters for the 'cms' face: chosen so BOTH gate branches bind
@@ -2585,6 +2741,10 @@ UNION ALL
 SELECT 'hitters', NULL, NULL, NULL, NULL, NULL,
        NULL, user_id, NULL, NULL, NULL, n_occurrences, share, NULL
 FROM ({ORACLE_HEAVY_HITTER_USERS})
+UNION ALL
+SELECT 'nullsafe', NULL, NULL, NULL, NULL, NULL,
+       event_id, user_id, NULL, n_events, NULL, NULL, NULL, NULL
+FROM ({ORACLE_SALTED_JOIN_NULLSAFE})
 UNION ALL
 SELECT 'cms', NULL, NULL, NULL, NULL, NULL,
        NULL, user_id, NULL, n_events, NULL, NULL, NULL, cms_est

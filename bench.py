@@ -149,8 +149,10 @@ BENCH_QUERIES = [
 # checkpoints) AND write a series-break annotation in BENCH/BASELINE.md.
 FACE_SPLITS: dict[str, list[str]] = {
     # 'json' joined late-r7 (semi-structured extraction face) — the
-    # row re-prices; profile/pivot sub-timings continue their series
-    "profile_events": ["profile", "pivot", "json"],
+    # row re-prices; profile/pivot sub-timings continue their series;
+    # 'unpivot' (wide→long melt) joined later still — the row
+    # re-prices again (annotated in BENCH/BASELINE.md)
+    "profile_events": ["profile", "pivot", "json", "unpivot"],
     # r7: tokenizer-seam face merged into the entry — 'ws' continues the
     # ≤r6 single-face series; 'bpe' (GPT-2-style regex pre-tokenization)
     # joined late-r7 (annotated in BENCH/BASELINE.md r7 notes)
