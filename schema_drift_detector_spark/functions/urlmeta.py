@@ -31,6 +31,8 @@ extracted host instead).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -40,7 +42,13 @@ from pyspark.sql import functions as F
 # matches — a single optional-scheme pattern would backtrack into the
 # no-scheme branch on path-less URLs and return '//host' as the path
 # (identically in both engines, but semantically wrong).
-_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/:?#]+)"
+# the optional userinfo group ((?:[^/@?#]*@)?) and the trailing-dot
+# strip below exist because BOTH are blocklist-bypass vectors:
+# 'https://a@evil-ads.example/' would otherwise extract host
+# 'a@evil-ads.example' and 'https://evil-ads.example./' host
+# 'evil-ads.example.' — neither equals nor suffix-matches the
+# blocklisted domain (review catch, verified in both engines)
+_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)"
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
 _PATH_RE = r"^[^/?#]*(/[^?#]*)"
 
@@ -52,13 +60,16 @@ def url_host(url: Column | str) -> Column:
     miss is not a counterfeit host)."""
     c = F.col(url) if isinstance(url, str) else url
     h = F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    h = F.regexp_replace(h, r"\.+$", "")
     h = F.regexp_replace(h, r"^www\.", "")
     return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
 
 
 def url_host_sql(expr: str) -> str:
     """DuckDB replay of url_host."""
-    h = f"regexp_replace(lower(regexp_extract({expr}, '{_HOST_RE}', 1)), '^www\\.', '')"
+    h = f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
+    h = f"regexp_replace({h}, '\\.+$', '')"
+    h = f"regexp_replace({h}, '^www\\.', '')"
     return f"nullif({h}, '')"
 
 
@@ -108,17 +119,35 @@ def domain_blocked_sql(host_expr: str, blocked_domains: list[str]) -> str:
     _check_terms(blocked_domains)
     if not blocked_domains:
         return f"CASE WHEN {host_expr} IS NULL THEN NULL ELSE FALSE END"
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
     return (
         "("
         + " OR ".join(
-            f"({host_expr} = {q(d)} OR suffix({host_expr}, {q('.' + d)}))"
+            f"({host_expr} = {_q(d)} OR suffix({host_expr}, {_q('.' + d)}))"
             for d in blocked_domains
         )
         + ")"
+    )
+
+
+def _q(s: str) -> str:
+    """SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _soft_score_sql_expr(low_expr: str, soft_keywords: dict[str, int]) -> str:
+    """THE soft-score SQL expression — one definition for
+    url_verdict_sql and url_soft_score_sql so the scoring formula (and
+    its weight guard) can never fork between them."""
+    _check_terms(soft_keywords)
+    for k, w in soft_keywords.items():
+        if w < 1:
+            raise ValueError(f"soft keyword weight must be >= 1, got {k}={w}")
+    return (
+        " + ".join(
+            f"{w} * len(regexp_extract_all({low_expr}, {_q(re.escape(k))}))"
+            for k, w in sorted(soft_keywords.items())
+        )
+        or "0"
     )
 
 
@@ -166,9 +195,7 @@ def url_soft_score(url: Column | str, soft_keywords: dict[str, int]) -> Column:
         if w < 1:
             raise ValueError(f"soft keyword weight must be >= 1, got {k}={w}")
         # literal match: escape any regex metacharacters in the keyword
-        import re as _re
-
-        score = score + F.lit(w) * F.regexp_count(low, F.lit(_re.escape(k)))
+        score = score + F.lit(w) * F.regexp_count(low, F.lit(re.escape(k)))
     return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(score)
 
 
@@ -185,27 +212,15 @@ def url_verdict_sql(
     if soft_threshold < 1:
         raise ValueError(f"soft_threshold must be >= 1, got {soft_threshold}")
     _check_terms(hard_keywords)
-    _check_terms(soft_keywords)
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
 
     low = f"lower({expr})"
     host = url_host_sql(expr)
     hard = (
-        " OR ".join(f"contains({low}, {q(k)})" for k in hard_keywords)
+        " OR ".join(f"contains({low}, {_q(k)})" for k in hard_keywords)
         if hard_keywords
         else "FALSE"
     )
-    import re as _re
-
-    score = (
-        " + ".join(
-            f"{w} * len(regexp_extract_all({low}, {q(_re.escape(k))}))"
-            for k, w in sorted(soft_keywords.items())
-        )
-        or "0"
-    )
+    score = _soft_score_sql_expr(low, soft_keywords)
     return f"""CASE
   WHEN {expr} IS NULL THEN NULL
   WHEN coalesce({domain_blocked_sql(host, blocked_domains)}, FALSE) THEN 'domain'
@@ -215,19 +230,5 @@ def url_verdict_sql(
 
 
 def url_soft_score_sql(expr: str, soft_keywords: dict[str, int]) -> str:
-    _check_terms(soft_keywords)
-
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    import re as _re
-
-    low = f"lower({expr})"
-    score = (
-        " + ".join(
-            f"{w} * len(regexp_extract_all({low}, {q(_re.escape(k))}))"
-            for k, w in sorted(soft_keywords.items())
-        )
-        or "0"
-    )
+    score = _soft_score_sql_expr(f"lower({expr})", soft_keywords)
     return f"CASE WHEN {expr} IS NULL THEN NULL ELSE ({score}) END"

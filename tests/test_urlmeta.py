@@ -36,6 +36,12 @@ URLS = [
     "", None,
     "https://host.example:8080/with-port",
     "https://freefreefree.example/",                # 3 'free' hits -> soft 3
+    # blocklist-bypass vectors (regression): userinfo and trailing-dot
+    # FQDN spellings of a blocked domain must still canonicalize to it
+    "https://a@evil-ads.example/landing",
+    "https://u:p@spam.example/x",
+    "https://evil-ads.example./x",
+    "https://www.evil-ads.example.../x",
 ]
 
 
@@ -85,6 +91,11 @@ def test_urlmeta_semantics(spark):
     assert v[10] == (None, "", None) and v[11] == (None, None, None)
     assert v[12][0] == "host.example"  # port stripped from host
     assert v[13][2] == "soft_kw"       # repeated keyword occurrences sum
+    # bypass vectors all canonicalize to the blocked domain
+    assert v[14] == ("evil-ads.example", "/landing", "domain")
+    assert v[15][0] == "spam.example" and v[15][2] == "domain"
+    assert v[16] == ("evil-ads.example", "/x", "domain")
+    assert v[17][0] == "evil-ads.example" and v[17][2] == "domain"
 
     # precedence: a URL hitting domain AND hard AND soft reports domain
     both = spark.createDataFrame(
