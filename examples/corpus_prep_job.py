@@ -68,6 +68,41 @@ def main() -> None:
         "gram identity",
     )
     ap.add_argument("--skip-lm-tier", action="store_true")
+    ap.add_argument(
+        "--url-col",
+        help="run URL governance FIRST over this column (RefinedWeb "
+        "§3.1: drop crawl records whose URL hits the domain blocklist "
+        "or the keyword rules) — requires at least one of "
+        "--url-blocklist / --url-hard-kw / --url-soft-kw",
+    )
+    ap.add_argument(
+        "--url-blocklist", default="",
+        help="comma-separated lowercase blocked domains (subdomains "
+        "blocked too)",
+    )
+    ap.add_argument(
+        "--url-hard-kw", default="",
+        help="comma-separated lowercase substrings — one occurrence "
+        "anywhere in the URL drops the record",
+    )
+    ap.add_argument(
+        "--url-soft-kw", default="",
+        help="comma-separated kw=weight pairs; weighted occurrence sum "
+        ">= --url-soft-threshold drops the record",
+    )
+    ap.add_argument("--url-soft-threshold", type=int, default=3)
+    ap.add_argument(
+        "--mix", choices=["budget", "temperature"], default="budget",
+        help="final mixing rule: 'budget' = per-source token budget "
+        "(--budget-tokens); 'temperature' = mT5-style doc quotas "
+        "proportional to source_size**alpha (--mix-total, --mix-alpha)",
+    )
+    ap.add_argument(
+        "--mix-total", type=int, default=0,
+        help="temperature mix: total docs to draw (default: half the "
+        "surviving docs)",
+    )
+    ap.add_argument("--mix-alpha", type=float, default=0.3)
     ap.add_argument("--lm-buckets", type=int, default=4096)
     ap.add_argument(
         "--lm-train-frac",
@@ -123,6 +158,32 @@ def main() -> None:
     # drop it up front, audited
     docs = docs.filter(F.col("text").isNotNull())
     stats["after_null_text_drop"] = docs.count()
+
+    if args.url_col:
+        # stage -1: URL governance — the crawl-record drop, before any
+        # text stage (the RefinedWeb ordering)
+        from schema_drift_detector_spark.functions.urlmeta import url_verdict
+
+        block = [d for d in args.url_blocklist.split(",") if d]
+        hard = [k for k in args.url_hard_kw.split(",") if k]
+        soft = {}
+        for pair in args.url_soft_kw.split(","):
+            if pair:
+                k, _, w = pair.partition("=")
+                soft[k] = int(w or 1)
+        if not (block or hard or soft):
+            raise SystemExit(
+                "--url-col given but no rule configured (--url-blocklist / "
+                "--url-hard-kw / --url-soft-kw) — the stage would be a no-op"
+            )
+        if args.url_col not in docs.columns:
+            raise SystemExit(f"input has no column {args.url_col!r}")
+        docs = docs.filter(
+            url_verdict(
+                args.url_col, block, hard, soft, args.url_soft_threshold
+            ).isNull()
+        )
+        stats["after_url_governance"] = docs.count()
 
     if not args.skip_normalize:
         # stage 0: Unicode normalization (zero-shuffle Arrow scan) —
@@ -215,14 +276,26 @@ def main() -> None:
         )
         stats["after_lm_tier_drop"] = docs.count()
 
-    docs = take_token_budget(
-        docs.withColumn("__nt", token_count("text")),
-        "source",
-        "doc_id",
-        "__nt",
-        args.budget_tokens,
-    ).drop("__nt").localCheckpoint(eager=True)
-    stats["after_token_budget"] = docs.count()
+    if args.mix == "temperature":
+        from schema_drift_detector_spark.operators.sampling import temperature_mix
+
+        n_surv = stats.get("after_lm_tier_drop")
+        if n_surv is None:
+            n_surv = docs.count()
+        total = args.mix_total or max(1, n_surv // 2)
+        docs = temperature_mix(
+            docs, "source", "doc_id", total, alpha=args.mix_alpha
+        ).localCheckpoint(eager=True)
+        stats["after_temperature_mix"] = docs.count()
+    else:
+        docs = take_token_budget(
+            docs.withColumn("__nt", token_count("text")),
+            "source",
+            "doc_id",
+            "__nt",
+            args.budget_tokens,
+        ).drop("__nt").localCheckpoint(eager=True)
+        stats["after_token_budget"] = docs.count()
     docs.write.mode("overwrite").parquet(f"{args.out}/survivors")
 
     chunks = chunk_documents(
