@@ -1208,6 +1208,11 @@ _REP_PAD = (
 # ineligible verdict in both engines). A function, not a constant:
 # it embeds ORACLE_QUALITY, defined later in this module.
 def _oracle_source_quota() -> str:
+    from schema_drift_detector_spark.operators.sampling import (
+        temperature_quota_sql,
+        temperature_weight_sql,
+    )
+
     return f"""
 SELECT 'docs_cap' AS face, doc_id, source, {_REP_PAD} FROM documents
 WHERE doc_id IS NOT NULL
@@ -1273,13 +1278,11 @@ FROM (
 ) s
 JOIN (
   SELECT stratum,
-         greatest(1, CAST(floor(
-           CAST(floor(CAST(sum(n) OVER () AS DOUBLE) / 4) AS BIGINT)
-           * (CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE))
-         ) AS BIGINT)) AS quota
+         {temperature_quota_sql(
+             "CAST(floor(CAST(sum(n) OVER () AS DOUBLE) / 4) AS BIGINT)",
+             "w", "sum(w) OVER ()")} AS quota
   FROM (
-    SELECT stratum, n,
-           CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 1e6, 0) AS BIGINT) AS w
+    SELECT stratum, n, {temperature_weight_sql("n", 0.3)} AS w
     FROM (
       SELECT {_STRAT_CASE} AS stratum, CAST(count(*) AS BIGINT) AS n
       FROM documents GROUP BY 1

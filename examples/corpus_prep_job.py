@@ -1,12 +1,14 @@
 """spark-submit entry point for the composed LLM-corpus preparation
-pipeline — the certified 12-stage hygiene chain (corpus_pipeline_e2e's
-operator composition) over an arbitrary documents table:
+pipeline — the certified hygiene chain (corpus_pipeline_e2e's operator
+composition) over an arbitrary documents table:
 
-    Unicode normalization → Gopher quality filter → exact dedup →
-    cross-doc boilerplate strip → intra-doc repetition strip → PII
-    redaction → benchmark decontamination → MinHash near-dup drop →
-    CCNet LM-perplexity tier drop → per-source token-budget mixing →
-    context chunking → next-fit sequence packing
+    [URL governance (--url-col)] → Unicode normalization → Gopher
+    quality filter → exact dedup → cross-doc boilerplate strip →
+    intra-doc repetition strip → PII redaction → benchmark
+    decontamination → MinHash near-dup drop → CCNet LM-perplexity
+    tier drop → mixing (per-source token budget, or mT5-style
+    temperature quotas with --mix temperature) → context chunking →
+    next-fit sequence packing
 
     zip -r engine.zip schema_drift_detector_spark
     spark-submit --py-files engine.zip examples/corpus_prep_job.py \
@@ -16,7 +18,11 @@ operator composition) over an arbitrary documents table:
         [--budget-tokens 1000000] [--chunk-tokens 2048] [--stride 1024] \
         [--pack-cap 4096] [--shards 64] [--min-words 50] [--skip-quality] \
         [--skip-normalize] \
-        [--skip-lm-tier] [--lm-buckets 4096] [--lm-train-frac 0.1]
+        [--skip-lm-tier] [--lm-buckets 4096] [--lm-train-frac 0.1] \
+        [--url-col url --url-blocklist evil.example \
+         --url-hard-kw /xxx --url-soft-kw casino=2,free=1 \
+         --url-soft-threshold 3 --url-drop-null] \
+        [--mix temperature --mix-total 0 --mix-alpha 0.3]
 
 Input schema: (doc_id long, source string, text string) — extra
 columns pass through to the survivors output, EXCEPT the reserved
@@ -92,10 +98,21 @@ def main() -> None:
     )
     ap.add_argument("--url-soft-threshold", type=int, default=3)
     ap.add_argument(
+        "--url-drop-null",
+        action="store_true",
+        help="ALSO drop records whose URL is NULL (unattributable). "
+        "Default keeps them: a NULL verdict means 'no attribution', "
+        "not 'pass' — this knob is where the caller decides, per the "
+        "urlmeta contract",
+    )
+    ap.add_argument(
         "--mix", choices=["budget", "temperature"], default="budget",
         help="final mixing rule: 'budget' = per-source token budget "
-        "(--budget-tokens); 'temperature' = mT5-style doc quotas "
-        "proportional to source_size**alpha (--mix-total, --mix-alpha)",
+        "(--budget-tokens; NULL-source docs are budgeted as their own "
+        "group); 'temperature' = mT5-style doc quotas proportional to "
+        "source_size**alpha (--mix-total, --mix-alpha; NULL-source "
+        "docs are DROPPED — they cannot be attributed to a mixture "
+        "component)",
     )
     ap.add_argument(
         "--mix-total", type=int, default=0,
@@ -170,7 +187,12 @@ def main() -> None:
         for pair in args.url_soft_kw.split(","):
             if pair:
                 k, _, w = pair.partition("=")
-                soft[k] = int(w or 1)
+                try:
+                    soft[k] = int(w or 1)
+                except ValueError:
+                    raise SystemExit(
+                        f"--url-soft-kw weights must be integers, got {pair!r}"
+                    )
         if not (block or hard or soft):
             raise SystemExit(
                 "--url-col given but no rule configured (--url-blocklist / "
@@ -178,6 +200,8 @@ def main() -> None:
             )
         if args.url_col not in docs.columns:
             raise SystemExit(f"input has no column {args.url_col!r}")
+        if args.url_drop_null:
+            docs = docs.filter(F.col(args.url_col).isNotNull())
         docs = docs.filter(
             url_verdict(
                 args.url_col, block, hard, soft, args.url_soft_threshold
@@ -279,9 +303,10 @@ def main() -> None:
     if args.mix == "temperature":
         from schema_drift_detector_spark.operators.sampling import temperature_mix
 
-        n_surv = stats.get("after_lm_tier_drop")
-        if n_surv is None:
-            n_surv = docs.count()
+        # after_neardup_drop is set unconditionally just above — no
+        # stage between it and the mix changes the row count, so no
+        # extra count() action is needed (review catch)
+        n_surv = stats.get("after_lm_tier_drop", stats["after_neardup_drop"])
         total = args.mix_total or max(1, n_surv // 2)
         docs = temperature_mix(
             docs, "source", "doc_id", total, alpha=args.mix_alpha

@@ -370,6 +370,30 @@ def temperature_quotas(
     )
 
 
+def temperature_weight_sql(n_expr: str, alpha: float) -> str:
+    """DuckDB replay of the temperature micro-weight
+    ``round(pow(n, alpha) * 1e6)`` — lives beside temperature_quotas so
+    the weight rule can never fork between the engine and an oracle
+    (the hash_bucket_sql discipline)."""
+    if alpha <= 0 or alpha > 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    return f"CAST(round(pow(CAST({n_expr} AS DOUBLE), {alpha!r}) * 1e6, 0) AS BIGINT)"
+
+
+def temperature_quota_sql(
+    total_expr: str, w_expr: str, sumw_expr: str, min_quota: int = 1
+) -> str:
+    """DuckDB replay of the quota rule
+    ``greatest(min_quota, floor(total * w / sumw))`` over
+    already-computed weight expressions."""
+    if min_quota < 0:
+        raise ValueError(f"min_quota must be >= 0, got {min_quota}")
+    return (
+        f"greatest({min_quota}, CAST(floor({total_expr} * "
+        f"(CAST({w_expr} AS DOUBLE) / CAST({sumw_expr} AS DOUBLE))) AS BIGINT))"
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str,

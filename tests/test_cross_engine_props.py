@@ -30,7 +30,10 @@ sizes_st = st.dictionaries(
 @settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
 @given(sizes_st, st.integers(1, 10_000), st.sampled_from([0.2, 0.3, 0.5, 0.7, 1.0]))
 def test_temperature_quota_rule_duckdb_matches_python(sizes, total, alpha):
-    w = {s: round(n**alpha * 1e6) for s, n in sizes.items()}
+    # half-away-from-zero rounding (what Spark F.round and DuckDB round
+    # both do) — python's round() is banker's and WOULD diverge on
+    # exact-.5 micro-weights (review catch)
+    w = {s: math.floor(n**alpha * 1e6 + 0.5) for s, n in sizes.items()}
     sumw = sum(w.values())
     exp = {
         s: max(1, math.floor(total * (wi / sumw))) for s, wi in w.items()
@@ -38,14 +41,20 @@ def test_temperature_quota_rule_duckdb_matches_python(sizes, total, alpha):
     vals = ", ".join(
         "('{}', {})".format(s.replace("'", "''"), n) for s, n in sizes.items()
     )
+    from schema_drift_detector_spark.operators.sampling import (
+        temperature_quota_sql,
+        temperature_weight_sql,
+    )
+
+    # the REAL shared builders — the same expressions the certified
+    # source_quota oracle interpolates
     rows = duckdb.sql(
         f"""
         WITH s(strat, n) AS (VALUES {vals}),
-        w AS (SELECT strat,
-                     CAST(round(pow(CAST(n AS DOUBLE), {alpha}) * 1e6, 0) AS BIGINT) AS w
-              FROM s)
-        SELECT strat, greatest(1, CAST(floor({total} * (CAST(w AS DOUBLE) /
-               CAST(sum(w) OVER () AS DOUBLE))) AS BIGINT)) AS q FROM w
+        w AS (SELECT strat, {temperature_weight_sql("n", alpha)} AS w FROM s)
+        SELECT strat,
+               {temperature_quota_sql(str(total), "w", "sum(w) OVER ()")} AS q
+        FROM w
         """
     ).fetchall()
     assert {s: q for s, q in rows} == exp
@@ -146,9 +155,6 @@ def test_nb_builder_duckdb_matches_python(rows):
         pred = min(c for c in classes if sc[c] == best)
         runner = max(v for c, v in sc.items() if c != pred)
         exp[i] = (pred, best, round(best - runner, 5))
-
-    if any(pr[c] == 0 for c in classes):
-        return  # engine would fail loud; builder parity is moot
 
     con = duckdb.connect()
     con.sql(

@@ -401,8 +401,12 @@ def test_exact_duplicates_best_survivor_rules(spark):
         exact_duplicates_best(sdf, "id", "content", F.col("p"))
 
 def _py_temperature_quotas(sizes: dict, total: int, alpha: float, min_quota: int = 1):
-    """Pure-python reference of the temperature quota rule."""
-    w = {s: round(n**alpha * 1e6) for s, n in sizes.items()}
+    """Pure-python reference of the temperature quota rule. Rounding is
+    half-away-from-zero (floor(x+0.5) on positives) — what Spark
+    F.round and DuckDB round both do; python round() is banker's."""
+    import math as _m
+
+    w = {s: _m.floor(n**alpha * 1e6 + 0.5) for s, n in sizes.items()}
     sumw = sum(w.values())
     import math
 
@@ -418,7 +422,11 @@ def test_temperature_quotas_rule_and_duckdb_parity(spark):
     import duckdb
     import pyspark.sql.functions as F
 
-    from schema_drift_detector_spark.operators.sampling import temperature_quotas
+    from schema_drift_detector_spark.operators.sampling import (
+        temperature_quota_sql,
+        temperature_quotas,
+        temperature_weight_sql,
+    )
 
     sizes = {f"s{i}": n for i, n in enumerate([1, 2, 7, 125, 500, 1250, 99999, 10**9])}
     df = spark.createDataFrame(list(sizes.items()), "strat string, n long")
@@ -431,9 +439,9 @@ def test_temperature_quotas_rule_and_duckdb_parity(spark):
     rows = duckdb.sql(
         f"""
         WITH s(strat, n) AS (VALUES {", ".join(f"('{s}', {n})" for s, n in sizes.items())}),
-        w AS (SELECT strat, CAST(round(pow(CAST(n AS DOUBLE), 0.3) * 1e6, 0) AS BIGINT) AS w FROM s)
-        SELECT strat, greatest(1, CAST(floor(400 * (CAST(w AS DOUBLE) /
-               CAST(sum(w) OVER () AS DOUBLE))) AS BIGINT)) AS q FROM w
+        w AS (SELECT strat, {temperature_weight_sql("n", 0.3)} AS w FROM s)
+        SELECT strat,
+               {temperature_quota_sql("400", "w", "sum(w) OVER ()")} AS q FROM w
         """
     ).fetchall()
     assert {s: q for s, q in rows} == got

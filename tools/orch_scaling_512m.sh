@@ -15,6 +15,9 @@ CAT=.bench_cache/asset_catalog_${N}
 OUTROOT=/tmp/orch512
 rm -rf $OUTROOT; mkdir -p $OUTROOT
 
+RUNID_PREFIX=r7-512m
+source "$(dirname "$0")/orch_common.sh"
+
 if [ ! -f "$DOCS/_SUCCESS" ] || [ ! -f "$CAT/_SUCCESS" ]; then
   # _SUCCESS markers, not bare dirs: a generation killed mid-write leaves
   # a partial table that a dir check would silently accept (review catch);
@@ -35,33 +38,7 @@ PYEOF
   echo "gen: ${SECONDS}s"
 fi
 
-probe() {
-  taskset -c 0-$(( $1 - 1 )) python - "$1" <<'PYEOF'
-import multiprocessing as mp, sys, time
-def burn(n):
-    x = 0
-    for i in range(n): x += i * i
-    return x
-procs = int(sys.argv[1])
-ctx = mp.get_context("fork")
-with ctx.Pool(procs) as p:
-    p.map(burn, [200_000] * procs)
-    t0 = time.time()
-    p.map(burn, [20_000_000] * procs * 2)
-    print(f"probe {procs}w: {procs*2*20_000_000/(time.time()-t0)/1e6:.1f} Mops")
-PYEOF
-}
 
-run_one() {
-  local n=$1 tag=$2 rc=0
-  SECONDS=0
-  taskset -c 0-$((n-1)) spark-submit --master local[$n] --driver-memory 8g \
-    --py-files engine.zip examples/validate_job.py \
-    --docs $DOCS --catalog $CAT --out $OUTROOT/out_${n}_${tag} \
-    --run-id r7-512m-${n}-${tag} --epoch 0 2>/dev/null >/dev/null || rc=$?
-  # set -e would abort before the diagnostic otherwise; rc captured via ||
-  echo "local[$n] run$tag: ${SECONDS}s rc=$rc dirs=$(ls $OUTROOT/out_${n}_${tag} 2>/dev/null | wc -l)"
-}
 
 echo "=== probes (pre) ==="; probe 8
 echo "=== local[8] ==="; run_one 8 a; run_one 8 b
