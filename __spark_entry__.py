@@ -1889,9 +1889,20 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     one vocabulary across langs (no natural distinctive term —
     verified), so a marker token ' langmark_<lang>' is PLANTED on
     doc_id % 5 == 0; the gate pins that every lang's rank-1 term is
-    exactly its own marker, i.e. distinctiveness actually bound."""
+    exactly its own marker, i.e. distinctiveness actually bound.
+
+    'collocations' (late r7) — top-5 adjacent-token collocations per
+    lang by PMI (pmi_collocations: Church & Hanks 1990 pointwise
+    mutual information with the min_count=3 floor against the
+    rare-pair PMI blow-up). The synthetic text is near-uniform random
+    (no natural collocation signal), so the pair ' zyxcol qwvcol' is
+    PLANTED on doc_id % 3 == 0 — always adjacent, never apart — and
+    the gate pins every lang's rank-1 collocation is exactly it with
+    positive PMI. Columns ride the distinctive face's: term = the
+    bigram, tf = n_xy, score = pmi, df NULL."""
     stats = q_token_stats_by_lang__stats(spark, sf_dir)
     dist = q_token_stats_by_lang__distinctive(spark, sf_dir)
+    coll = q_token_stats_by_lang__collocations(spark, sf_dir)
     out = (
         stats.withColumns(
             {
@@ -1904,6 +1915,16 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             dist.withColumns(
+                {
+                    "n_docs": F.lit(None).cast("bigint"),
+                    "n_tokens_total": F.lit(None).cast("bigint"),
+                    "avg_tokens": F.lit(None).cast("double"),
+                    "max_chars": F.lit(None).cast("bigint"),
+                }
+            )
+        )
+        .unionByName(
+            coll.withColumns(
                 {
                     "n_docs": F.lit(None).cast("bigint"),
                     "n_tokens_total": F.lit(None).cast("bigint"),
@@ -1926,6 +1947,20 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"vacuous distinctive-terms certification: a lang's rank-1 term "
             f"is not its planted marker ({bad=} {top1=} {langs=})"
+        )
+    ctop = {
+        (r["lang"]): (r["term"], r["score"])
+        for r in out.filter(F.col("face") == "collocations")
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    cbad = {
+        g: v for g, v in ctop.items() if v[0] != "zyxcol qwvcol" or v[1] <= 0
+    }
+    if set(ctop) != set(langs) or cbad:
+        raise RuntimeError(
+            f"vacuous collocation certification: a lang's rank-1 pair is "
+            f"not the planted collocation with positive PMI ({cbad=} {ctop=})"
         )
     return out
 
@@ -1968,9 +2003,34 @@ def q_token_stats_by_lang__distinctive(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def q_token_stats_by_lang__collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'collocations' face PLAN (see the entry docstring)."""
+    from schema_drift_detector_spark.operators.retrieval import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" zyxcol qwvcol"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pmi_collocations(docs, "lang", k=5, min_count=3).select(
+        F.lit("collocations").alias("face"),
+        "lang",
+        "rank",
+        F.col("bigram").alias("term"),
+        F.col("n_xy").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.col("pmi").alias("score"),
+    )
+
+
 def _oracle_token_stats() -> str:
     from schema_drift_detector_spark.operators.retrieval import (
         distinctive_terms_sql_ctes,
+        pmi_collocations_sql_ctes,
     )
 
     dist = f"""
@@ -1981,6 +2041,15 @@ WITH planted AS (
   FROM documents
 ), {distinctive_terms_sql_ctes("d_", "planted", "lang", k=5)}
 SELECT grp AS lang, rank, term, tf, df, score FROM d_top
+"""
+    coll = f"""
+WITH cplanted AS (
+  SELECT lang,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' zyxcol qwvcol'
+              ELSE text END AS text
+  FROM documents
+), {pmi_collocations_sql_ctes("c_", "cplanted", "lang", k=5, min_count=3)}
+SELECT grp AS lang, rank, bigram AS term, n_xy AS tf, pmi AS score FROM c_top
 """
     return f"""
 SELECT 'stats' AS face, lang, count(*) AS n_docs,
@@ -1995,6 +2064,10 @@ UNION ALL
 SELECT 'distinctive', lang, NULL, NULL, NULL, NULL,
        CAST(rank AS INT), term, tf, df, score
 FROM ({dist})
+UNION ALL
+SELECT 'collocations', lang, NULL, NULL, NULL, NULL,
+       CAST(rank AS INT), term, tf, CAST(NULL AS BIGINT) AS df, score
+FROM ({coll})
 """
 
 

@@ -158,9 +158,10 @@ FACE_SPLITS: dict[str, list[str]] = {
     # joined late-r7 (annotated in BENCH/BASELINE.md r7 notes)
     "chunk_documents": ["ws", "chargram", "bpe"],
     # late-r7: TF-IDF distinctive-terms face merged in — 'stats'
-    # continues the ≤r7-early single-face series (annotated in
+    # continues the ≤r7-early single-face series; PMI 'collocations'
+    # joined later still — the row re-prices again (annotated in
     # BENCH/BASELINE.md r7 notes)
-    "token_stats_by_lang": ["stats", "distinctive"],
+    "token_stats_by_lang": ["stats", "distinctive", "collocations"],
     # r7: intra-doc repetition strip merged in — 'cross' continues the
     # ≤r6 single-face series (annotated in BENCH/BASELINE.md r7 notes)
     "substring_dedup": ["cross", "intra"],

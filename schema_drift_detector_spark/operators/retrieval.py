@@ -306,3 +306,155 @@ def distinctive_terms_sql_ctes(
     FROM {s}sc
   ) WHERE rank <= {k}
 )"""
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 3,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-``k`` adjacent-token COLLOCATIONS per group by pointwise
+    mutual information — the other half of the corpus-comparison
+    report distinctive_terms gives ("which word PAIRS travel
+    together"):
+
+        pmi(x, y) = ln( (n_xy / N_bi) / ((n_x / N_uni) · (n_y / N_uni)) )
+
+    with n_xy the group's adjacent-bigram occurrence count, n_x/n_y
+    its unigram occurrence counts, N_bi/N_uni the group totals.
+    Bigrams under ``min_count`` occurrences are dropped FIRST (rare
+    pairs produce unboundedly high PMI from noise — the classic PMI
+    failure mode; Church & Hanks 1990 use exactly this floor).
+
+    Determinism: scores rounded to ``score_decimals`` before ranking,
+    ties by bigram string ascending (total order) — the engine-wide
+    discipline, so the DuckDB replay reproduces the exact top-k.
+
+    NULL contract: NULL-``group_col`` rows drop (no attribution);
+    NULL text contributes nothing.
+
+    Scale shape: TWO data-scale aggregations (the (group, bigram) and
+    (group, token) counts, both partial-aggregated); the unigram side
+    and the per-group totals join back BROADCAST (vocab-/group-sized);
+    the top-k window shuffles only the surviving bigram counts. The
+    adjacent-pair fan-out is arrays_zip over two slices — JVM
+    expressions, no interpreted lambda in the hot path. Output:
+    (group_col, rank, bigram, n_xy, pmi)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    grouped = docs.filter(F.col(group_col).isNotNull())
+    toks = grouped.select(group_col, _toks(text_col).alias("__t")).filter(
+        F.col("__t").isNotNull()
+    )
+    n = F.size("__t")
+    pairs = (
+        toks.filter(n >= 2)
+        .select(
+            group_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, n - 1).alias("w1"),
+                    F.slice("__t", 2, n - 1).alias("w2"),
+                )
+            ).alias("__p"),
+        )
+        .select(group_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    bi = pairs.groupBy(group_col, "w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = (
+        toks.select(group_col, F.explode("__t").alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = uni.groupBy(group_col).agg(F.sum("n_w").alias("n_uni"))
+    tot_bi = bi.groupBy(group_col).agg(F.sum("n_xy").alias("n_bi"))
+    scored = (
+        bi.filter(F.col("n_xy") >= min_count)
+        .join(
+            F.broadcast(uni.select(group_col, F.col("w").alias("w1"), F.col("n_w").alias("n_x"))),
+            [group_col, "w1"],
+        )
+        .join(
+            F.broadcast(uni.select(group_col, F.col("w").alias("w2"), F.col("n_w").alias("n_y"))),
+            [group_col, "w2"],
+        )
+        .join(F.broadcast(tot), group_col)
+        .join(F.broadcast(tot_bi), group_col)
+        .select(
+            group_col,
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_xy",
+            F.round(
+                F.log(
+                    (F.col("n_xy") / F.col("n_bi"))
+                    / ((F.col("n_x") / F.col("n_uni")) * (F.col("n_y") / F.col("n_uni")))
+                ),
+                score_decimals,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("pmi").desc(), F.col("bigram").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "rank", "bigram", "n_xy", "pmi")
+    )
+
+
+def pmi_collocations_sql_ctes(
+    sfx: str,
+    src: str,
+    group_expr: str,
+    k: int = 10,
+    min_count: int = 3,
+    score_decimals: int = 6,
+) -> str:
+    """DuckDB CTE block replaying ``pmi_collocations`` over ``src``
+    (must expose text and ``group_expr``). Final CTE ``{sfx}top``:
+    (grp, rank, bigram, n_xy, pmi). One definition per oracle (the
+    nb_sql_ctes discipline)."""
+    if k < 1 or min_count < 1:
+        raise ValueError(f"k and min_count must be >= 1, got {k}, {min_count}")
+    s = sfx
+    return f"""{s}lf AS MATERIALIZED (
+  SELECT {group_expr} AS grp,
+         list_filter(string_split(text, ' '), t -> t <> '') AS t
+  FROM {src} WHERE {group_expr} IS NOT NULL AND text IS NOT NULL
+), {s}pr AS MATERIALIZED (
+  SELECT grp, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT grp, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM {s}lf WHERE len(t) >= 2)
+), {s}un AS MATERIALIZED (
+  SELECT grp, unnest(t) AS w FROM {s}lf
+), {s}bi AS (SELECT grp, w1, w2, count(*) AS n_xy FROM {s}pr GROUP BY 1, 2, 3),
+{s}uc AS (SELECT grp, w, count(*) AS n_w FROM {s}un GROUP BY 1, 2),
+{s}tu AS (SELECT grp, count(*) AS n_uni FROM {s}un GROUP BY 1),
+{s}tb AS (SELECT grp, count(*) AS n_bi FROM {s}pr GROUP BY 1),
+{s}sc AS (
+  SELECT b.grp, b.w1 || ' ' || b.w2 AS bigram, b.n_xy,
+         round(ln((CAST(b.n_xy AS DOUBLE) / tb.n_bi)
+                  / ((CAST(x.n_w AS DOUBLE) / tu.n_uni)
+                     * (CAST(y.n_w AS DOUBLE) / tu.n_uni))),
+               {score_decimals}) AS pmi
+  FROM {s}bi b
+  JOIN {s}uc x ON x.grp = b.grp AND x.w = b.w1
+  JOIN {s}uc y ON y.grp = b.grp AND y.w = b.w2
+  JOIN {s}tu tu ON tu.grp = b.grp
+  JOIN {s}tb tb ON tb.grp = b.grp
+  WHERE b.n_xy >= {min_count}
+), {s}top AS (
+  SELECT grp, rank, bigram, n_xy, pmi FROM (
+    SELECT grp, bigram, n_xy, pmi,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY pmi DESC, bigram ASC) AS rank
+    FROM {s}sc
+  ) WHERE rank <= {k}
+)"""

@@ -209,3 +209,64 @@ def test_distinctive_terms_matches_pure_python(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+
+
+def test_pmi_collocations_matches_pure_python(spark):
+    """pmi_collocations reproduces the hand-computed PMI rule, the
+    min_count floor, tie-break, and NULL contracts."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from schema_drift_detector_spark.operators.retrieval import pmi_collocations
+
+    rows = [
+        (0, "g", "new york new york new york"),
+        (1, "g", "york new alpha beta"),
+        (2, "g", "alpha beta gamma"),
+        (3, "g", None),
+        (4, None, "ghost pair ghost pair ghost pair"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    got = [
+        (r.grp, r.rank, r.bigram, r.n_xy, r.pmi)
+        for r in pmi_collocations(df, "grp", k=5, min_count=2)
+        .orderBy("grp", "rank")
+        .collect()
+    ]
+    # hand counts over group g: bigram events = 5 + 3 + 2 = 10;
+    # 'new york' x3, 'york new' x3 (2 in doc0 + 1 in doc1), and
+    # 'alpha beta' x2 survive min_count=2; 'new alpha'/'beta gamma'
+    # (x1) fall under the floor
+    uni = {"new": 4, "york": 4, "alpha": 2, "beta": 2, "gamma": 1}
+    n_uni = sum(uni.values())
+
+    def pmi(nxy, x, y):
+        return round(
+            math.log((nxy / 10) / ((uni[x] / n_uni) * (uni[y] / n_uni))), 6
+        )
+
+    exp = sorted(
+        [
+            ("new york", 3, pmi(3, "new", "york")),
+            ("york new", 3, pmi(3, "york", "new")),
+            ("alpha beta", 2, pmi(2, "alpha", "beta")),
+        ],
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert got == [("g", i + 1, b, n, p) for i, (b, n, p) in enumerate(exp)]
+    # NULL-group rows dropped entirely ('ghost pair' never appears)
+    assert all("ghost" not in b for _g, _r, b, _n, _p in got)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="min_count"):
+        pmi_collocations(df, "grp", min_count=0)
+
+    again = [
+        (r.grp, r.rank, r.bigram)
+        for r in pmi_collocations(df.repartition(7), "grp", k=5, min_count=2)
+        .orderBy("grp", "rank")
+        .collect()
+    ]
+    assert again == [(g, r, b) for g, r, b, _n, _p in got]
