@@ -195,17 +195,25 @@ def pair_occurrences(
         )
         .filter(F.size("__ts") >= 1)
     )
-    # (prev-or-NULL, cur) structs built by index — arr[i] is 0-based in
-    # Spark SQL, and i = 0 has no left context
-    pairs = F.expr(
-        "transform(__ts, (t, i) -> struct("
-        "  CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE __ts[i - 1] END AS w1,"
-        "  t AS w2))"
-    )
-    return toks.select(out_id, F.explode(pairs).alias("__p")).select(
+    # hash each token ONCE into its bucket array, THEN pair by index —
+    # the (w1, w2) string-struct form hashed every token twice (once as
+    # w2 at position i, once as w1 at i+1), i.e. 2× the md5 work of the
+    # scan for identical bucket values (r8 measurement; guide §1.2
+    # "per-task work"). arr[i] is 0-based in Spark SQL; i = 0 has no
+    # left context.
+    bucketed = toks.select(
         out_id,
-        hash_bucket(F.col("__p.w1"), n_buckets, _LM_SALT).alias("b1"),
-        hash_bucket(F.col("__p.w2"), n_buckets, _LM_SALT).alias("b2"),
+        F.transform(
+            F.col("__ts"), lambda t: hash_bucket(t, n_buckets, _LM_SALT)
+        ).alias("__bs"),
+    )
+    pairs = F.expr(
+        "transform(__bs, (b, i) -> struct("
+        "  CASE WHEN i = 0 THEN CAST(NULL AS BIGINT) ELSE __bs[i - 1] END AS b1,"
+        "  b AS b2))"
+    )
+    return bucketed.select(out_id, F.explode(pairs).alias("__p")).select(
+        out_id, F.col("__p.b1").alias("b1"), F.col("__p.b2").alias("b2")
     )
 
 

@@ -226,12 +226,19 @@ def distinctive_terms(
     no tokens but the doc still counts toward N (the bm25 docCount
     contract).
 
-    Scale shape: ONE data-scale shuffle — the (group, term) partial-
-    aggregated count. The df table is vocab-sized and joins back
-    BROADCAST; N arrives as a broadcast single-row cross join (no
-    collect); the top-k window shuffles only the (group, term) counts
-    (vocab x groups rows, not the corpus). Output:
-    (group_col, rank, term, tf, df, score).
+    Scale shape: the data-scale shuffles are the (group, term) and
+    per-term df partial-aggregated counts. The df table is
+    VOCAB-sized — on web-scale text the distinct-token universe is
+    10^8-10^9 rows (URLs, typos, numbers), NOT bounded the way
+    n_buckets×K model tables are — so it joins back key-aligned on
+    ``term`` with NO forced broadcast: AQE picks broadcast when the
+    measured side is actually small and falls back to a shuffle join
+    when it is not (an explicit hint would bypass
+    autoBroadcastJoinThreshold and OOM at 100 TB — r7 verdict).
+    N arrives as a broadcast single-row cross join (bounded by
+    construction, no collect); the top-k window shuffles only the
+    (group, term) counts (vocab x groups rows, not the corpus).
+    Output: (group_col, rank, term, tf, df, score).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -248,7 +255,9 @@ def distinctive_terms(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        # NO broadcast hint on the vocab-sized df side (see docstring):
+        # the join is key-aligned on `term`; AQE broadcasts iff small
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
@@ -338,9 +347,15 @@ def pmi_collocations(
     NULL text contributes nothing.
 
     Scale shape: TWO data-scale aggregations (the (group, bigram) and
-    (group, token) counts, both partial-aggregated); the unigram side
-    and the per-group totals join back BROADCAST (vocab-/group-sized);
-    the top-k window shuffles only the surviving bigram counts. The
+    (group, token) counts, both partial-aggregated). The unigram count
+    table is VOCAB-sized — unbounded on web-scale text, NOT bounded
+    the way model tables are — so it joins back key-aligned on
+    (group, w) with NO forced broadcast: AQE broadcasts iff the
+    measured side is small, else a plain shuffle join (a forced hint
+    would bypass autoBroadcastJoinThreshold and OOM at 100 TB — r7
+    verdict). Only the per-GROUP totals (bounded by the group universe,
+    like n_sources) broadcast explicitly; the top-k window shuffles
+    only the surviving bigram counts. The
     adjacent-pair fan-out is arrays_zip over two slices — JVM
     expressions, no interpreted lambda in the hot path. Output:
     (group_col, rank, bigram, n_xy, pmi)."""
@@ -375,13 +390,15 @@ def pmi_collocations(
     tot = uni.groupBy(group_col).agg(F.sum("n_w").alias("n_uni"))
     tot_bi = bi.groupBy(group_col).agg(F.sum("n_xy").alias("n_bi"))
     scored = (
+        # NO broadcast hints on the vocab-sized unigram sides (see
+        # docstring): key-aligned joins; AQE broadcasts iff small
         bi.filter(F.col("n_xy") >= min_count)
         .join(
-            F.broadcast(uni.select(group_col, F.col("w").alias("w1"), F.col("n_w").alias("n_x"))),
+            uni.select(group_col, F.col("w").alias("w1"), F.col("n_w").alias("n_x")),
             [group_col, "w1"],
         )
         .join(
-            F.broadcast(uni.select(group_col, F.col("w").alias("w2"), F.col("n_w").alias("n_y"))),
+            uni.select(group_col, F.col("w").alias("w2"), F.col("n_w").alias("n_y")),
             [group_col, "w2"],
         )
         .join(F.broadcast(tot), group_col)

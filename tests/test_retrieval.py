@@ -200,15 +200,17 @@ def test_distinctive_terms_matches_pure_python(spark):
     ]
     assert again == [(g, r, t) for g, r, t, *_ in exp]
 
-    # df table and N join back broadcast — the corpus-side plan keeps
-    # exactly one data-scale aggregation
+    # the single-row N still joins via a broadcast nested-loop cross
+    # join (bounded by construction); the vocab-sized df table carries
+    # NO forced hint — AQE picks broadcast at runtime iff it is small
+    # (the 100 TB posture; see test_vocab_sides_not_force_broadcast)
     plan = (
         distinctive_terms(df, "grp", k=3)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_pmi_collocations_matches_pure_python(spark):
@@ -270,3 +272,44 @@ def test_pmi_collocations_matches_pure_python(spark):
         .collect()
     ]
     assert again == [(g, r, b) for g, r, b, _n, _p in got]
+
+
+def test_vocab_sides_not_force_broadcast(spark):
+    """r7 verdict (the one `weak`): distinctive_terms' corpus-wide df
+    table and pmi_collocations' per-group unigram table are VOCAB-sized
+    — unbounded on web-scale text — so they must NOT carry an explicit
+    broadcast hint (a hint bypasses autoBroadcastJoinThreshold and
+    OOMs at 100 TB). With the threshold forced to -1, an un-hinted
+    key-aligned join plans as SortMergeJoin/ShuffledHashJoin; only the
+    deliberately-bounded sides (single-row N, per-group totals) may
+    still broadcast. A reintroduced hint on the vocab side would plan
+    BroadcastHashJoin here and fail."""
+    from schema_drift_detector_spark.operators.retrieval import (
+        distinctive_terms,
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", "new york new york"), (2, "g", "alpha beta new york")],
+        "doc_id long, grp string, text string",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dplan = distinctive_terms(df, "grp", k=3)._jdf.queryExecution().toString()
+        # the tf-vs-df join on `term` must be a shuffle join under
+        # threshold -1 (no forced hint on the vocab-sized df side)
+        assert "SortMergeJoin" in dplan or "ShuffledHashJoin" in dplan
+        # the only broadcast left is the bounded single-row N cross join
+        assert dplan.count("BroadcastExchange") <= 1
+
+        pplan = (
+            pmi_collocations(df, "grp", k=3, min_count=1)
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "SortMergeJoin" in pplan or "ShuffledHashJoin" in pplan
+        # bounded per-group totals (tot, tot_bi) may broadcast; the two
+        # vocab-sized unigram joins must not
+        assert pplan.count("BroadcastExchange") <= 2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
