@@ -33,6 +33,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_fan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` with scale-adaptive scan fan-out for CPU-dense consumers.
+
+    The sf-dir tables are single small parquet files (dictionary-coded
+    synthetic text compresses ~100×), so a byte-based split gives the
+    scan 1-2 tasks no matter the core count — and every zero-shuffle
+    chain hanging off it (Arrow UDF scans, per-token md5 hashing, gram
+    explodes) inherits that parallelism and runs on 1-2 cores of 32
+    (r8 measurement: text_doc_features 'features' face 2.4 s → 0.9 s
+    from this alone). When the scan yields fewer splits than the
+    session's parallelism, fan out with one round-robin repartition of
+    the (by construction small: < cores × maxPartitionBytes) input.
+    At production scale the branch self-disables — a 100 TB table
+    yields orders of magnitude more splits than cores — so this is a
+    small-input adaptation, not a local[32] constant (guide §2.2/§6).
+    Used ONLY by helpers whose scan-side compute dominates; light
+    aggregation queries keep the plain scan (the extra exchange costs
+    more than 1-task scanning saves there — measured both ways)."""
+    df = _t(spark, sf_dir, name)
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Schema-diff family (reference R15–R18) on field lists derived from events
 # --------------------------------------------------------------------------
@@ -1822,7 +1847,7 @@ SELECT 'best' AS face, fingerprint, n_docs, keep_id FROM (
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=5, threshold=0.5)
     return pairs.select("doc_a", "doc_b", "common", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1849,7 +1874,7 @@ def q_jaccard_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs), so the benchmarked variant bounds the self-join."""
     from schema_drift_detector_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = _t_fan(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     # threshold 0.2, not 0.5: the synthetic near-dup pairs have arbitrary
     # ids, so a 1/10 sample rarely keeps both ends of a >=0.5 pair and the
     # certified result set would be EMPTY (a vacuous hash match). At 0.2
@@ -5149,7 +5174,7 @@ def q_text_doc_features__url(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = F.element_at(
         F.array(*[F.lit(b) for b in _URL_BASES]), (d % 7 + 1).cast("int")
     )
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(d % 97 == 3, F.lit(None).cast("string"))
         .otherwise(F.concat(base, d.cast("string")))
@@ -5183,7 +5208,7 @@ def q_text_doc_features__features(spark: SparkSession, sf_dir: str) -> DataFrame
         repetition_features,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan(spark, sf_dir, "documents")
     rep = repetition_features("text")
     return docs.select(
         "doc_id",
@@ -5259,7 +5284,7 @@ def q_text_doc_features__gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     bullet_doc = "\n".join(["- planted bullet line item"] * 9)
     aa_doc = " ".join(["aa"] * 60)
     num_doc = " ".join(["1234"] * 60)
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(d % 97 == 3, F.lit(None).cast("string"))
         .when(d % 21 == 0, F.lit(bullet_doc))
@@ -6146,7 +6171,11 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     head10 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
-    raw = _t(spark, sf_dir, "documents").select(
+    # fan-out scan (r8): the whole head of the pipeline — URL verdict,
+    # clone fixture, Arrow normalization, Gopher metrics — is a
+    # zero-shuffle chain inheriting the scan's parallelism, which is
+    # 1-2 tasks on the small compressed input (see _t_fan)
+    raw = _t_fan(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.concat(
@@ -6187,10 +6216,22 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_urled = raw.withColumn(
         "__uv", url_verdict(url_expr, _URL_BLOCK, _URL_HARD, _URL_SOFT, _URL_TH)
     )
-    uvc = {
-        r["__uv"]: r["n"]
-        for r in raw_urled.groupBy("__uv").agg(F.count(F.lit(1)).alias("n")).collect()
+    # ONE scan answers three former jobs (r8: the URL-verdict histogram,
+    # the max-doc_id fixture guard, and n_base) — the per-verdict rows
+    # carry max(doc_id) and the clone-source count, so the survivor row
+    # (__uv NULL) yields max_id, n_raw, and n_clones without re-scanning
+    # (guide §1.2: remove passes before tuning anything else)
+    uvrows = {
+        r["__uv"]: r
+        for r in raw_urled.groupBy("__uv")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("doc_id").alias("mx"),
+            F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias("ncl"),
+        )
+        .collect()
     }
+    uvc = {k: r["n"] for k, r in uvrows.items()}
     if not (uvc.get("domain", 0) and uvc.get("soft_kw", 0) and uvc.get(None, 0)):
         raise RuntimeError(
             f"vacuous URL stage: a verdict branch never fired or nothing "
@@ -6198,7 +6239,7 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     raw = raw_urled.filter(F.col("__uv").isNull()).drop("__uv")
 
-    max_id = raw.agg(F.max("doc_id")).first()[0]
+    max_id = uvrows[None]["mx"]
     if max_id is None or max_id >= 1_000_000:
         raise RuntimeError(
             f"corpus_pipeline_e2e fixture assumes doc_id < 1e6 (max={max_id})"
@@ -6214,7 +6255,9 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(_E2E_NFC_RAW))
         ).otherwise(F.col("text")),
     ).unionByName(clones)
-    n_base = base.count()
+    # n_base = survivors + their %10 clones — same number base.count()
+    # computed, derived from the one scan above
+    n_base = uvrows[None]["n"] + uvrows[None]["ncl"]
 
     # stage 0 (r7): Unicode normalization — the hygiene pass that runs
     # BEFORE any fingerprinting, because un-normalized text makes
@@ -6241,16 +6284,44 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id", "source", "text")
     )
-    n_filtered = filtered.count()
+    # ONE gopher pass answers both gate counts (r8: the separate
+    # n_clone_filtered count re-ran the whole normalize+gopher chain)
+    fs = filtered.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("doc_id") >= 1_000_000, 1).otherwise(0)).alias("ncl"),
+    ).first()
+    n_filtered, n_clone_filtered = fs["n"], fs["ncl"]
 
-    exact = drop_exact_duplicates(filtered, "doc_id", "text")
-    sub = substring_dedup(exact, n=8, min_df=4).localCheckpoint(eager=True)
-    n_exact = sub.count()
+    # checkpoint the exact-dedup survivors (r8): substring_dedup
+    # consumes its input THREE times (gram pass for the df count, gram
+    # pass for coverage, and the final strip join) — un-checkpointed,
+    # each consumer re-ran the whole URL + normalize + Gopher + dedup
+    # chain. The repartition before the checkpoint matters as much as
+    # the checkpoint: AQE coalesces this small shuffle to 1-2
+    # partitions (64 MB advisory vs a ~2 MB compressed exchange), and
+    # every downstream Arrow/md5-heavy pass would inherit 1-2-task
+    # parallelism from the checkpoint blocks (guide §2.5 input skew /
+    # §1.2 — measured 7.2 s → ~3 s for this segment at sf0.1).
+    # materialize_grams=True additionally collapses the two gram
+    # passes into one (the documented small-corpus fast path).
+    par = spark.sparkContext.defaultParallelism
+    exact = (
+        drop_exact_duplicates(filtered, "doc_id", "text")
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    sub = substring_dedup(
+        exact, n=8, min_df=4, materialize_grams=True
+    ).localCheckpoint(eager=True)
     # normalize-stage gate counts: clones are byte-unequal to their
     # originals until normalization, so "clones entered dedup AND none
-    # survived it" certifies the stage actually unified them
-    n_clone_filtered = filtered.filter(F.col("doc_id") >= 1_000_000).count()
-    n_clone_exact = sub.filter(F.col("doc_id") >= 1_000_000).count()
+    # survived it" certifies the stage actually unified them; one agg
+    # over the checkpoint blocks answers both counts
+    es = sub.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("doc_id") >= 1_000_000, 1).otherwise(0)).alias("ncl"),
+    ).first()
+    n_exact, n_clone_exact = es["n"], es["ncl"]
 
     # per-doc strip flags RIDE THROUGH the rest of the chain so the
     # binding gates below certify that a stripped doc SURVIVED to the
@@ -6274,15 +6345,29 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = contamination_hits(
         red, eval_gram_hashes(eval_df, "text", n=8), "doc_id", "text", n=8
     )
-    decon = red.join(hits.select("doc_id"), "doc_id", "left_anti")
+    # checkpoint: three consumers (the MinHash pass, the survivor
+    # anti-join, and the n_decon gate) each re-ran the whole
+    # eval-gram + contamination-join DAG before r8
+    # repartition before the checkpoint: the anti-join output AQE-
+    # coalesces to 1-2 partitions at this byte size, and the MinHash
+    # shingle explode + 64-permutation fold downstream is the single
+    # heaviest per-row compute in the pipeline (measured 4.6 s on 1-2
+    # cores → ~1.5 s fanned)
+    decon = (
+        red.join(hits.select("doc_id"), "doc_id", "left_anti")
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
 
     pairs = minhash_near_duplicates(
         decon, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
     )
     drops = connected_components(pairs).filter(F.col("doc") != F.col("cluster"))
-    surv = decon.join(
-        drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)  # LM model + scoring + budget all read it
+    surv = (
+        decon.join(drops.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti")
+        .repartition(par)  # LM bucket hashing downstream is md5-per-token
+        .localCheckpoint(eager=True)
+    )  # LM model + scoring + budget all read it
 
     # stage (late r7): CCNet LM-perplexity tiering over the SURVIVORS'
     # cleaned text — the trusted counting subset is the ':lmT' 10% hash
@@ -6299,8 +6384,14 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         id_col="doc_id",
     )
-    lmkept = tiers.filter(F.col("ppl_tier").isin("head", "middle")).drop(
-        "avg_nll", "n_scored", "n_backoff", "ppl_tier"
+    # checkpoint: the budget window AND the n_lmkept gate both consume
+    # this — before r8 the gate count re-ran the entire LM model +
+    # scoring chain a second time (the single most expensive re-run in
+    # the pipeline, ~2 s at sf0.1)
+    lmkept = (
+        tiers.filter(F.col("ppl_tier").isin("head", "middle"))
+        .drop("avg_nll", "n_scored", "n_backoff", "ppl_tier")
+        .localCheckpoint(eager=True)
     )
     budgeted = take_token_budget(
         lmkept.withColumn("__nt", token_count("text")), "source", "doc_id", "__nt", 400
@@ -6741,7 +6832,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
+    return _t_fan(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
         .otherwise(F.col("text"))
@@ -7159,6 +7250,80 @@ def _run_ssjoin_stream(spark: SparkSession, joined: DataFrame, out: str) -> Data
     return spark.read.parquet(out)
 
 
+def _run_ssjoin_stream_sequenced(
+    spark: SparkSession, sf_dir: str, build_join, out: str
+) -> DataFrame:
+    """Run the OUTER-face join over the ts-quartile files in STRICT
+    event-time order by feeding one file per availableNow restart of a
+    single checkpointed stream, then one empty sentinel file to flush
+    the final watermark.
+
+    Why (r8 inherited-state fix): the ordered replay used to rely on
+    the file stream source processing oldest-mtime-first within one
+    availableNow run. The Spark version in this environment no longer
+    honors that order (observed arrival q1, q4, q2, q3), which (a)
+    jumps the watermark past windows whose matching view is still in
+    an unread file — emitting a null-pad where the certified result
+    has a matched pair — and (b) the final watermark advance happens
+    after the last data batch, so the pads it flushes were never
+    emitted (availableNow terminates without a trailing batch).
+    Sequential restarts make arrival order a construction property
+    instead of a listing-order assumption: each restart sees exactly
+    one unseen file (the checkpoint's file log skips seen ones), and
+    watermark state persists across restarts. The empty sentinel file
+    triggers one final batch in which the watermark computed from the
+    last quartile flushes the remaining null-pads — data-free, so it
+    adds no rows of its own. Output and semantics are EXACTLY the
+    r7-certified per-horizon contract (the oracle is unchanged and
+    hash-matches)."""
+    import glob
+    import shutil
+
+    ev = _t(spark, sf_dir, "events")
+    ordered_src = f"{_ARTIFACTS}/stream_windows/events4_ordered_{os.path.basename(sf_dir.rstrip('/'))}"
+    # build (write-once) the committed quartile files via the existing
+    # helper, then stage them one at a time into a per-run dir
+    _stream_events_source_ordered(spark, sf_dir)
+    stage = f"{out}_src"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+
+    def sink(batch_df, batch_id):
+        # idempotent batch_id-keyed overwrite (see _run_ssjoin_stream)
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    def _run_once() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            build_join(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{out}_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_stream_join did not finish within 300s")
+
+    for k in range(1, 5):
+        shutil.copy(f"{ordered_src}/q{k}.parquet", f"{stage}/q{k}.parquet")
+        _run_once()
+    # 0-row sentinel with the events schema: forces the flush batch
+    sent_tmp = f"{stage}_sentinel"
+    ev.limit(0).coalesce(1).write.mode("overwrite").parquet(sent_tmp)
+    part = glob.glob(f"{sent_tmp}/part-*.parquet")[0]
+    shutil.move(part, f"{stage}/q5_sentinel.parquet")
+    shutil.rmtree(sent_tmp)
+    _run_once()
+    return spark.read.parquet(out)
+
+
 # the outer face's watermark delay; odd-second so no event's window end
 # can land exactly on the ms-floored watermark boundary by construction
 _SSJOIN_OUTER_DELAY_SECONDS = 48 * 3600 + 61
@@ -7212,18 +7377,21 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # ---- outer face: ordered replay, per-horizon ----
+    # sequenced one-file-per-restart feeding (r8): arrival order and
+    # the final-watermark flush are construction properties, not
+    # listing-order assumptions — see _run_ssjoin_stream_sequenced
     out_o = _stream_out_dir(spark, sf_dir, "ssjoin_outer")
-    purchases_o, views_o = _ssjoin_sides(_stream_events_source_ordered(spark, sf_dir))
-    rows_o = _run_ssjoin_stream(
-        spark,
-        stream_time_bounded_join(
+
+    def _build_outer(stream: DataFrame) -> DataFrame:
+        purchases_o, views_o = _ssjoin_sides(stream)
+        return stream_time_bounded_join(
             purchases_o, views_o, "user_id", "v_user", "p_ts", "v_ts",
             within="1 hour",
             watermark=f"{_SSJOIN_OUTER_DELAY_SECONDS} seconds",
             how="left_outer",
-        ).select("p_id", "v_id", "user_id", "p_ts"),
-        out_o,
-    )
+        ).select("p_id", "v_id", "user_id", "p_ts")
+
+    rows_o = _run_ssjoin_stream_sequenced(spark, sf_dir, _build_outer, out_o)
     n_pads = rows_o.filter(F.col("v_id").isNull()).count()
     ev = _t(spark, sf_dir, "events")
     p_all, v_all = _ssjoin_sides(ev.withColumn("ts", F.col("ts").cast("timestamp")))
@@ -7371,7 +7539,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires. All codegen regexp expressions, zero shuffle."""
     from schema_drift_detector_spark.functions.pii import pii_counts, pii_redact
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
