@@ -33,6 +33,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ckpt_parallel(*dfs: DataFrame) -> list[DataFrame]:
+    """Eagerly localCheckpoint several INDEPENDENT frames concurrently
+    (guide §2.6 — actions are only sequential because driver code calls
+    them sequentially; a thread pool lets the scheduler back-fill the
+    tail of one materialization with tasks from the next). Used by the
+    merged board entries whose faces were checkpointed one after
+    another — the faces share no lineage, so serializing their
+    materializations only serialized idle capacity."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return list(pool.map(lambda d: d.localCheckpoint(eager=True), dfs))
+
+
+def _first_parallel(*dfs: DataFrame) -> list:
+    """``df.first()`` over several independent (typically gate-
+    aggregation) frames concurrently — same §2.6 rationale as
+    _ckpt_parallel."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return list(pool.map(lambda d: d.first(), dfs))
+
+
 def _t_fan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``_t`` with scale-adaptive scan fan-out for CPU-dense consumers.
 
@@ -382,7 +406,12 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(t).alias(f"n_{t}") for t in _PIVOT_TYPES],
         *json_pads,
     )
-    js = q_profile_events__json(spark, sf_dir).localCheckpoint(eager=True)
+    # json + unpivot faces share no lineage: checkpoint concurrently
+    # (r8, guide §2.6), then one gate job each
+    js, unp = _ckpt_parallel(
+        q_profile_events__json(spark, sf_dir),
+        q_profile_events__unpivot(spark, sf_dir),
+    )
     corrupt = js.agg(F.sum(F.col("n_rows") - F.col("n_parsed"))).first()[0]
     if not corrupt:
         raise RuntimeError(
@@ -409,7 +438,6 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the NULL-retention semantics are pinned, not left to a dialect's
     # UNPIVOT default). Gated: round-trips to the per-(user, type)
     # counts, and NULL cells exist.
-    unp = q_profile_events__unpivot(spark, sf_dir).localCheckpoint(eager=True)
     truth = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_id") % 97 == 0)
@@ -417,14 +445,23 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
-    diverged = (
-        unp.filter(F.col("n").isNotNull())
-        .join(truth, ["user_id", "event_type"], "full_outer")
-        .filter(~F.col("n").eqNullSafe(F.col("n_true")))
-        .limit(1)
-        .count()
+    # ONE gate job instead of two (r8): the unfiltered full-outer join
+    # is round-trip-equivalent to the filtered one — an unp row with
+    # NULL n means its pivot cell was empty, so truth (built from
+    # nonzero counts) has no matching key and the joined pair is
+    # (NULL, NULL), which eqNullSafe treats as agreeing — and the same
+    # pass counts the NULL cells the second job used to scan for.
+    gate = (
+        unp.join(truth, ["user_id", "event_type"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(~F.col("n").eqNullSafe(F.col("n_true")), 1).otherwise(0)
+            ).alias("diverged"),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias("nulls"),
+        )
+        .first()
     )
-    n_null_cells = unp.filter(F.col("n").isNull()).limit(1).count()
+    diverged, n_null_cells = gate["diverged"], gate["nulls"]
     if diverged or not n_null_cells:
         raise RuntimeError(
             f"vacuous unpivot certification: round-trip diverged ({diverged}) "
@@ -3892,6 +3929,9 @@ def q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.unionByName(clones)
     exact = drop_exact_duplicates(base, "doc_id", "text")
+    # NOT checkpointed (r8 measurement): materializing capped before the
+    # MinHash pass serializes what the lazy recompute overlaps — 2.8 s
+    # checkpointed vs 2.2 s plain at sf0.1
     capped = cap_per_group(exact, "source", "doc_id", 20)
     pairs = minhash_near_duplicates(
         capped, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
@@ -5372,69 +5412,52 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
-    c4 = q_text_doc_features__c4(spark, sf_dir).localCheckpoint(eager=True)
-    c4_gates = c4.agg(
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keeps"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("drops"),
-        F.sum(
-            F.when(~F.col("keep") & (F.col("n_kept_lines") >= 3), 1).otherwise(0)
-        ).alias("page_rule_drops"),
-        F.sum(
-            F.when(F.col("n_lines") - F.col("n_kept_lines") >= 2, 1).otherwise(0)
-        ).alias("line_rule_hits"),
-    ).first()
-    for g in ("keeps", "drops", "page_rule_drops", "line_rule_hits"):
-        if not c4_gates[g]:
-            raise RuntimeError(f"vacuous C4 fixture: gate {g} is zero")
-
-    gopher = q_text_doc_features__gopher(spark, sf_dir).localCheckpoint(eager=True)
-    gg = gopher.agg(
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keeps"),
-        *[
-            F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(c)
-            for c in _GOPHER_RULE_COLS
-        ],
-    ).first()
-    for g in ("keeps", *_GOPHER_RULE_COLS):
-        if not gg[g]:
-            raise RuntimeError(f"vacuous Gopher fixture: gate {g} is zero")
-
-    c4_face = _pad_tail(
-        c4, "c4", dict.fromkeys(["cleaned_fp", "n_lines", "n_kept_lines", "keep"])
+    # the four fixture faces share no lineage: checkpoint them
+    # CONCURRENTLY, then run all four gate aggregations concurrently
+    # (r8, guide §2.6 — serial materialization only serialized idle
+    # capacity; measured ~3.5 s → ~2.3 s for the whole entry at sf0.1)
+    c4, gopher, norm, url = _ckpt_parallel(
+        q_text_doc_features__c4(spark, sf_dir),
+        q_text_doc_features__gopher(spark, sf_dir),
+        q_text_doc_features__normalize(spark, sf_dir),
+        q_text_doc_features__url(spark, sf_dir),
     )
-    gopher_face = _pad_tail(
-        gopher,
-        "gopher",
-        dict.fromkeys(["n_words", "mean_word_len", *_GOPHER_RULE_COLS, "keep"]),
-    )
-
-    # normalize face (r7): every plant family must SHRINK at least one
-    # document (NFC composes, controls strip, whitespace collapses) —
-    # length-based so the gate binds on the unicode machinery itself,
-    # not on the lowercasing that touches nearly every doc
-    norm = q_text_doc_features__normalize(spark, sf_dir).localCheckpoint(eager=True)
     shrunk = F.col("n_chars_norm") < F.col("n_chars_raw")
     d = F.col("doc_id")
-    ng = norm.agg(
-        F.sum(F.when((d % 11 == 0) & shrunk, 1).otherwise(0)).alias("nfc_shrunk"),
-        F.sum(F.when((d % 13 == 0) & shrunk, 1).otherwise(0)).alias("ctrl_shrunk"),
-        F.sum(F.when((d % 17 == 0) & shrunk, 1).otherwise(0)).alias("ws_shrunk"),
-        F.sum(F.when(d % 97 == 3, 1).otherwise(0)).alias("nulls"),
-    ).first()
-    for g in ("nfc_shrunk", "ctrl_shrunk", "ws_shrunk", "nulls"):
-        if not ng[g]:
-            raise RuntimeError(f"vacuous normalize fixture: gate {g} is zero")
-    norm_face = _pad_tail(
-        norm, "normalize", dict.fromkeys(["cleaned_fp", "n_chars_raw", "n_chars_norm"])
-    )
-
-    # url face (late r7): every rule branch must fire — exact-domain
-    # through www+case canonicalization, subdomain suffix, hard kw,
-    # soft kw AT threshold, a pass with a positive sub-threshold score
-    # (the threshold binds), and NULL urls scoring NULL
-    url = q_text_doc_features__url(spark, sf_dir).localCheckpoint(eager=True)
-    d = F.col("doc_id")
-    ug = url.agg(
+    c4_gates, gg, ng, ug = _first_parallel(
+        c4.agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keeps"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("drops"),
+            F.sum(
+                F.when(~F.col("keep") & (F.col("n_kept_lines") >= 3), 1).otherwise(0)
+            ).alias("page_rule_drops"),
+            F.sum(
+                F.when(F.col("n_lines") - F.col("n_kept_lines") >= 2, 1).otherwise(0)
+            ).alias("line_rule_hits"),
+        ),
+        gopher.agg(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keeps"),
+            *[
+                F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(c)
+                for c in _GOPHER_RULE_COLS
+            ],
+        ),
+        # normalize face (r7): every plant family must SHRINK at least
+        # one document (NFC composes, controls strip, whitespace
+        # collapses) — length-based so the gate binds on the unicode
+        # machinery itself, not on the lowercasing that touches nearly
+        # every doc
+        norm.agg(
+            F.sum(F.when((d % 11 == 0) & shrunk, 1).otherwise(0)).alias("nfc_shrunk"),
+            F.sum(F.when((d % 13 == 0) & shrunk, 1).otherwise(0)).alias("ctrl_shrunk"),
+            F.sum(F.when((d % 17 == 0) & shrunk, 1).otherwise(0)).alias("ws_shrunk"),
+            F.sum(F.when(d % 97 == 3, 1).otherwise(0)).alias("nulls"),
+        ),
+        # url face (late r7): every rule branch must fire — exact-domain
+        # through www+case canonicalization, subdomain suffix, hard kw,
+        # soft kw AT threshold, a pass with a positive sub-threshold
+        # score (the threshold binds), and NULL urls scoring NULL
+        url.agg(
         F.sum(F.when((d % 7 == 0) & (F.col("url_verdict") == "domain"), 1).otherwise(0)).alias("dom_exact"),
         F.sum(F.when((d % 7 == 1) & (F.col("url_verdict") == "domain"), 1).otherwise(0)).alias("dom_suffix"),
         F.sum(F.when(F.col("url_verdict") == "hard_kw", 1).otherwise(0)).alias("hard"),
@@ -5449,12 +5472,34 @@ def q_text_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pass_scored"),
         F.sum(F.when((d % 97 == 3) & F.col("url_score").isNull(), 1).otherwise(0)).alias("nulls"),
         F.sum(F.when((d % 97 == 3) & F.col("url_score").isNotNull(), 1).otherwise(0)).alias("bad_nulls"),
-    ).first()
+        ),
+    )
+    for g in ("keeps", "drops", "page_rule_drops", "line_rule_hits"):
+        if not c4_gates[g]:
+            raise RuntimeError(f"vacuous C4 fixture: gate {g} is zero")
+    for g in ("keeps", *_GOPHER_RULE_COLS):
+        if not gg[g]:
+            raise RuntimeError(f"vacuous Gopher fixture: gate {g} is zero")
+    for g in ("nfc_shrunk", "ctrl_shrunk", "ws_shrunk", "nulls"):
+        if not ng[g]:
+            raise RuntimeError(f"vacuous normalize fixture: gate {g} is zero")
     for g in ("dom_exact", "dom_suffix", "hard", "soft", "pass_scored", "nulls"):
         if not ug[g]:
             raise RuntimeError(f"vacuous url fixture: gate {g} is zero ({ug})")
     if ug.bad_nulls:
         raise RuntimeError(f"url face: NULL urls produced scores ({ug})")
+
+    c4_face = _pad_tail(
+        c4, "c4", dict.fromkeys(["cleaned_fp", "n_lines", "n_kept_lines", "keep"])
+    )
+    gopher_face = _pad_tail(
+        gopher,
+        "gopher",
+        dict.fromkeys(["n_words", "mean_word_len", *_GOPHER_RULE_COLS, "keep"]),
+    )
+    norm_face = _pad_tail(
+        norm, "normalize", dict.fromkeys(["cleaned_fp", "n_chars_raw", "n_chars_norm"])
+    )
     url_face = _pad_tail(
         url, "url", dict.fromkeys(["url_host", "url_verdict", "url_score"])
     )
@@ -5884,17 +5929,24 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-passthrough contract (row kept, n_tokens 0, md5('')
     fingerprint) would be certified vacuously.
     """
-    # one compute: checkpoint the stripped frame, then both the
-    # non-vacuity gate and the returned result read the blocks (a bare
+    # one compute per face: checkpoint the stripped frames (a bare
     # filter+count would replay the whole two-gram-pass DAG; measured
-    # ~2× the entry cost at sf0.1).
-    cross = q_substring_dedup__cross(spark, sf_dir).localCheckpoint(eager=True)
-    if cross.filter(F.col("n_removed") > 0).limit(1).count() == 0:
+    # ~2× the entry cost at sf0.1) — CONCURRENTLY, the faces share no
+    # lineage (r8, guide §2.6) — then run both non-vacuity gates
+    # concurrently over the checkpoint blocks.
+    cross, intra = _ckpt_parallel(
+        q_substring_dedup__cross(spark, sf_dir),
+        q_substring_dedup__intra(spark, sf_dir),
+    )
+    g_cross, g_intra = _first_parallel(
+        cross.filter(F.col("n_removed") > 0).limit(1).select(F.lit(1).alias("x")),
+        intra.filter(F.col("n_removed") > 0).limit(1).select(F.lit(1).alias("x")),
+    )
+    if g_cross is None:
         raise RuntimeError(
             "vacuous fixture: no boilerplate stripped — footer grams never hit min_df"
         )
-    intra = q_substring_dedup__intra(spark, sf_dir).localCheckpoint(eager=True)
-    if intra.filter(F.col("n_removed") > 0).limit(1).count() == 0:
+    if g_intra is None:
         raise RuntimeError(
             "vacuous fixture: no intra-doc repetition stripped — planted"
             " self-repeats never produced duplicate grams"
@@ -6397,13 +6449,20 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         lmkept.withColumn("__nt", token_count("text")), "source", "doc_id", "__nt", 400
     ).localCheckpoint(eager=True)
 
-    stage = budgeted.agg(
-        F.count(F.lit(1)).alias("n_budgeted"),
-        F.max(F.col("__was_redacted").cast("int")).alias("any_redact"),
-        F.max(F.col("__cross_stripped").cast("int")).alias("any_cross"),
-        F.max(F.col("__intra_stripped").cast("int")).alias("any_intra"),
-    ).first()
-    n_decon, n_surv, n_lmkept = decon.count(), surv.count(), lmkept.count()
+    # four independent gate jobs over checkpoint blocks — run them
+    # concurrently (r8, guide §2.6)
+    stage, r_decon, r_surv, r_lmkept = _first_parallel(
+        budgeted.agg(
+            F.count(F.lit(1)).alias("n_budgeted"),
+            F.max(F.col("__was_redacted").cast("int")).alias("any_redact"),
+            F.max(F.col("__cross_stripped").cast("int")).alias("any_cross"),
+            F.max(F.col("__intra_stripped").cast("int")).alias("any_intra"),
+        ),
+        decon.agg(F.count(F.lit(1)).alias("n")),
+        surv.agg(F.count(F.lit(1)).alias("n")),
+        lmkept.agg(F.count(F.lit(1)).alias("n")),
+    )
+    n_decon, n_surv, n_lmkept = r_decon["n"], r_surv["n"], r_lmkept["n"]
     binding = {
         "normalize_unify": n_clone_filtered > 0 and n_clone_exact == 0,
         "quality_filter": 0 < n_filtered < n_base,
@@ -6832,7 +6891,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t_fan(spark, sf_dir, "documents").select(
+    # plain scan (r8 measurement): fanning helps each face timed alone
+    # but the merged three-face union materialization pays three
+    # repartition exchanges and lands slower (1.9 s vs 1.25 s at sf0.1)
+    return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
         .otherwise(F.col("text"))

@@ -83,11 +83,17 @@ def profile_columns(
     for i, f in fields:
         c = F.col(f.name)
         hc = c if isinstance(f.dataType, _HLL_NATIVE) else c.cast("string")
+        # approx_distinct derives from the SAME DataSketches HLL that is
+        # persisted for later merging (hll_sketch_estimate on the agg
+        # result) — the previous separate approx_count_distinct ran a
+        # second full distinct-sketch machine per column for a number
+        # the persisted sketch already carries (r8, guide §1.2: don't
+        # compute things twice). lgk=12 rse ≈ 1.6%, well inside every
+        # consumer's tolerance.
         aggs += [
             F.count(c).alias(f"__cnt_{i}"),
             F.min(c).cast("string").alias(f"__min_{i}"),
             F.max(c).cast("string").alias(f"__max_{i}"),
-            F.approx_count_distinct(c).alias(f"__dist_{i}"),
             F.hll_sketch_agg(hc, F.lit(hll_lgk)).alias(f"__hll_{i}"),
         ]
     wide = df.groupBy(*group_cols).agg(*aggs)
@@ -104,7 +110,7 @@ def profile_columns(
             .alias("null_ratio"),
             F.col(f"__min_{i}").alias("min_val"),
             F.col(f"__max_{i}").alias("max_val"),
-            F.col(f"__dist_{i}").alias("approx_distinct"),
+            F.hll_sketch_estimate(F.col(f"__hll_{i}")).alias("approx_distinct"),
             F.col(f"__hll_{i}").alias("hll_sketch"),
         )
         for i, f in fields
@@ -168,13 +174,26 @@ def profile_spans(
             F.sum(F.when(F.col("kind") == "text", F.col("__n")).otherwise(0)).alias("n_text"),
             F.min("__omin").alias("offset_min"),
             F.max("__omax").alias("offset_max"),
-            F.hll_sketch_estimate(F.hll_union_agg("__hll", True)).alias(
-                "approx_distinct_media_ref"
-            ),
             F.hll_union_agg("__hll", True).alias("media_ref_hll"),
             F.map_from_entries(
                 F.array_sort(F.collect_list(F.struct(F.col("kind"), F.col("__n"))))
             ).alias("kind_histogram"),
+        )
+        # estimate derives from the ONE union sketch (the agg previously
+        # ran hll_union_agg twice over the same column — r8, guide §1.2);
+        # explicit select keeps the pre-r8 column order
+        .select(
+            *group_cols,
+            "n_spans",
+            "n_text_null",
+            "n_text",
+            "offset_min",
+            "offset_max",
+            F.hll_sketch_estimate(F.col("media_ref_hll")).alias(
+                "approx_distinct_media_ref"
+            ),
+            "media_ref_hll",
+            "kind_histogram",
         )
         .withColumn(
             "text_null_ratio",
