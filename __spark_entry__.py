@@ -82,6 +82,46 @@ def _t_fan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# _t_fan_big's floor: below this input size the fan-out exchange costs
+# more than 1-task scanning saves (measured across the board at sf0.1,
+# where documents.parquet is 584 KB: decontaminate/lm/nb/bm25/chunk all
+# land SLOWER fanned), above it the 1-2-task scan starves the per-row
+# compute (same queries at sf1.0, 5.7 MB: 1.5-6x FASTER fanned; the
+# extreme case is jaccard_pairs_sample, 430 s -> 9 s). Env-overridable;
+# at production scale neither branch fires — the split count exceeds
+# the core count and both helpers reduce to a plain scan.
+_FAN_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_FAN_MIN_BYTES", str(4 * 1024 * 1024))
+)
+
+
+def _t_fan_big(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t_fan`` gated on input size: fan out only when the table's
+    on-disk footprint clears ``_FAN_MIN_BYTES``. For the mid-density
+    queries (LM scoring, NB, decontamination grams, chunking, JSON
+    extraction, simhash, BM25) the fan-out exchange only pays for
+    itself once the single-task scan carries enough work — measured
+    both ways at sf0.1 AND sf1.0 (see _FAN_MIN_BYTES). The always-fan
+    ``_t_fan`` stays for the queries that win at every measured size
+    (per-token md5 pipelines: jaccard shingles, repetition features,
+    PII regex chains)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except OSError:
+        size = None
+    if size is not None and size < _FAN_MIN_BYTES:
+        return _t(spark, sf_dir, name)
+    return _t_fan(spark, sf_dir, name)
+
+
 # --------------------------------------------------------------------------
 # Schema-diff family (reference R15–R18) on field lists derived from events
 # --------------------------------------------------------------------------
@@ -536,7 +576,7 @@ def q_profile_events__json(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_struct = F.from_json(props, "k INT").getField("k").cast("long")
     k_path = F.get_json_object(props, "$.k").cast("long")
     return (
-        _t(spark, sf_dir, "events")
+        _t_fan_big(spark, sf_dir, "events")
         .select("event_type", k_struct.alias("__k1"), k_path.alias("__k2"))
         .groupBy("event_type")
         .agg(
@@ -856,7 +896,7 @@ def _ppl_face_frame(docs: DataFrame) -> DataFrame:
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench row: the bare 'ppl' face plan (LM count + score + tier),
     without the merged entry's other faces, gates, or checkpoints."""
-    return _ppl_face_frame(_t(spark, sf_dir, "documents")).select(
+    return _ppl_face_frame(_t_fan_big(spark, sf_dir, "documents")).select(
         "doc_id", "avg_nll", "n_scored", "n_backoff", "ppl_tier"
     )
 
@@ -933,7 +973,7 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     30% seed + broadcast-model scoring + codegen argmax), without the
     merged entry's other faces, gates, or checkpoints. The tiny
     class-list/priors collects are part of the operator's real cost."""
-    return _nb_face_frame(_t(spark, sf_dir, "documents"))
+    return _nb_face_frame(_t_fan_big(spark, sf_dir, "documents"))
 
 
 # three INDEPENDENT salted buckets: bs (unsalted) gates the sample, bsp
@@ -2050,7 +2090,7 @@ def q_token_stats_by_lang__distinctive(spark: SparkSession, sf_dir: str) -> Data
     """The 'distinctive' face PLAN (see the entry docstring)."""
     from schema_drift_detector_spark.operators.retrieval import distinctive_terms
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.when(
@@ -2069,7 +2109,7 @@ def q_token_stats_by_lang__collocations(spark: SparkSession, sf_dir: str) -> Dat
     """The 'collocations' face PLAN (see the entry docstring)."""
     from schema_drift_detector_spark.operators.retrieval import pmi_collocations
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.when(
@@ -2139,7 +2179,7 @@ ORACLE_TOKEN_STATS = _oracle_token_stats()
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.functions.text import lang_id
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan_big(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", lang_id("text").alias("pred_lang"))
 
 
@@ -2170,7 +2210,7 @@ FROM scored
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan_big(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
@@ -2201,7 +2241,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_normalized,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan_big(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         fingerprint_md5("text").alias("fp_exact"),
@@ -2223,7 +2263,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.functions.text import quality_score, token_count
     from schema_drift_detector_spark.operators.dedup import drop_exact_duplicates
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan_big(spark, sf_dir, "documents")
     deduped = drop_exact_duplicates(docs, "doc_id", "text")
     kept = deduped.withColumn("q", quality_score("text")).filter(F.col("q") >= 0.5)
     return kept.groupBy("source", "lang").agg(
@@ -2843,7 +2883,7 @@ def q_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot offer)."""
     from schema_drift_detector_spark.functions.cms import cms_build, cms_estimate
 
-    ev = _t(spark, sf_dir, "events").select("user_id")
+    ev = _t_fan_big(spark, sf_dir, "events").select("user_id")
     sk = cms_build(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
     true = (
         ev.filter(F.col("user_id").isNotNull())
@@ -3011,7 +3051,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill their k and the partial probe still scores."""
     from schema_drift_detector_spark.operators.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_fan_big(spark, sf_dir, "documents").select("doc_id", "text")
     queries = spark.createDataFrame(
         _BM25_QUERIES, "query_id string, terms array<string>"
     )
@@ -3462,7 +3502,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.decontam import contamination_hits, eval_gram_hashes
     from schema_drift_detector_spark.operators.sampling import hash_bucket
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan_big(spark, sf_dir, "documents")
     eval_df = docs.filter(hash_bucket("doc_id", salt=":eval") < 40_000).select(
         F.substring("text", 1, 200).alias("text")
     )
@@ -3843,7 +3883,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_near_duplicates,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan_big(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(
         docs, "doc_id", "text", n=5, k=64, bands=16, threshold=0.6, hash_fn="md5"
     )
@@ -4016,7 +4056,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 sign bits, chunk buckets, and hamming distances."""
     from schema_drift_detector_spark.operators.dedup import simhash_near_duplicates
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_fan_big(spark, sf_dir, "documents")
     return simhash_near_duplicates(
         docs, "doc_id", "text", max_hamming=8, chunks=3, hash_fn="md5"
     )
@@ -5118,7 +5158,7 @@ def q_text_doc_features__normalize(spark: SparkSession, sf_dir: str) -> DataFram
     from schema_drift_detector_spark.functions.normalize import normalize_text_arrow
 
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(d % 97 == 3, F.lit(None).cast("string"))
         .otherwise(
@@ -5283,7 +5323,7 @@ def q_text_doc_features__c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.cleaning import clean_lines_c4
 
     d = F.col("doc_id")
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(d % 97 == 3, F.lit(None).cast("string"))
         .otherwise(
@@ -5964,7 +6004,7 @@ def q_substring_dedup__cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation of the hit DAG (measured 6.0 s vs 3.5 s at sf0.1)."""
     from schema_drift_detector_spark.operators.substring import substring_dedup
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
         .when(
@@ -5987,7 +6027,7 @@ def q_substring_dedup__intra(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_drift_detector_spark.operators.substring import strip_repeated_runs
 
     head10 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 10), " ")
-    idocs = _t(spark, sf_dir, "documents").select(
+    idocs = _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
         .when(
@@ -6894,7 +6934,7 @@ def _chunk_entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain scan (r8 measurement): fanning helps each face timed alone
     # but the merged three-face union materialization pays three
     # repartition exchanges and lands slower (1.9 s vs 1.25 s at sf0.1)
-    return _t(spark, sf_dir, "documents").select(
+    return _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
         .otherwise(F.col("text"))
