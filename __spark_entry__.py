@@ -3233,7 +3233,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a larger fixture fails loudly instead of colliding clone ids
     # with real docs (which would corrupt the min-id tie-break AND make
     # the leak check below count real docs as clones)
-    max_id = docs.agg(F.max("doc_id")).first()[0]
+    # one scan answers the max-id guard AND the clone-count gate input
+    # (r8: these were two separate full scans)
+    mstats = docs.agg(
+        F.max("doc_id").alias("mx"),
+        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias("ncl"),
+    ).first()
+    max_id = mstats["mx"]
     if max_id is None or max_id >= 1_000_000:
         raise RuntimeError(
             f"incremental_dedup fixture assumes doc_id < 1e6 (max={max_id}); "
@@ -3248,7 +3254,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         a0 = ingest_epoch(spark, None, b0, 0, bucket_table=bt, buckets=16)
         a1 = ingest_epoch(spark, None, b1, 1, bucket_table=bt, buckets=16)
-        n_clones_in = clones.count()
+        n_clones_in = mstats["ncl"]
         n_clones_accepted = a1.filter(F.col("doc_id") >= 1_000_000).count()
         if n_clones_in == 0 or n_clones_accepted > 0:
             raise RuntimeError(
@@ -6376,6 +6382,14 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep"))
         .select("doc_id", "source", "text")
     )
+    # checkpoint the filtered survivors (r8 second pass): the gate
+    # aggregation below AND the exact-dedup chain each re-ran the whole
+    # URL + clone + Arrow-normalize + Gopher head otherwise (~1.2 s per
+    # re-run at sf0.1); the repartition prevents the AQE-coalesced
+    # 1-2-partition starvation documented at the exact checkpoint
+    filtered = filtered.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=True)
     # ONE gopher pass answers both gate counts (r8: the separate
     # n_clone_filtered count re-ran the whole normalize+gopher chain)
     fs = filtered.agg(
