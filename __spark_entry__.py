@@ -3237,7 +3237,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r8: these were two separate full scans)
     mstats = docs.agg(
         F.max("doc_id").alias("mx"),
-        F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)).alias("ncl"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") % 10 == 0, 1).otherwise(0)), F.lit(0)
+        ).alias("ncl"),
     ).first()
     max_id = mstats["mx"]
     if max_id is None or max_id >= 1_000_000:
@@ -6392,9 +6394,13 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # ONE gopher pass answers both gate counts (r8: the separate
     # n_clone_filtered count re-ran the whole normalize+gopher chain)
+    # coalesce: sum over an EMPTY frame is NULL — keep the gate's
+    # diagnostic RuntimeError reachable instead of a TypeError
     fs = filtered.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("doc_id") >= 1_000_000, 1).otherwise(0)).alias("ncl"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") >= 1_000_000, 1).otherwise(0)), F.lit(0)
+        ).alias("ncl"),
     ).first()
     n_filtered, n_clone_filtered = fs["n"], fs["ncl"]
 
@@ -6425,7 +6431,9 @@ def q_corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the checkpoint blocks answers both counts
     es = sub.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("doc_id") >= 1_000_000, 1).otherwise(0)).alias("ncl"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") >= 1_000_000, 1).otherwise(0)), F.lit(0)
+        ).alias("ncl"),
     ).first()
     n_exact, n_clone_exact = es["n"], es["ncl"]
 

@@ -121,3 +121,21 @@ def test_profile_columns_no_atomic_columns_returns_empty(spark):
     out = profile_columns(docs, snapshot_id="s", entity="e")
     assert out.count() == 0
     assert "column" in out.columns and "hll_sketch" in out.columns
+
+
+def test_profile_runs_one_distinct_machine_per_column(spark, docs):
+    """r8: approx_distinct derives from the persisted DataSketches HLL
+    (hll_sketch_estimate over the hll_sketch_agg result) — the plan must
+    not also run a separate approx_count_distinct machine per column, and
+    profile_spans must union the media_ref sketch exactly once."""
+    from schema_drift_detector_spark.operators.profile import (
+        profile_columns,
+        profile_spans,
+    )
+
+    cplan = profile_columns(docs)._jdf.queryExecution().toString()
+    assert "approx_count_distinct" not in cplan
+    assert "hll_sketch_agg" in cplan and "hll_sketch_estimate" in cplan
+
+    splan = profile_spans(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert splan.count("hll_union_agg") == 1
