@@ -6953,9 +6953,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_entry_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # plain scan (r8 measurement): fanning helps each face timed alone
-    # but the merged three-face union materialization pays three
-    # repartition exchanges and lands slower (1.9 s vs 1.25 s at sf0.1)
+    # size-gated fan (r8 measurement): at sf0.1 the merged three-face
+    # union pays three repartition exchanges and lands slower fanned
+    # (1.9 s vs 1.25 s) — the 4 MB floor keeps it plain there — while
+    # at sf1.0 each un-fanned face scans 6× slower (3.7 s vs 0.6 s ws)
     return _t_fan_big(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 97 == 3, F.lit(None).cast("string"))
